@@ -1,0 +1,100 @@
+"""Per-document span extraction: interleaved input spans -> ordered output spans.
+
+Input row shape (BASELINE.json input_hint):
+``doc_id: str, spans: list[{kind, text, media_ref, offset}]`` with
+``kind in {"text", "html", "media"}``.
+
+Output row: ``doc_id, spans_out: list[{kind, text, media_ref, offset}]`` where
+- ``text`` spans pass through with whitespace-normalized text;
+- ``html`` spans tokenize + parse + boilerplate-strip into one output span per
+  kept text block, text equal to the reference-semantics normalized innerText;
+- ``media`` spans route through the layout branch (stubbed) and pass their
+  media_ref through with layout metadata as text.
+
+Output ``offset`` renumbers 0..k-1 in document order (input order of spans,
+block order within an html span) — the per-row invariant the north rule pins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+import json
+
+from html_parser_ray.extract.boilerplate import ExtractConfig, extract_text_blocks
+from html_parser_ray.extract.layout import LayoutParser
+from html_parser_ray.html.document import parse_html
+from html_parser_ray.html.text import normalize_bytes
+
+
+@dataclass
+class ExtractStats:
+    docs: int = 0
+    spans_in: int = 0
+    spans_out: int = 0
+    html_bytes: int = 0
+    parse_errors: int = 0
+
+
+class SpanExtractor:
+    """Stateful per-document extractor: selector cache, heuristic config and
+    the layout parser live for the actor's lifetime (ref analog:
+    cached-selector API src/html/document.zig:366-368 + §2.5 actor state)."""
+
+    def __init__(
+        self,
+        config: ExtractConfig | None = None,
+        layout_model: str = "layout-stub-v0",
+        drop_whitespace_text: bool = False,
+    ) -> None:
+        self.config = config or ExtractConfig()
+        self.layout = LayoutParser(layout_model)
+        self.drop_whitespace_text = drop_whitespace_text
+        self.stats = ExtractStats()
+
+    def extract_document(self, spans: list[dict]) -> list[dict]:
+        """Ordered output span list for one document's input span list."""
+        out: list[dict] = []
+        st = self.stats
+        st.docs += 1
+        for span in spans:
+            st.spans_in += 1
+            kind = span["kind"]
+            if kind == "text":
+                text = span.get("text") or ""
+                norm = normalize_bytes(text.encode("utf-8")).decode("utf-8", "replace")
+                if norm:
+                    out.append(
+                        {"kind": "text", "text": norm, "media_ref": "", "offset": len(out)}
+                    )
+            elif kind == "html":
+                raw = span.get("text") or ""
+                st.html_bytes += len(raw)
+                try:
+                    doc = parse_html(raw, self.drop_whitespace_text)
+                    blocks = extract_text_blocks(doc, self.config)
+                except Exception:
+                    st.parse_errors += 1
+                    blocks = []
+                for blk in blocks:
+                    out.append(
+                        {
+                            "kind": "text",
+                            "text": blk.decode("utf-8", "replace"),
+                            "media_ref": "",
+                            "offset": len(out),
+                        }
+                    )
+            elif kind == "media":
+                ref = span.get("media_ref") or ""
+                meta = self.layout.parse(ref)
+                out.append(
+                    {
+                        "kind": "media",
+                        "text": json.dumps(meta, sort_keys=True),
+                        "media_ref": ref,
+                        "offset": len(out),
+                    }
+                )
+            # unknown kinds are dropped deterministically
+        st.spans_out += len(out)
+        return out

@@ -1,0 +1,106 @@
+"""The flagship extraction pipeline: interleaved corpus -> ordered span table.
+
+Dataset-level composition (no raw Ray tasks anywhere):
+
+    read (parquet/lance)                      # streaming blocks
+      -> [optional] flat_map-style split       # span-boundary fragments
+      -> map_batches(ExtractSpansBatch, ...)   # actor pool, zero-copy Arrow
+      -> [optional] groupby(doc_id) reassemble # only shuffle, output-sized
+      -> write_parquet / caller consumption
+
+Default path has ZERO shuffles: one streaming actor-pool transform. The split
+path trades one hash shuffle of the (much smaller) extracted output for
+straggler-free handling of multi-MB documents; choose it when the corpus has a
+pathological giant-document tail.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data
+
+from html_parser_ray.stages.extract_stage import ExtractFragmentsBatch, ExtractSpansBatch
+from html_parser_ray.stages.split import reassemble_group, split_batch
+
+
+def _default_concurrency() -> int:
+    """Actor-pool size for the CPU-bound extract stage: one actor per CPU
+    (each actor is single-threaded pure Python)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(2, cpus)
+
+
+def read_corpus(path: str, file_format: str = "parquet", **kwargs) -> "ray.data.Dataset":
+    """Read the interleaved corpus. Lance when available (the production
+    format per input_hint), parquet for the sandbox tests."""
+    if file_format == "lance":
+        return ray.data.read_lance(path, **kwargs)
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def build_extraction_pipeline(
+    ds: "ray.data.Dataset",
+    *,
+    split_giant_docs: bool = False,
+    split_max_bytes: int = 1_000_000,
+    split_max_spans: int = 64,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 64,
+    emit_metrics: bool = False,
+    extractor_kwargs: dict[str, Any] | None = None,
+) -> "ray.data.Dataset":
+    """Compose the extraction pipeline over an input Dataset (lazy)."""
+    kwargs = dict(extractor_kwargs or {})
+    kwargs["emit_metrics"] = emit_metrics
+    if concurrency is None:
+        concurrency = _default_concurrency()
+
+    if not split_giant_docs:
+        return ds.map_batches(
+            ExtractSpansBatch,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    # metrics column would be lost in reassembly; keep the split path lean
+    kwargs["emit_metrics"] = False
+    frags = ds.map_batches(
+        split_batch,
+        fn_kwargs={"max_bytes": split_max_bytes, "max_spans": split_max_spans},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    extracted = frags.map_batches(
+        ExtractFragmentsBatch,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return extracted.groupby("doc_id").map_groups(
+        reassemble_group, batch_format="pyarrow"
+    )
+
+
+def run_extraction(
+    input_path: str,
+    output_path: str | None = None,
+    file_format: str = "parquet",
+    **pipeline_kwargs,
+):
+    """Read -> extract -> (optionally) write partitioned parquet; returns the
+    lazy Dataset when no output path is given."""
+    ds = read_corpus(input_path, file_format=file_format)
+    out = build_extraction_pipeline(ds, **pipeline_kwargs)
+    if output_path is not None:
+        out.write_parquet(output_path)
+        return None
+    return out

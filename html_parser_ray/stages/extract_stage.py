@@ -1,0 +1,102 @@
+"""Ray Data stages for span extraction.
+
+``ExtractSpansBatch`` is a callable CLASS for
+``ds.map_batches(ExtractSpansBatch, batch_format="pyarrow", concurrency=N)``:
+expensive setup (selector cache, heuristic tables, layout model) happens once
+per actor in ``__init__``; ``__call__`` processes one Arrow batch. HTML parsing
+is inherently per-document, so the per-row loop lives inside the actor over a
+zero-copy Arrow batch; everything batch-shaped (schema assembly, offsets) stays
+in Arrow.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from html_parser_ray.extract.boilerplate import ExtractConfig
+from html_parser_ray.extract.extractor import SpanExtractor
+from html_parser_ray.sources.corpus import SPAN_STRUCT
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans_out", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+METRICS_STRUCT = pa.struct(
+    [
+        ("spans_in", pa.int32()),
+        ("spans_out", pa.int32()),
+        ("html_bytes", pa.int64()),
+        ("parse_errors", pa.int32()),
+    ]
+)
+
+
+class ExtractSpansBatch:
+    """Actor-pool extraction stage (input_hint schema in, spans_out schema out).
+
+    Parameters are plain values (passed via ``fn_constructor_kwargs``) so the
+    actor constructs its own state — nothing heavy is captured in the closure.
+    """
+
+    def __init__(
+        self,
+        max_link_density: float = 0.5,
+        min_text_len: int = 1,
+        layout_model: str = "layout-stub-v0",
+        drop_whitespace_text: bool = False,
+        emit_metrics: bool = False,
+    ) -> None:
+        cfg = ExtractConfig(
+            max_link_density=max_link_density, min_text_len=min_text_len
+        )
+        self.extractor = SpanExtractor(
+            config=cfg,
+            layout_model=layout_model,
+            drop_whitespace_text=drop_whitespace_text,
+        )
+        self.emit_metrics = emit_metrics
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id")
+        spans_col = batch.column("spans").to_pylist()
+        ex = self.extractor
+        out_spans: list[list[dict]] = []
+        metrics: list[dict] = []
+        for spans in spans_col:
+            before_in = ex.stats.spans_in
+            before_err = ex.stats.parse_errors
+            before_bytes = ex.stats.html_bytes
+            result = ex.extract_document(spans or [])
+            out_spans.append(result)
+            if self.emit_metrics:
+                metrics.append(
+                    {
+                        "spans_in": ex.stats.spans_in - before_in,
+                        "spans_out": len(result),
+                        "html_bytes": ex.stats.html_bytes - before_bytes,
+                        "parse_errors": ex.stats.parse_errors - before_err,
+                    }
+                )
+        cols = {
+            "doc_id": doc_ids,
+            "spans_out": pa.array(out_spans, type=pa.list_(SPAN_STRUCT)),
+        }
+        if self.emit_metrics:
+            cols["metrics"] = pa.array(metrics, type=METRICS_STRUCT)
+        return pa.table(cols)
+
+
+class ExtractFragmentsBatch(ExtractSpansBatch):
+    """Same extraction over split fragments: passes the fragment bookkeeping
+    columns (``frag_seq``, ``n_frags``) through for ordered reassembly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        out = super().__call__(
+            batch.select(["doc_id", "spans"])
+        )
+        for name in ("frag_seq", "n_frags"):
+            out = out.append_column(name, batch.column(name))
+        return out

@@ -1,0 +1,131 @@
+"""Extraction layer tests: boilerplate strip, span emission, layout stub."""
+
+from __future__ import annotations
+
+from html_parser_ray import parse_html
+from html_parser_ray.extract.boilerplate import ExtractConfig, extract_text_blocks
+from html_parser_ray.extract.extractor import SpanExtractor
+from html_parser_ray.extract.layout import LayoutParser
+
+
+def blocks(html: str, **cfg) -> list[str]:
+    doc = parse_html(html)
+    out = extract_text_blocks(doc, ExtractConfig(**cfg) if cfg else None)
+    return [b.decode() for b in out]
+
+
+def test_basic_article_extraction():
+    html = (
+        "<html><head><title>t</title><script>var x=1<2;</script></head><body>"
+        "<header><h1>Site</h1><nav><a href='/a'>Home</a><a href='/b'>About</a></nav></header>"
+        "<main><article><p>First paragraph of content.</p>"
+        "<p>Second   paragraph with  spaces.</p></article></main>"
+        "<aside class='sidebar'><p>ads here</p></aside>"
+        "<footer><p>copyright</p></footer>"
+        "</body></html>"
+    )
+    got = blocks(html)
+    assert got == [
+        "First paragraph of content.",
+        "Second paragraph with spaces.",
+    ]
+
+
+def test_link_density_prunes_nav_like_blocks():
+    html = (
+        "<div><p id='links'><a href='/1'>one</a> <a href='/2'>two</a> "
+        "<a href='/3'>three</a></p>"
+        "<p id='content'>Real content with <a href='/x'>one link</a> inside a "
+        "much longer paragraph of actual text.</p></div>"
+    )
+    got = blocks(html)
+    assert got == [
+        "Real content with one link inside a much longer paragraph of actual text."
+    ]
+
+
+def test_entities_and_normalization_in_blocks():
+    html = "<p>  a &amp;   b  </p>"
+    assert blocks(html) == ["a & b"]
+
+
+def test_class_id_heuristics_drop_chrome():
+    html = (
+        "<div class='content'><p>keep me</p></div>"
+        "<div class='ad'><p>buy stuff</p></div>"
+        "<div id='cookie-banner'><p>accept cookies</p></div>"
+        "<div class='advertising'><p>more ads</p></div>"
+    )
+    assert blocks(html) == ["keep me"]
+
+
+def test_svg_and_rawtext_never_leak():
+    html = (
+        "<p>before</p><svg><text>vector</text></svg>"
+        "<style>.x{}</style><script>var a;</script><p>after</p>"
+    )
+    assert blocks(html) == ["before", "after"]
+
+
+def test_table_cells_are_blocks():
+    html = "<table><tr><td>c1</td><td>c2</td></tr></table>"
+    assert blocks(html) == ["c1", "c2"]
+
+
+def test_bare_text_outside_blocks():
+    assert blocks("hello world") == ["hello world"]
+
+
+def test_deterministic():
+    html = "<main><p>x</p></main>"
+    assert blocks(html) == blocks(html)
+
+
+def test_span_extractor_end_to_end():
+    ex = SpanExtractor()
+    spans = [
+        {"kind": "text", "text": "  plain   text ", "media_ref": "", "offset": 0},
+        {
+            "kind": "html",
+            "text": "<html><body><nav><a href='/'>Home</a></nav>"
+            "<p>First.</p><p>Second.</p></body></html>",
+            "media_ref": "",
+            "offset": 1,
+        },
+        {"kind": "media", "text": "", "media_ref": "media://pdf/000123", "offset": 2},
+    ]
+    out = ex.extract_document(spans)
+    assert [o["kind"] for o in out] == ["text", "text", "text", "media"]
+    assert [o["offset"] for o in out] == [0, 1, 2, 3]
+    assert out[0]["text"] == "plain text"
+    assert out[1]["text"] == "First."
+    assert out[2]["text"] == "Second."
+    assert out[3]["media_ref"] == "media://pdf/000123"
+    assert "layout_fingerprint" in out[3]["text"]
+
+
+def test_span_extractor_empty_and_unknown_kinds():
+    ex = SpanExtractor()
+    assert ex.extract_document([]) == []
+    out = ex.extract_document(
+        [{"kind": "mystery", "text": "x", "media_ref": "", "offset": 0}]
+    )
+    assert out == []
+
+
+def test_layout_stub_deterministic():
+    a = LayoutParser().parse("media://pdf/1")
+    b = LayoutParser().parse("media://pdf/1")
+    c = LayoutParser().parse("media://pdf/2")
+    assert a == b
+    assert a != c
+    assert 1 <= a["num_pages"] <= 32
+
+
+def test_extract_stats_accumulate():
+    ex = SpanExtractor()
+    ex.extract_document([{"kind": "html", "text": "<p>x</p>", "media_ref": "", "offset": 0}])
+    ex.extract_document([{"kind": "text", "text": "y", "media_ref": "", "offset": 0}])
+    assert ex.stats.docs == 2
+    assert ex.stats.spans_in == 2
+    assert ex.stats.html_bytes == len("<p>x</p>")
