@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the training-data
+operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names; integer arithmetic for money so
+value hashes are exact). Ray is initialised by the driver — nothing here calls
+ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,208 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# stopword list shared verbatim between the Python pipeline and the SQL oracle
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','is','are','was','were','be',"
+    "'on','for','with','as','at','by','it','this','that','from']"
+)
+
+_CENTS = "CAST(round({col}*100) AS BIGINT)"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full HTML engine over sf0.001 documents (tokenize + DOM +
+    selectors + boilerplate strip per row), plus a synthesized interleaved-
+    corpus extraction smoke. Returns the roundtrip Dataset."""
+    import ray.data
+
+    from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+    from html_parser_ray.pipelines.text_analysis import html_roundtrip_extract
+    from html_parser_ray.sources.corpus import generate_documents
+
+    # interleaved-corpus extraction smoke (the production input shape)
+    corpus = ray.data.from_arrow(generate_documents(50, seed=42))
+    extracted = build_extraction_pipeline(corpus, batch_size=16, concurrency=2)
+    assert extracted.count() == 50
+
+    return html_roundtrip_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from html_parser_ray.pipelines import dedup, relational, similarity, text_analysis
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_corpus(sf_dir: str):
+        """Flagship extraction over the deterministic interleaved corpus
+        (input_hint schema; sf_dir scales the row count)."""
+        import ray.data
+
+        from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+        from html_parser_ray.sources.corpus import generate_documents
+
+        n = 200 if "0.01" in sf_dir else 50
+        ds = ray.data.from_arrow(generate_documents(n, seed=42))
+        out = build_extraction_pipeline(ds, batch_size=32)
+        # flatten for a stable, hashable schema
+        def flatten(batch):
+            import pyarrow as pa
+
+            rows_doc, rows_k, rows_t, rows_m, rows_o = [], [], [], [], []
+            for doc_id, spans in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("spans_out").to_pylist(),
+            ):
+                for sp in spans or []:
+                    rows_doc.append(doc_id)
+                    rows_k.append(sp["kind"])
+                    rows_t.append(sp["text"])
+                    rows_m.append(sp["media_ref"])
+                    rows_o.append(sp["offset"])
+            return pa.table(
+                {
+                    "doc_id": rows_doc,
+                    "kind": rows_k,
+                    "text": rows_t,
+                    "media_ref": rows_m,
+                    "offset": pa.array(rows_o, type=pa.int32()),
+                }
+            )
+
+        return out.map_batches(flatten, batch_format="pyarrow")
+
+    return {
+        # HTML engine pinned against SQL oracles
+        "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
+        "html_li_count": lambda sf: text_analysis.html_li_count(sf),
+        # flagship interleaved extraction (rows-only check)
+        "extract_corpus": extract_corpus,
+        # relational coverage
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "part_type_stats": relational.part_type_stats,
+        "top_parts_by_price": relational.top_parts_by_price,
+        "events_hourly": relational.events_hourly,
+        "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        # text analysis
+        "doc_token_stats": text_analysis.doc_token_stats,
+        "doc_quality": text_analysis.doc_quality,
+        "langid_counts": text_analysis.langid_counts,
+        "doc_fingerprints": text_analysis.doc_fingerprints,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_dupes": dedup.ngram_jaccard_dupes,
+        "minhash_lsh_dupes": dedup.minhash_lsh_dupes,
+        "simhash_dupes": dedup.simhash_dupes,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # similarity search
+        "knn_topk": similarity.knn_topk,
+        "lsh_knn_topk": similarity.lsh_knn_topk,
+        "embedding_label_stats": similarity.embedding_label_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents_price = _CENTS.format(col="l_extendedprice")
+    cents_disc = _CENTS.format(col="l_discount")
+    return {
+        "html_roundtrip_extract": (
+            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
+        ),
+        "html_li_count": (
+            "SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS li_count "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            f"CAST(SUM({cents_price}) AS BIGINT) AS sum_base_cents, "
+            f"CAST(SUM({cents_price} * (100 - {cents_disc})) AS BIGINT) AS sum_disc_bp, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, "
+            f"CAST(SUM({cents_price} * (100 - {cents_disc})) AS BIGINT) AS revenue_bp, "
+            "CAST(COUNT(*) AS BIGINT) AS lines "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "part_type_stats": (
+            "SELECT p_type, COUNT(*) AS n_parts, MIN(p_size) AS min_size, "
+            "MAX(p_size) AS max_size, "
+            "CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+            "FROM part GROUP BY 1 ORDER BY 1"
+        ),
+        "top_parts_by_price": (
+            "SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents "
+            "FROM part ORDER BY price_cents DESC, p_partkey LIMIT 20"
+        ),
+        "events_hourly": (
+            "SELECT event_type, "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "supplier_balance_by_nation": (
+            "SELECT n_name, COUNT(*) AS n_suppliers, "
+            "CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_token_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, "
+            "CAST(SUM(len(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+            "len(list_filter(string_split(text, ' '), "
+            f"x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS n_stopwords, "
+            "len(replace(text, ' ', '')) AS sum_token_len "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "ngram_jaccard_dupes": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
+            "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS sh FROM w) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(a.sh || b.sh)) >= 0.5 "
+            "ORDER BY 1, 2"
+        ),
+        "embedding_neardup_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "
+            "ORDER BY 1, 2"
+        ),
+        "knn_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+            "r AS (SELECT query_id, neighbor_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) "
+            "AS rank FROM s) "
+            "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10 "
+            "ORDER BY query_id, rank"
+        ),
+        "embedding_label_stats": (
+            "SELECT label, COUNT(*) AS n_vecs, MAX(len(embedding)) AS dim "
+            "FROM embeddings GROUP BY 1 ORDER BY 1"
+        ),
+        # no oracle (non-SQL-expressible / approximate / engine-defined):
+        # extract_corpus, langid_counts, doc_fingerprints, minhash_lsh_dupes,
+        # simhash_dupes, lsh_knn_topk
+    }

@@ -1,0 +1,256 @@
+"""Deduplication pipelines over the ``documents`` table.
+
+Five families, each a first-class operator:
+- exact:       md5 hash -> hash-partition groupby -> keep min doc_id
+- ngram-jaccard: exact pairwise word-shingle Jaccard (broadcast shingle sets;
+                 quadratic — the *baseline*; SQL-oracle-checked)
+- minhash+LSH: shingle -> minhash -> band buckets -> candidate pairs ->
+               verified Jaccard (the scale path; near-perfect recall at high
+               thresholds, pinned by tests against the exact baseline)
+- simhash:     64-bit simhash -> banded buckets -> hamming<=k pairs
+- embedding:   cosine near-dup pairs over the embeddings table (numpy matmul
+               against a broadcast matrix)
+
+Scale notes: exact dedup shuffles only (hash, doc_id) pairs; LSH shuffles
+(bucket_key, doc_id); the quadratic baselines broadcast the full feature set
+via ``ray.put`` once and are meant for verification scale only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from html_parser_ray.functions import textfns
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Hash-partitioned exact dedup: (text_hash, keeper_doc_id, n_dupes)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text_hash": [textfns.md5_hex(t) for t in df["text"]],
+                "doc_id": df["doc_id"],
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    # per-batch partial (min, count) then tiny global combine
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", as_index=False).agg(
+            keeper_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        return g
+
+    df = hashed.map_batches(partial, batch_format="pandas").to_pandas()
+    result = df.groupby("text_hash", as_index=False).agg(
+        keeper_doc_id=("keeper_doc_id", "min"), n_docs=("n_docs", "sum")
+    )
+    return result.sort_values("text_hash").reset_index(drop=True)
+
+
+def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "shingles": [list(textfns.word_shingles(t, k)) for t in df["text"]],
+            }
+        )
+
+    out = {}
+    for row in ds.map_batches(sh, batch_format="pandas").iter_rows():
+        out[row["doc_id"]] = set(row["shingles"])
+    return out
+
+
+def ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.DataFrame:
+    """Exact pairwise shingle-Jaccard pairs >= threshold (baseline oracle op).
+
+    Broadcast pattern: the full shingle-set dict ships to the object store
+    once; each task compares its batch's docs against all higher doc_ids.
+    Quadratic by construction — verification scale only.
+    """
+    shingles = _load_shingles(sf_dir, k)
+    shingles_ref = ray.put(shingles)
+    doc_ids = sorted(shingles)
+    ds = ray.data.from_items([{"doc_id": d} for d in doc_ids])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_sh = ray.get(shingles_ref)
+        ids = sorted(all_sh)
+        rows = []
+        for a in df["doc_id"]:
+            sa = all_sh[a]
+            for b_ in ids:
+                if b_ <= a:
+                    continue
+                j = textfns.jaccard(sa, all_sh[b_])
+                if j >= threshold:
+                    rows.append({"doc_a": a, "doc_b": b_})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype(
+            {"doc_a": "int64", "doc_b": "int64"}
+        )
+
+    df = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def minhash_lsh_dupes(
+    sf_dir: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> pd.DataFrame:
+    """MinHash + LSH near-dup pairs, verified with true Jaccard.
+
+    shingle -> minhash (map_batches) -> band-bucket flat map ->
+    groupby(bucket) candidate pairs -> verify -> distinct pairs.
+    The only shuffle carries (band, bucket_hash, doc_id) triples.
+    """
+    rows_per_band = num_hashes // bands
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            s = textfns.word_shingles(text, k)
+            m = textfns.minhash_signature(s, num_hashes=num_hashes)
+            for band in range(bands):
+                chunk = m[band * rows_per_band : (band + 1) * rows_per_band]
+                bucket = hash(tuple(int(x) for x in chunk)) & 0x7FFFFFFFFFFFFFFF
+                out.append({"band": band, "bucket": bucket, "doc_id": doc_id})
+        return pd.DataFrame(out)
+
+    buckets = ds.map_batches(sig, batch_format="pandas")
+
+    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].tolist())
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append({"doc_a": ids[i], "doc_b": ids[j]})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype(
+            {"doc_a": "int64", "doc_b": "int64"}
+        )
+
+    cand = (
+        buckets.groupby(["band", "bucket"])
+        .map_groups(candidates, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
+
+    # verify candidates with true jaccard (broadcast shingle dict)
+    shingles = _load_shingles(sf_dir, k)
+    keep = [
+        (a, b)
+        for a, b in zip(cand["doc_a"], cand["doc_b"])
+        if textfns.jaccard(shingles[a], shingles[b]) >= threshold
+    ]
+    out = pd.DataFrame(keep, columns=["doc_a", "doc_b"]).astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_dupes(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs: 4x16-bit band buckets -> hamming verify."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            h = textfns.simhash64(text)
+            for band in range(4):
+                out.append(
+                    {
+                        "band": band,
+                        "bucket": (h >> (band * 16)) & 0xFFFF,
+                        "doc_id": doc_id,
+                        "simhash": h,
+                    }
+                )
+        return pd.DataFrame(out).astype({"simhash": "uint64", "bucket": "int64"})
+
+    buckets = ds.map_batches(sig, batch_format="pandas")
+
+    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = sorted(
+            zip(group["doc_id"].tolist(), group["simhash"].tolist())
+        )
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, ha = recs[i]
+                b, hb = recs[j]
+                if textfns.hamming64(int(ha), int(hb)) <= max_hamming:
+                    rows.append({"doc_a": a, "doc_b": b})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype(
+            {"doc_a": "int64", "doc_b": "int64"}
+        )
+
+    df = (
+        buckets.groupby(["band", "bucket"])
+        .map_groups(candidates, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
+    return (
+        df.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= threshold).
+
+    Numpy matmul per batch against the broadcast normalized matrix."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(norms == 0, 1, norms)
+    unit_ref = ray.put((ids, unit))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_unit = ray.get(unit_ref)
+        batch_ids = df["vec_id"].to_numpy()
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        mu = m / np.where(n == 0, 1, n)
+        sims = mu @ all_unit.T  # (batch, all)
+        rows = []
+        for bi, a in enumerate(batch_ids):
+            hit = np.where(sims[bi] >= threshold)[0]
+            for hj in hit:
+                b_ = all_ids[hj]
+                if b_ > a:
+                    rows.append({"vec_a": int(a), "vec_b": int(b_)})
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b"]).astype("int64")
+
+    df = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    if df.empty or "vec_a" not in df.columns:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

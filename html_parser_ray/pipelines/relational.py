@@ -1,0 +1,234 @@
+"""Relational pipelines over the TPC-H-ish test tables, Ray-Data-first.
+
+Patterns demonstrated (the ones that matter at 100 TB):
+- column pruning at the read (``read_parquet(columns=[...])``);
+- partial aggregation inside ``map_batches`` before a small global groupby
+  (the combiner pattern — the shuffle carries pre-aggregated rows only);
+- broadcast hash-join of small dimension tables via ``ray.put`` once + lookup
+  inside ``map_batches`` (never a shuffle for the small side);
+- hash join (``Dataset.join``) only for the genuinely big-big join;
+- integer (cents / basis-point) arithmetic for money so results are
+  bit-exact regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Exact integer cents from a 2-decimal double (values never land on .5)."""
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+
+
+def _final_groupby(partials: "ray.data.Dataset", keys: list[str], sums: list[str]):
+    """Global combine of per-batch partial aggregates (tiny shuffle)."""
+    import pandas as _pd
+
+    def combine(df: _pd.DataFrame) -> _pd.DataFrame:
+        return df.groupby(keys, as_index=False)[sums].sum()
+
+    # partials are small: single-partition pandas combine is exact and cheap
+    df = partials.to_pandas()
+    return combine(df)
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (groupby + sums)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+                "sum_base_cents": _cents(df["l_extendedprice"].to_numpy()),
+                "sum_disc_bp": _cents(df["l_extendedprice"].to_numpy())
+                * (100 - _cents(df["l_discount"].to_numpy())),
+                "count_order": 1,
+            }
+        )
+        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    result = _final_groupby(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_cents", "sum_disc_bp", "count_order"],
+    )
+    return result.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """lineitem ⋈ orders (hash join) ⋈ customer ⋈ nation (broadcast lookups)
+    -> revenue basis-point-cents per nation."""
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    # big-big: hash join on the order key
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    # small sides: broadcast once via ray.put, read inside every batch
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust_map_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
+    )
+    nation_map_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    )
+
+    def enrich_and_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cust_map = ray.get(cust_map_ref)
+        nation_map = ray.get(nation_map_ref)
+        nk = df["o_custkey"].map(cust_map)
+        names = nk.map(nation_map)
+        out = pd.DataFrame(
+            {
+                "n_name": names,
+                "revenue_bp": _cents(df["l_extendedprice"].to_numpy())
+                * (100 - _cents(df["l_discount"].to_numpy())),
+                "lines": 1,
+            }
+        )
+        return out.groupby("n_name", as_index=False).sum()
+
+    partials = joined.map_batches(enrich_and_partial, batch_format="pandas")
+    result = _final_groupby(partials, ["n_name"], ["revenue_bp", "lines"])
+    return result.sort_values("n_name").reset_index(drop=True)
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type")
+        out = pd.DataFrame(
+            {
+                "n_parts": g.size(),
+                "min_size": g["p_size"].min(),
+                "max_size": g["p_size"].max(),
+                "sum_price_cents": g["p_retailprice"].apply(
+                    lambda s: int(_cents(s.to_numpy()).sum())
+                ),
+            }
+        ).reset_index()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    df = partials.to_pandas()
+    result = df.groupby("p_type", as_index=False).agg(
+        n_parts=("n_parts", "sum"),
+        min_size=("min_size", "min"),
+        max_size=("max_size", "max"),
+        sum_price_cents=("sum_price_cents", "sum"),
+    )
+    return result.sort_values("p_type").reset_index(drop=True)
+
+
+def top_parts_by_price(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global top-k: per-batch top-k then a tiny driver-side final top-k
+    (no global sort shuffle)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+
+    def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"],
+                "price_cents": _cents(df["p_retailprice"].to_numpy()),
+            }
+        )
+        return out.sort_values(
+            ["price_cents", "p_partkey"], ascending=[False, True]
+        ).head(k)
+
+    partials = ds.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["price_cents", "p_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+                "n_events": 1,
+                "sum_value_cents": _cents(df["value"].to_numpy()),
+            }
+        )
+        return out.groupby(["event_type", "hour"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    result = _final_groupby(
+        partials, ["event_type", "hour"], ["n_events", "sum_value_cents"]
+    )
+    return result.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-join supplier -> nation, grouped account balances."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        out = pd.DataFrame(
+            {
+                "n_name": df["s_nationkey"].map(nmap),
+                "n_suppliers": 1,
+                "sum_acctbal_cents": _cents(df["s_acctbal"].to_numpy()),
+            }
+        )
+        return out.groupby("n_name", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    result = _final_groupby(partials, ["n_name"], ["n_suppliers", "sum_acctbal_cents"])
+    return result.sort_values("n_name").reset_index(drop=True)

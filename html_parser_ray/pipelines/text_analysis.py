@@ -1,0 +1,168 @@
+"""Text-analysis pipelines over the ``documents`` table (and the HTML engine
+roundtrip queries that pin the parser against a SQL oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from html_parser_ray.extract.boilerplate import extract_text_blocks
+from html_parser_ray.functions import textfns
+from html_parser_ray.html.document import parse_html
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language token/char totals (single-space token definition so the
+    SQL oracle is exact: ``len(string_split(text, ' '))``)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": 1,
+                "sum_tokens": [len(t.split(" ")) if t else 0 for t in texts],
+                "sum_chars": [len(t) for t in texts],
+            }
+        )
+        return out.groupby("lang", as_index=False).sum()
+
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    result = df.groupby("lang", as_index=False).sum()
+    return result.sort_values("lang").reset_index(drop=True)
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-document quality counters (integer features, SQL-mirrorable)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ") if text else []
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_tokens": len(toks),
+                    "n_stopwords": sum(
+                        1 for t in toks if t.lower() in textfns.STOPWORDS
+                    ),
+                    "sum_token_len": sum(len(t) for t in toks),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def langid_counts(sf_dir: str) -> pd.DataFrame:
+    """Predicted-language distribution (heuristic language ID — no SQL oracle,
+    the classifier is ours)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def predict(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"predicted_lang": [textfns.detect_language(t) for t in df["text"]], "n": 1}
+        )
+        return out.groupby("predicted_lang", as_index=False).sum()
+
+    df = ds.map_batches(predict, batch_format="pandas").to_pandas()
+    result = df.groupby("predicted_lang", as_index=False).sum()
+    return result.sort_values("predicted_lang").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Per-document rolling-hash fingerprint + BPE-ish token count (ours —
+    rows-only check)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [
+                    format(textfns.fingerprint64(t), "016x") for t in df["text"]
+                ],
+                "bpe_tokens": [textfns.bpe_token_count(t) for t in df["text"]],
+            }
+        )
+
+    df = ds.map_batches(fp, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---- HTML-engine roundtrip queries (SQL-oracle-checked parser proofs) -----
+
+_PAGE_TEMPLATE = (
+    "<html><head><title>doc</title><script>var x = 1 < 2;</script></head><body>"
+    "<header><nav><a href='/'>home</a><a href='/about'>about</a></nav></header>"
+    "<main><article><p>{text}</p></article></main>"
+    "<aside class='sidebar'><p>sidebar junk</p></aside>"
+    "<footer><p>footer junk</p></footer></body></html>"
+)
+
+
+class HtmlRoundtripExtract:
+    """Actor stage: build a boilerplate page around each document's text, run
+    the full tokenizer + DOM + boilerplate-strip, return the main text.
+
+    The SQL oracle is simply the original text — any tokenizer, selector,
+    entity or normalization bug breaks the value-hash equality.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            page = _PAGE_TEMPLATE.format(text=t)
+            doc = parse_html(page)
+            blocks = extract_text_blocks(doc)
+            out.append(b" ".join(blocks).decode("utf-8", "replace"))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "main_text": pa.array(out)}
+        )
+
+
+def html_roundtrip_extract(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        HtmlRoundtripExtract, batch_format="pyarrow", concurrency=4
+    )
+
+
+class HtmlLiCount:
+    """Actor stage: synthesize a list page per row (#items = doc_id % 7 + 1),
+    parse it and count ``ul > li`` matches with the selector engine."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        counts = []
+        for d in doc_ids:
+            n = int(d) % 7 + 1
+            html = "<ul>" + "".join(f"<li>item {k}</li>" for k in range(n)) + "</ul>"
+            doc = parse_html(html)
+            counts.append(len(doc.query_all("ul > li")))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "li_count": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def html_li_count(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(HtmlLiCount, batch_format="pyarrow", concurrency=4)
