@@ -1,0 +1,237 @@
+"""Benchmark harness. Prints ONE JSON line with headline throughput.
+
+Usage:
+    python bench.py              # full bench at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes; reports scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+The headline metric is end-to-end extraction throughput (docs/s and HTML MB/s)
+over the deterministic interleaved corpus (input_hint schema, seed 42, giant-
+doc tail included) — the BASELINE.json metric — plus per-query wall times for
+the representative relational / dedup / similarity pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus scale for the headline extraction job: sized so the job runs tens of
+# seconds at 32 cpus (same input at every parallelism level — seed fixed)
+CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "30000"))
+CORPUS_GIANT_EVERY = 2500
+
+
+def _corpus_path() -> str:
+    return f"/tmp/graft_bench_corpus_{CORPUS_DOCS}_{CORPUS_GIANT_EVERY}"
+
+
+def ensure_corpus() -> str:
+    """Materialize the bench corpus once (deterministic, reused across runs)."""
+    path = _corpus_path()
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from html_parser_ray.sources.corpus import write_corpus_parquet
+
+        write_corpus_parquet(
+            path,
+            CORPUS_DOCS,
+            seed=42,
+            rows_per_file=2000,
+            giant_doc_every=CORPUS_GIANT_EVERY,
+            giant_doc_html_bytes=2_000_000,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def corpus_html_bytes(path: str) -> int:
+    """Total HTML payload bytes in the bench corpus (from a cached count)."""
+    cache = os.path.join(path, "_HTML_BYTES")
+    if os.path.exists(cache):
+        return int(open(cache).read())
+    import pyarrow.dataset as pads
+
+    total = 0
+    for batch in pads.dataset(path, format="parquet").to_batches(columns=["spans"]):
+        for spans in batch.column("spans").to_pylist():
+            for sp in spans or []:
+                if sp["kind"] == "html":
+                    total += len(sp["text"] or "")
+    with open(cache, "w") as f:
+        f.write(str(total))
+    return total
+
+
+def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dict:
+    """Time the extraction job. ``extract_slots`` fixes the actor-pool size
+    (the scaling bench holds the +2 CPU read/driver reserve constant so the
+    N-vs-4N comparison varies ONLY the extraction parallelism)."""
+    import ray
+    import ray.data
+
+    path = ensure_corpus()
+    html_bytes = corpus_html_bytes(path)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+
+    if extract_slots is None:
+        extract_slots = max(2, num_cpus - 2)
+
+    ds = ray.data.read_parquet(path)
+    t0 = time.perf_counter()
+    out = build_extraction_pipeline(
+        ds, batch_size=32, concurrency=extract_slots
+    )
+    n_docs = 0
+    n_spans = 0
+    # consume as a stream (no driver materialization of payloads)
+    for batch in out.iter_batches(batch_format="pyarrow", batch_size=1024):
+        n_docs += batch.num_rows
+        import pyarrow.compute as pc
+
+        n_spans += pc.sum(pc.list_value_length(batch.column("spans_out"))).as_py() or 0
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": wall,
+        "docs": n_docs,
+        "spans_out": n_spans,
+        "html_mb": html_bytes / 1e6,
+        "docs_per_s": n_docs / wall,
+        "mb_per_s": html_bytes / 1e6 / wall,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_query_bench() -> dict:
+    """Per-query wall times for representative pipelines at SF_DIR."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    chosen = [
+        "html_roundtrip_extract",
+        "html_li_count",
+        "q1_pricing_summary",
+        "revenue_by_nation",
+        "events_hourly",
+        "exact_dedup",
+        "minhash_lsh_dupes",
+        "simhash_dupes",
+        "knn_topk",
+        "doc_token_stats",
+    ]
+    times = {}
+    for name in chosen:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        result = fn(SF_DIR)
+        # force execution for lazy Datasets
+        try:
+            import ray.data
+
+            if isinstance(result, ray.data.Dataset):
+                result.count()
+        except ImportError:
+            pass
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main_single(num_cpus: int, with_queries: bool = True) -> dict:
+    import ray
+
+    extraction = run_extraction_bench(num_cpus)
+    queries = run_query_bench() if with_queries else {}
+    ray.shutdown()
+    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+    return {
+        "metric": "end-to-end extraction docs/s (and HTML MB/s) on the "
+        "interleaved corpus; per-query wall seconds",
+        "value": round(extraction["wall_s"] + sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "extraction": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in extraction.items()
+        },
+    }
+
+
+# Scaling levels: N and 4N extraction slots. The sandbox "32 CPUs" are
+# oversubscribed vCPUs (~12-19 effective parallel units measured via a
+# multiprocessing burn test), so N=2 vs 4N=8 keeps BOTH levels inside real
+# hardware capacity — the cluster analog is N vs 4N nodes. Each level gets the
+# same constant +2 CPUs for read/driver work so only extraction parallelism
+# varies.
+SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))
+
+
+def main_scaling() -> dict:
+    """Run the identical extraction job at N and 4N extraction slots in fresh
+    processes on byte-identical input; report throughput at both plus
+    efficiency = (T_N / T_4N) / 4."""
+    results = {}
+    for slots in (SCALING_N, SCALING_N * 4):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--single-extraction",
+                str(slots),
+            ],
+            capture_output=True,
+            text=True,
+            env={**os.environ},
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scaling child failed: {proc.stderr[-2000:]}")
+        results[slots] = json.loads(lines[-1])
+    n, n4 = SCALING_N, SCALING_N * 4
+    t_small = results[n]["extraction"]["wall_s"]
+    t_large = results[n4]["extraction"]["wall_s"]
+    efficiency = (t_small / t_large) / 4
+    return {
+        "metric": f"extraction throughput scaling efficiency ({n} -> {n4} workers)",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"extract_{n}w_s": round(t_small, 3),
+            f"extract_{n4}w_s": round(t_large, 3),
+            f"docs_per_s_{n}w": round(results[n]["extraction"]["docs_per_s"], 1),
+            f"docs_per_s_{n4}w": round(results[n4]["extraction"]["docs_per_s"], 1),
+            f"mb_per_s_{n}w": round(results[n]["extraction"]["mb_per_s"], 2),
+            f"mb_per_s_{n4}w": round(results[n4]["extraction"]["mb_per_s"], 2),
+        },
+        "sf": 0.1 if "0.1" in SF_DIR else 0.01,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    elif "--single-extraction" in sys.argv:
+        slots = int(sys.argv[sys.argv.index("--single-extraction") + 1])
+        import ray
+
+        extraction = run_extraction_bench(slots + 2, extract_slots=slots)
+        ray.shutdown()
+        print(json.dumps({"extraction": extraction}))
+    else:
+        print(json.dumps(main_single(NUM_CPUS)))

@@ -26,6 +26,9 @@ from html_parser_ray.html.tokenizer import (
 )
 
 
+_EMPTY_ATTRS: dict = {}
+
+
 class Document:
     """Parsed HTML document over immutable source bytes."""
 
@@ -61,9 +64,11 @@ class Document:
         ref: src/selector/matcher.zig:446-543)."""
         cached = self._attr_cache.get(index)
         if cached is None:
-            cached = attrs_mod.collect_attrs(
-                self.source, self.name_end[index], self.attr_end[index]
-            )
+            start, end = self.name_end[index], self.attr_end[index]
+            if end <= start:
+                cached = _EMPTY_ATTRS
+            else:
+                cached = attrs_mod.collect_attrs(self.source, start, end)
             self._attr_cache[index] = cached
         return cached
 

@@ -1,0 +1,178 @@
+"""Checkpoint manifest + resumable partitioned output.
+
+Layout under ``output_root``:
+
+    part=<k>/...parquet        one directory per deterministic partition
+                               (written by workers via write_parquet)
+    _manifest/part-<k>.json    lineage record committed AFTER the partition's
+                               data lands (write-then-commit ordering)
+
+Partition id = stable md5 hash of ``doc_id`` mod ``num_partitions`` (never
+Python's seeded ``hash``). Work proceeds in *waves* of partitions: each wave
+filters the input to its partitions (at 100 TB this filter is a predicate
+pushdown on a precomputed partition column in Lance; here a cheap vectorized
+``map_batches`` filter), extracts, writes partitioned parquet from the
+workers (no driver materialization), then commits one manifest record per
+finished partition. A crash loses at most the current wave; a resumed run
+skips every committed partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ENGINE_VERSION = "html_parser_ray-0.1.0"
+
+
+def partition_of(doc_id: str, num_partitions: int) -> int:
+    h = hashlib.md5(doc_id.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") % num_partitions
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifest")
+
+
+def completed_partitions(output_root: str) -> set[int]:
+    mdir = _manifest_dir(output_root)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            out.add(int(name[5:-5]))
+    return out
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    parts = [
+        partition_of(d, num_partitions)
+        for d in batch.column("doc_id").to_pylist()
+    ]
+    return batch.append_column("_part", pa.array(parts, type=pa.int32()))
+
+
+def _commit_manifest(output_root: str, part: int, record: dict) -> None:
+    mdir = _manifest_dir(output_root)
+    tmp = os.path.join(mdir, f".part-{part}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, os.path.join(mdir, f"part-{part}.json"))
+
+
+def run_resumable_extraction(
+    input_path: str,
+    output_root: str,
+    num_partitions: int = 16,
+    wave_size: int = 8,
+    **pipeline_kwargs,
+) -> dict:
+    """Wave-checkpointed extraction; safe to re-run after a crash."""
+    import ray.data
+
+    from html_parser_ray.pipelines.extraction import (
+        build_extraction_pipeline,
+        read_corpus,
+    )
+
+    os.makedirs(_manifest_dir(output_root), exist_ok=True)
+    done = completed_partitions(output_root)
+    todo = [p for p in range(num_partitions) if p not in done]
+
+    total_rows = 0
+    waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
+    for wave in waves:
+        t0 = time.perf_counter()
+        # a crashed previous run may have left partial data for uncommitted
+        # partitions — clear them so the re-run cannot duplicate rows
+        for p in wave:
+            stale = os.path.join(output_root, f"_part={p}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        wave_arr = pa.array(wave, type=pa.int32())
+
+        def keep_wave(batch: pa.Table) -> pa.Table:
+            tagged = add_partition_column(batch, num_partitions)
+            return tagged.filter(pc.is_in(tagged.column("_part"), wave_arr))
+
+        ds = read_corpus(input_path).map_batches(keep_wave, batch_format="pyarrow")
+        extracted = build_extraction_pipeline(
+            ds.drop_columns(["_part"]), **pipeline_kwargs
+        )
+
+        def retag(batch: pa.Table) -> pa.Table:
+            return add_partition_column(batch, num_partitions)
+
+        tagged_out = extracted.map_batches(retag, batch_format="pyarrow")
+        # workers write partitioned parquet directly (no driver buffering)
+        tagged_out.write_parquet(output_root, partition_cols=["_part"])
+
+        wall = round(time.perf_counter() - t0, 3)
+        # commit manifests from the written files' own stats (one cheap read
+        # per freshly-written partition directory)
+        for p in wave:
+            pdir = os.path.join(output_root, f"_part={p}")
+            rows = 0
+            spans = 0
+            if os.path.isdir(pdir):
+                out_ds = ray.data.read_parquet(pdir)
+                for batch in out_ds.iter_batches(
+                    batch_format="pyarrow", batch_size=4096
+                ):
+                    rows += batch.num_rows
+                    spans += int(
+                        pc.sum(pc.list_value_length(batch.column("spans_out"))).as_py()
+                        or 0
+                    )
+            _commit_manifest(
+                output_root,
+                p,
+                {
+                    "partition_id": p,
+                    "row_count": rows,
+                    "span_count": spans,
+                    "wave_wall_s": wall,
+                    "engine_version": ENGINE_VERSION,
+                },
+            )
+            total_rows += rows
+
+    return {
+        "partitions_done": len(todo),
+        "partitions_skipped": len(done),
+        "rows": total_rows,
+    }
+
+
+def read_extraction_output(output_root: str):
+    """Read back all committed partitions as one Dataset."""
+    import ray.data
+
+    done = completed_partitions(output_root)
+    datasets = [
+        ray.data.read_parquet(os.path.join(output_root, f"_part={p}"))
+        for p in sorted(done)
+        if os.path.isdir(os.path.join(output_root, f"_part={p}"))
+    ]
+    if not datasets:
+        raise FileNotFoundError(f"no committed partitions under {output_root}")
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    return ds
+
+
+def manifest_records(output_root: str) -> list[dict]:
+    mdir = _manifest_dir(output_root)
+    out = []
+    for p in sorted(completed_partitions(output_root)):
+        with open(os.path.join(mdir, f"part-{p}.json")) as f:
+            out.append(json.load(f))
+    return out

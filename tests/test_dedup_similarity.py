@@ -1,0 +1,190 @@
+"""Dedup + similarity pipeline tests on a crafted corpus with known dupes.
+
+LSH variants are pinned against the exact baselines (recall), not just run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from html_parser_ray.functions import textfns
+
+
+def test_shingles_and_jaccard():
+    a = textfns.word_shingles("a b c d e", 3)
+    assert a == {"a b c", "b c d", "c d e"}
+    b = textfns.word_shingles("a b c d x", 3)
+    assert textfns.jaccard(a, a) == 1.0
+    assert 0 < textfns.jaccard(a, b) < 1
+    assert textfns.word_shingles("a b", 3) == {"a b"}
+    assert textfns.word_shingles("", 3) == set()
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(200)]
+    a = set(words[:150])
+    b = set(words[50:])  # jaccard = 100/200 = 0.5
+    sa = textfns.minhash_signature(a, num_hashes=256)
+    sb = textfns.minhash_signature(b, num_hashes=256)
+    est = float((sa == sb).mean())
+    assert abs(est - 0.5) < 0.12
+
+
+def test_minhash_deterministic():
+    s = {"x y z", "y z w"}
+    assert (textfns.minhash_signature(s) == textfns.minhash_signature(s)).all()
+
+
+def test_simhash_similar_texts_close():
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = t1.replace("lazy", "sleepy")
+    t3 = "completely different words entirely unrelated content here now"
+    h1, h2, h3 = (textfns.simhash64(t) for t in (t1, t2, t3))
+    assert textfns.hamming64(h1, h2) < textfns.hamming64(h1, h3)
+    assert textfns.simhash64("") == 0
+
+
+def test_fingerprint_and_md5():
+    assert textfns.fingerprint64("abc") != textfns.fingerprint64("abd")
+    assert textfns.md5_hex("abc") == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_langid_heuristic():
+    assert textfns.detect_language("the cat and the dog in the house") == "en"
+    assert textfns.detect_language("le chat et la maison dans les rues") == "fr"
+    assert textfns.detect_language("der Hund und die Katze ist ein Tier") == "de"
+    assert textfns.detect_language("el perro y la casa es una cosa para") == "es"
+    assert textfns.detect_language("这是一个中文句子这是一个中文句子") == "zh"
+    assert textfns.detect_language("") == "unknown"
+
+
+def test_quality_features():
+    f = textfns.quality_features("The cat, and a dog!")
+    assert f["n_tokens"] == 5
+    assert f["n_stopwords"] == 3  # the, and, a
+    assert f["n_punct"] == 2
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """documents.parquet-shaped table with planted near-duplicates."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = []
+    for i in range(30):
+        words = base.split()
+        rng = np.random.RandomState(i)
+        # unique filler
+        extra = [f"unique{i}_{j}" for j in range(20)]
+        rows.append({"doc_id": i, "text": " ".join(words + extra)})
+    # planted near-dupes: 100/101 near-identical, 102 exact dupe of 100
+    ndup = " ".join(f"common{j}" for j in range(60))
+    rows.append({"doc_id": 100, "text": ndup})
+    rows.append({"doc_id": 101, "text": ndup + " tail"})
+    rows.append({"doc_id": 102, "text": ndup})
+    df = pd.DataFrame(rows)
+    d = tmp_path_factory.mktemp("dup")
+    df.assign(
+        lang="en", source="syn", n_chars=df["text"].str.len()
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_finds_exact_dupes(dup_corpus):
+    from html_parser_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(dup_corpus)
+    dupes = out[out["n_docs"] > 1]
+    assert len(dupes) == 1
+    assert dupes.iloc[0]["keeper_doc_id"] == 100
+    assert dupes.iloc[0]["n_docs"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_recall_matches_exact_jaccard(dup_corpus):
+    from html_parser_ray.pipelines.dedup import minhash_lsh_dupes, ngram_jaccard_dupes
+
+    exact = ngram_jaccard_dupes(dup_corpus, threshold=0.8)
+    lsh = minhash_lsh_dupes(dup_corpus, threshold=0.8)
+    exact_pairs = set(map(tuple, exact.values.tolist()))
+    lsh_pairs = set(map(tuple, lsh.values.tolist()))
+    assert (100, 101) in exact_pairs
+    assert (100, 102) in exact_pairs
+    # LSH with 32 bands at 0.8 threshold must find all true pairs here
+    assert lsh_pairs == exact_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_finds_planted_dupes(dup_corpus):
+    from html_parser_ray.pipelines.dedup import simhash_dupes
+
+    out = simhash_dupes(dup_corpus, max_hamming=6)
+    pairs = set(map(tuple, out.values.tolist()))
+    assert (100, 102) in pairs  # identical text -> identical simhash
+    assert (100, 101) in pairs  # near-identical
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # make 30/31 near-identical
+    base[31] = base[30] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [list(map(float, v)) for v in base],
+            "label": np.arange(40) % 4,
+        }
+    )
+    d = tmp_path_factory.mktemp("emb")
+    df.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup(emb_dir):
+    from html_parser_ray.pipelines.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(emb_dir, threshold=0.99)
+    assert (30, 31) in set(map(tuple, out.values.tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_vs_bruteforce_numpy(emb_dir):
+    from html_parser_ray.pipelines.similarity import knn_topk
+
+    out = knn_topk(emb_dir, num_queries=3, k=5)
+    # oracle: plain numpy
+    df = pd.read_parquet(f"{emb_dir}/embeddings.parquet")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(3):
+        sims = unit @ unit[q]
+        sims[q] = -2
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == list(order), q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_knn_high_recall(emb_dir):
+    from html_parser_ray.pipelines.similarity import knn_topk, lsh_knn_topk
+
+    exact = knn_topk(emb_dir, num_queries=3, k=5)
+    approx = lsh_knn_topk(emb_dir, num_queries=3, k=5, num_planes=4)
+    # multi-probe with 4 planes on 40 vecs: candidates cover most of the space
+    inter = 0
+    total = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        inter += len(e & a)
+        total += len(e)
+    assert inter / total >= 0.6
