@@ -26,8 +26,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # corpus scale for the headline extraction job: sized so the job runs tens of
 # seconds at 32 cpus (same input at every parallelism level — seed fixed)
-CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "30000"))
-CORPUS_GIANT_EVERY = 2500
+CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+CORPUS_GIANT_EVERY = 10000
 
 
 def _corpus_path() -> str:
@@ -45,9 +45,9 @@ def ensure_corpus() -> str:
             path,
             CORPUS_DOCS,
             seed=42,
-            rows_per_file=2000,
+            rows_per_file=4000,
             giant_doc_every=CORPUS_GIANT_EVERY,
-            giant_doc_html_bytes=2_000_000,
+            giant_doc_html_bytes=1_000_000,
         )
         with open(marker, "w") as f:
             f.write("ok")
@@ -93,16 +93,32 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     ds = ray.data.read_parquet(path)
     t0 = time.perf_counter()
     out = build_extraction_pipeline(
-        ds, batch_size=32, concurrency=extract_slots
+        ds, batch_size=64, concurrency=extract_slots
     )
-    n_docs = 0
-    n_spans = 0
-    # consume as a stream (no driver materialization of payloads)
-    for batch in out.iter_batches(batch_format="pyarrow", batch_size=1024):
-        n_docs += batch.num_rows
+    # reduce each output batch to counts inside the workers so the driver
+    # never pulls span payloads through the object store
+    def counts_only(batch):
+        import pyarrow as pa
         import pyarrow.compute as pc
 
-        n_spans += pc.sum(pc.list_value_length(batch.column("spans_out"))).as_py() or 0
+        return pa.table(
+            {
+                "docs": pa.array([batch.num_rows], type=pa.int64()),
+                "spans": pa.array(
+                    [pc.sum(pc.list_value_length(batch.column("spans_out"))).as_py() or 0],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    reduced = out.map_batches(counts_only, batch_format="pyarrow")
+    n_docs = 0
+    n_spans = 0
+    for batch in reduced.iter_batches(batch_format="pyarrow", batch_size=4096):
+        import pyarrow.compute as pc
+
+        n_docs += pc.sum(batch.column("docs")).as_py() or 0
+        n_spans += pc.sum(batch.column("spans")).as_py() or 0
     wall = time.perf_counter() - t0
     return {
         "wall_s": wall,

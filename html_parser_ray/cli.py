@@ -1,0 +1,78 @@
+"""CLI entry point for cluster runs (``ray job submit -- python -m
+html_parser_ray.cli extract ...``).
+
+Owns its Ray session (guarded init — the only places allowed to init are this
+CLI, bench.py and the pytest fixture).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="html_parser_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_extract = sub.add_parser("extract", help="run the extraction pipeline")
+    p_extract.add_argument("--input", required=True, help="corpus path (parquet/lance dir)")
+    p_extract.add_argument("--output", required=True, help="output root")
+    p_extract.add_argument("--format", default="parquet", choices=["parquet", "lance"])
+    p_extract.add_argument("--num-partitions", type=int, default=64)
+    p_extract.add_argument("--wave-size", type=int, default=16)
+    p_extract.add_argument("--batch-size", type=int, default=64)
+    p_extract.add_argument("--split-giant-docs", action="store_true")
+    p_extract.add_argument("--no-resume", action="store_true",
+                           help="ignore existing manifest (reprocess everything)")
+
+    p_gen = sub.add_parser("generate-corpus", help="write a synthetic corpus")
+    p_gen.add_argument("--output", required=True)
+    p_gen.add_argument("--num-docs", type=int, default=10000)
+    p_gen.add_argument("--seed", type=int, default=42)
+    p_gen.add_argument("--giant-doc-every", type=int, default=0)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "generate-corpus":
+        from html_parser_ray.sources.corpus import write_corpus_parquet
+
+        write_corpus_parquet(
+            args.output,
+            args.num_docs,
+            seed=args.seed,
+            giant_doc_every=args.giant_doc_every,
+        )
+        print(json.dumps({"written": args.num_docs, "path": args.output}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    try:
+        if args.cmd == "extract":
+            import shutil
+
+            from html_parser_ray.state.checkpoint import run_resumable_extraction
+
+            if args.no_resume:
+                shutil.rmtree(args.output, ignore_errors=True)
+            summary = run_resumable_extraction(
+                args.input,
+                args.output,
+                num_partitions=args.num_partitions,
+                wave_size=args.wave_size,
+                batch_size=args.batch_size,
+                split_giant_docs=args.split_giant_docs,
+            )
+            print(json.dumps(summary))
+            return 0
+        return 1
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
