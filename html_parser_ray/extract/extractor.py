@@ -51,23 +51,30 @@ class SpanExtractor:
         self.drop_whitespace_text = drop_whitespace_text
         self.stats = ExtractStats()
 
-    def extract_document(self, spans: list[dict]) -> list[dict]:
-        """Ordered output span list for one document's input span list."""
-        out: list[dict] = []
+    def extract_columns(
+        self, kinds: list[str], texts: list[str], media_refs: list[str]
+    ) -> tuple[list[str], list[str], list[str], list[int]]:
+        """Columnar fast path: one document's parallel input span columns in,
+        parallel output columns (kind, text, media_ref, offset) out. This is
+        what the Arrow batch stage calls — no per-span dicts on the hot path.
+        """
         st = self.stats
         st.docs += 1
-        for span in spans:
-            st.spans_in += 1
-            kind = span["kind"]
+        st.spans_in += len(kinds)
+        o_kind: list[str] = []
+        o_text: list[str] = []
+        o_media: list[str] = []
+        for kind, text, media_ref in zip(kinds, texts, media_refs):
             if kind == "text":
-                text = span.get("text") or ""
-                norm = normalize_bytes(text.encode("utf-8")).decode("utf-8", "replace")
+                norm = normalize_bytes((text or "").encode("utf-8")).decode(
+                    "utf-8", "replace"
+                )
                 if norm:
-                    out.append(
-                        {"kind": "text", "text": norm, "media_ref": "", "offset": len(out)}
-                    )
+                    o_kind.append("text")
+                    o_text.append(norm)
+                    o_media.append("")
             elif kind == "html":
-                raw = span.get("text") or ""
+                raw = text or ""
                 st.html_bytes += len(raw)
                 try:
                     doc = parse_html(raw, self.drop_whitespace_text)
@@ -76,25 +83,29 @@ class SpanExtractor:
                     st.parse_errors += 1
                     blocks = []
                 for blk in blocks:
-                    out.append(
-                        {
-                            "kind": "text",
-                            "text": blk.decode("utf-8", "replace"),
-                            "media_ref": "",
-                            "offset": len(out),
-                        }
-                    )
+                    o_kind.append("text")
+                    o_text.append(blk.decode("utf-8", "replace"))
+                    o_media.append("")
             elif kind == "media":
-                ref = span.get("media_ref") or ""
+                ref = media_ref or ""
                 meta = self.layout.parse(ref)
-                out.append(
-                    {
-                        "kind": "media",
-                        "text": json.dumps(meta, sort_keys=True),
-                        "media_ref": ref,
-                        "offset": len(out),
-                    }
-                )
+                o_kind.append("media")
+                o_text.append(json.dumps(meta, sort_keys=True))
+                o_media.append(ref)
             # unknown kinds are dropped deterministically
-        st.spans_out += len(out)
-        return out
+        st.spans_out += len(o_kind)
+        return o_kind, o_text, o_media, list(range(len(o_kind)))
+
+    def extract_document(self, spans: list[dict]) -> list[dict]:
+        """Ordered output span list for one document's input span list
+        (row-oriented convenience wrapper over the columnar path)."""
+        spans = spans or []
+        k, t, m, o = self.extract_columns(
+            [s["kind"] for s in spans],
+            [s.get("text") or "" for s in spans],
+            [s.get("media_ref") or "" for s in spans],
+        )
+        return [
+            {"kind": kk, "text": tt, "media_ref": mm, "offset": oo}
+            for kk, tt, mm, oo in zip(k, t, m, o)
+        ]

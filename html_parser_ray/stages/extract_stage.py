@@ -61,29 +61,61 @@ class ExtractSpansBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id")
-        spans_col = batch.column("spans").to_pylist()
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        # columnar access: flatten the list<struct> once, slice per row by
+        # offsets — avoids per-span dict materialization (to_pylist)
+        flat = spans_col.flatten()
+        in_kinds = flat.field("kind").to_pylist()
+        in_texts = flat.field("text").to_pylist()
+        in_media = flat.field("media_ref").to_pylist()
+        offsets = spans_col.offsets.to_pylist()
+        base = offsets[0]
+
         ex = self.extractor
-        out_spans: list[list[dict]] = []
+        o_kind: list[str] = []
+        o_text: list[str] = []
+        o_media: list[str] = []
+        o_off: list[int] = []
+        out_offsets = [0]
         metrics: list[dict] = []
-        for spans in spans_col:
+        for ri in range(len(spans_col)):
+            lo, hi = offsets[ri] - base, offsets[ri + 1] - base
             before_in = ex.stats.spans_in
             before_err = ex.stats.parse_errors
             before_bytes = ex.stats.html_bytes
-            result = ex.extract_document(spans or [])
-            out_spans.append(result)
+            k, t, m, o = ex.extract_columns(
+                in_kinds[lo:hi], in_texts[lo:hi], in_media[lo:hi]
+            )
+            o_kind.extend(k)
+            o_text.extend(t)
+            o_media.extend(m)
+            o_off.extend(o)
+            out_offsets.append(len(o_kind))
             if self.emit_metrics:
                 metrics.append(
                     {
                         "spans_in": ex.stats.spans_in - before_in,
-                        "spans_out": len(result),
+                        "spans_out": len(k),
                         "html_bytes": ex.stats.html_bytes - before_bytes,
                         "parse_errors": ex.stats.parse_errors - before_err,
                     }
                 )
-        cols = {
-            "doc_id": doc_ids,
-            "spans_out": pa.array(out_spans, type=pa.list_(SPAN_STRUCT)),
-        }
+
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(o_kind, type=pa.string()),
+                pa.array(o_text, type=pa.string()),
+                pa.array(o_media, type=pa.string()),
+                pa.array(o_off, type=pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int32()), struct_arr
+        )
+        cols = {"doc_id": doc_ids, "spans_out": spans_out}
         if self.emit_metrics:
             cols["metrics"] = pa.array(metrics, type=METRICS_STRUCT)
         return pa.table(cols)
