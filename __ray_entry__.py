@@ -42,6 +42,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from html_parser_ray.pipelines import dedup, relational, similarity, text_analysis
+    from html_parser_ray.pipelines.sessionize import events_sessionize as _sessionize
 
     def extract_corpus(sf_dir: str):
         """Flagship extraction over the deterministic interleaved corpus
@@ -109,6 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": similarity.knn_topk,
         "lsh_knn_topk": similarity.lsh_knn_topk,
         "embedding_label_stats": similarity.embedding_label_stats,
+        # windowed / filter / link ops
+        "events_sessionize": _sessionize,
+        "quality_filter": text_analysis.quality_filter,
+        "html_link_extract": text_analysis.html_link_extract,
     }
 
 
@@ -213,6 +218,23 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": (
             "SELECT label, COUNT(*) AS n_vecs, MAX(len(embedding)) AS dim "
             "FROM embeddings GROUP BY 1 ORDER BY 1"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND ts - prev > "
+            "INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM o GROUP BY user_id ORDER BY user_id"
+        ),
+        "quality_filter": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 40 ORDER BY doc_id"
+        ),
+        "html_link_extract": (
+            "SELECT doc_id, '/ref/' || doc_id AS internal_href, "
+            "'https://ex.com/' || doc_id AS external_href "
+            "FROM documents ORDER BY doc_id"
         ),
         # no oracle (non-SQL-expressible / approximate / engine-defined):
         # extract_corpus, langid_counts, doc_fingerprints, minhash_lsh_dupes,

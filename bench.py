@@ -88,7 +88,11 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
-        extract_slots = max(2, num_cpus - 2)
+        # cap at the measured effective parallelism of this host: beyond ~12
+        # concurrent actors the sandbox's vCPUs oversubscribe and throughput
+        # REGRESSES (20.8s at 30 actors vs 7.2s at 8 on the same corpus)
+        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "12"))
+        extract_slots = max(2, min(num_cpus - 2, max_slots))
 
     import pyarrow.compute as pc
 

@@ -139,22 +139,36 @@ def minhash_lsh_dupes(
 
     buckets = ds.map_batches(sig, batch_format="pandas")
 
-    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+    # find hot buckets with a native distributed count (NOT map_groups over
+    # every bucket — with B bands x D docs buckets, per-group python-function
+    # dispatch dominated wall time; the count aggregate shuffles the same
+    # triples once and is pure Arrow)
+    counts = buckets.groupby(["band", "bucket"]).count()
+    hot = counts.filter(lambda row: row["count()"] > 1).to_pandas()
+    if hot.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+    hot_keys = set(zip(hot["band"].tolist(), hot["bucket"].tolist()))
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(hot_ref)
+        mask = [
+            (band, bucket) in keys
+            for band, bucket in zip(df["band"], df["bucket"])
+        ]
+        return df[mask]
+
+    # hot-bucket triples are a tiny fraction; pair them up per bucket
+    hot_triples = buckets.map_batches(keep_hot, batch_format="pandas").to_pandas()
+    pairs: set[tuple[int, int]] = set()
+    for (_, _), group in hot_triples.groupby(["band", "bucket"]):
         ids = sorted(group["doc_id"].tolist())
-        rows = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                rows.append({"doc_a": ids[i], "doc_b": ids[j]})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype(
-            {"doc_a": "int64", "doc_b": "int64"}
-        )
-
-    cand = (
-        buckets.groupby(["band", "bucket"])
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+                pairs.add((ids[i], ids[j]))
+    cand = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
     if cand.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
 
@@ -192,31 +206,38 @@ def simhash_dupes(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     buckets = ds.map_batches(sig, batch_format="pandas")
 
-    def candidates(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        recs = sorted(
-            zip(group["doc_id"].tolist(), group["simhash"].tolist())
+    # same hot-bucket pattern as minhash LSH: native count, filter to buckets
+    # with >1 member, pair + hamming-verify only those
+    counts = buckets.groupby(["band", "bucket"]).count()
+    hot = counts.filter(lambda row: row["count()"] > 1).to_pandas()
+    if hot.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
         )
+    hot_keys = set(zip(hot["band"].tolist(), hot["bucket"].tolist()))
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(hot_ref)
+        mask = [
+            (band, bucket) in keys
+            for band, bucket in zip(df["band"], df["bucket"])
+        ]
+        return df[mask]
+
+    hot_triples = buckets.map_batches(keep_hot, batch_format="pandas").to_pandas()
+    pairs: set[tuple[int, int]] = set()
+    for (_, _), group in hot_triples.groupby(["band", "bucket"]):
+        recs = sorted(zip(group["doc_id"].tolist(), group["simhash"].tolist()))
         for i in range(len(recs)):
             for j in range(i + 1, len(recs)):
                 a, ha = recs[i]
                 b, hb = recs[j]
-                if textfns.hamming64(int(ha), int(hb)) <= max_hamming:
-                    rows.append({"doc_a": a, "doc_b": b})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype(
-            {"doc_a": "int64", "doc_b": "int64"}
-        )
-
-    df = (
-        buckets.groupby(["band", "bucket"])
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-    )
-    if df.empty:
+                if (a, b) not in pairs and textfns.hamming64(int(ha), int(hb)) <= max_hamming:
+                    pairs.add((a, b))
+    if not pairs:
         return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
-    return (
-        df.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    )
+    return pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:

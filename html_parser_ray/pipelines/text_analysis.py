@@ -166,3 +166,78 @@ class HtmlLiCount:
 def html_li_count(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return ds.map_batches(HtmlLiCount, batch_format="pyarrow", concurrency=4)
+
+
+def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
+    """Quality-threshold filtering (the Dataset.filter surface): keep docs
+    with at least ``min_tokens`` single-space tokens."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [len(t.split(" ")) if t else 0 for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(toks, type=pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    return scored.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_tokens"), min_tokens)),
+        batch_format="pyarrow",
+    )
+
+
+_LINK_TEMPLATE = (
+    "<html><body><main><article><p>{text}</p>"
+    "<p>see <a href='/ref/{doc_id}' class='internal'>here</a> and "
+    "<a href='https://ex.com/{doc_id}' class='external'>there</a></p>"
+    "</article></main></body></html>"
+)
+
+
+class HtmlLinkExtract:
+    """Actor stage: synthesize a page with two known links per doc, parse it
+    and pull hrefs with the selector engine + attribute decoder
+    (``a[href]`` matches, class-filtered)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from html_parser_ray.html.document import parse_html as _parse
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        internal = []
+        external = []
+        for d, t in zip(doc_ids, texts):
+            page = _LINK_TEMPLATE.format(text=t, doc_id=d)
+            doc = _parse(page)
+            ints = [
+                (doc.get_attr(i, b"href") or b"").decode()
+                for i in doc.query_all("a.internal[href]")
+            ]
+            exts = [
+                (doc.get_attr(i, b"href") or b"").decode()
+                for i in doc.query_all("a[href^=https]")
+            ]
+            internal.append(ints[0] if ints else "")
+            external.append(exts[0] if exts else "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "internal_href": pa.array(internal),
+                "external_href": pa.array(external),
+            }
+        )
+
+
+def html_link_extract(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(HtmlLinkExtract, batch_format="pyarrow", concurrency=4)
