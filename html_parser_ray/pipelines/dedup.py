@@ -70,10 +70,8 @@ def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
             }
         )
 
-    out = {}
-    for row in ds.map_batches(sh, batch_format="pandas").iter_rows():
-        out[row["doc_id"]] = set(row["shingles"])
-    return out
+    df = ds.map_batches(sh, batch_format="pandas").to_pandas()
+    return {d: set(s) for d, s in zip(df["doc_id"], df["shingles"])}
 
 
 def ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.DataFrame:
@@ -137,14 +135,27 @@ def minhash_lsh_dupes(
                 out.append({"band": band, "bucket": bucket, "doc_id": doc_id})
         return pd.DataFrame(out)
 
-    buckets = ds.map_batches(sig, batch_format="pandas")
+    # materialize once: both the hot-bucket count and the candidate pairing
+    # consume the triples (Ray re-executes a branched lazy Dataset otherwise)
+    buckets = ds.map_batches(sig, batch_format="pandas").materialize()
 
-    # find hot buckets with a native distributed count (NOT map_groups over
-    # every bucket — with B bands x D docs buckets, per-group python-function
-    # dispatch dominated wall time; the count aggregate shuffles the same
-    # triples once and is pure Arrow)
-    counts = buckets.groupby(["band", "bucket"]).count()
-    hot = counts.filter(lambda row: row["count()"] > 1).to_pandas()
+    # find hot buckets with the combiner pattern (per-batch pandas partial
+    # count -> tiny global combine). NOT map_groups over every bucket (B bands
+    # x D docs groups of size ~1: per-group python dispatch dominated wall
+    # time) and NOT Dataset.groupby().count() (sort-based shuffle costs ~56s
+    # on 160k single-node rows); the partial tables are tiny
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["band", "bucket"], as_index=False).agg(
+            n=("doc_id", "size")
+        )
+
+    counts = (
+        buckets.map_batches(partial_count, batch_format="pandas")
+        .to_pandas()
+        .groupby(["band", "bucket"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    hot = counts[counts["n"] > 1]
     if hot.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
@@ -204,12 +215,21 @@ def simhash_dupes(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 )
         return pd.DataFrame(out).astype({"simhash": "uint64", "bucket": "int64"})
 
-    buckets = ds.map_batches(sig, batch_format="pandas")
+    buckets = ds.map_batches(sig, batch_format="pandas").materialize()
 
-    # same hot-bucket pattern as minhash LSH: native count, filter to buckets
-    # with >1 member, pair + hamming-verify only those
-    counts = buckets.groupby(["band", "bucket"]).count()
-    hot = counts.filter(lambda row: row["count()"] > 1).to_pandas()
+    # same hot-bucket combiner pattern as minhash LSH
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["band", "bucket"], as_index=False).agg(
+            n=("doc_id", "size")
+        )
+
+    counts = (
+        buckets.map_batches(partial_count, batch_format="pandas")
+        .to_pandas()
+        .groupby(["band", "bucket"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    hot = counts[counts["n"] > 1]
     if hot.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
