@@ -14,6 +14,20 @@ from html_parser_ray.functions import textfns
 from html_parser_ray.html.document import parse_html
 
 
+
+
+def _actor_slots(cap: int = 4) -> int:
+    """Actor-pool size that always leaves CPUs for the read stage (an actor
+    pool equal to the whole cluster deadlocks the streaming executor)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(1, min(cap, cpus - 2 if cpus > 2 else 1))
+
+
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     """Per-language token/char totals (single-space token definition so the
     SQL oracle is exact: ``len(string_split(text, ' '))``)."""
@@ -139,7 +153,7 @@ def html_roundtrip_extract(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(
-        HtmlRoundtripExtract, batch_format="pyarrow", concurrency=4
+        HtmlRoundtripExtract, batch_format="pyarrow", concurrency=_actor_slots()
     )
 
 
@@ -165,7 +179,7 @@ class HtmlLiCount:
 
 def html_li_count(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(HtmlLiCount, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(HtmlLiCount, batch_format="pyarrow", concurrency=_actor_slots())
 
 
 def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
@@ -240,4 +254,4 @@ def html_link_extract(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(HtmlLinkExtract, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(HtmlLinkExtract, batch_format="pyarrow", concurrency=_actor_slots())

@@ -1,0 +1,44 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql() consistency."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entrymod
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 20
+    # every oracle key must have a query
+    assert set(oracles).issubset(set(qs)), set(oracles) - set(qs)
+    # at least 15 SQL-checked queries
+    assert len(oracles) >= 15
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_runs_and_returns_rows():
+    result = entrymod.entry()
+    import ray.data
+
+    assert isinstance(result, ray.data.Dataset)
+    rows = result.take(5)
+    assert len(rows) == 5
+    assert set(rows[0].keys()) == {"doc_id", "main_text"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_one_query_at_sf0001():
+    qs = entrymod.queries()
+    out = qs["doc_token_stats"]("/root/testdata/sf0.001")
+    assert len(out) >= 1
+    assert {"lang", "n_docs", "sum_tokens", "sum_chars"} == set(out.columns)
