@@ -53,6 +53,15 @@ class ExtractConfig:
 
 
 def _class_id_marks_boilerplate(doc, idx: int, cfg: ExtractConfig) -> bool:
+    # cheap substring precheck on the raw attr region: most content elements
+    # carry no class/id at all, so skip the full attribute parse for them
+    # ("id" in region may false-positive on e.g. "width" — conservative)
+    start, end = doc.name_end[idx], doc.attr_end[idx]
+    if end <= start:
+        return False
+    region = doc.source[start:end]
+    if b"class" not in region and b"id" not in region:
+        return False
     attrs = doc.attrs(idx)
     blob_parts = []
     cls = attrs.get(b"class")
@@ -135,51 +144,60 @@ def extract_text_blocks(doc, cfg: ExtractConfig | None = None) -> list[bytes]:
     n = len(doc.kind)
     if n <= 1:
         return []
-    drop = compute_drop_mask(doc, cfg)
-    link = _link_mask(doc)
     kind = doc.kind
     names = doc.name
-    parent = doc.parent
     sub_end = doc.subtree_end
     src = doc.source
     ns, ne = doc.name_start, doc.name_end
+    drop_tags = cfg.drop_tags
 
-    # ownership: each text node belongs to its nearest block-element ancestor
-    # (or pseudo-block 0 = document). Emit blocks in order of first text node.
-    block_of_text: dict[int, int] = {}
-    # find nearest block ancestor per text node
-    for i in range(1, n):
-        if kind[i] != KIND_TEXT or drop[i]:
-            continue
-        a = parent[i]
-        owner = 0
-        while a != 0 and a != 0xFFFFFFFF:
-            if kind[a] == KIND_ELEMENT and names[a] in BLOCK_TAGS:
-                owner = a
-                break
-            a = parent[a]
-        block_of_text[i] = owner
+    # single fused preorder pass: dropped subtrees are *jumped over* (never
+    # visited), link/block membership tracked with subtree-end watermarks and
+    # a block-ancestor stack — no per-text parent walks, no mask arrays
+    link_until = -1
+    block_stack: list[int] = []  # subtree_end of open block ancestors
+    block_owner: list[int] = []  # matching owner ids
 
-    # group text nodes per owner in document order
     order: list[int] = []
-    texts_by_owner: dict[int, list[int]] = {}
-    for t, owner in block_of_text.items():
-        if owner not in texts_by_owner:
-            texts_by_owner[owner] = []
-            order.append(owner)
-        texts_by_owner[owner].append(t)
+    texts_by_owner: dict[int, list[tuple[int, bool]]] = {}
+
+    i = 1
+    while i < n:
+        while block_stack and i > block_stack[-1]:
+            block_stack.pop()
+            block_owner.pop()
+        k = kind[i]
+        if k == KIND_ELEMENT:
+            name = names[i]
+            if name in drop_tags or _class_id_marks_boilerplate(doc, i, cfg):
+                i = sub_end[i] + 1
+                continue
+            if name == LINK_TAG and i > link_until:
+                end = sub_end[i]
+                if end > link_until:
+                    link_until = end
+            if name in BLOCK_TAGS:
+                block_stack.append(sub_end[i])
+                block_owner.append(i)
+        elif k == KIND_TEXT:
+            owner = block_owner[-1] if block_stack else 0
+            got = texts_by_owner.get(owner)
+            if got is None:
+                texts_by_owner[owner] = got = []
+                order.append(owner)
+            got.append((i, i <= link_until))
+        i += 1
 
     blocks: list[bytes] = []
     for owner in order:
-        text_nodes = texts_by_owner[owner]
         out = bytearray()
         link_out = bytearray()
         state = NormState()
         link_state = NormState()
-        for t in text_nodes:
+        for t, in_link in texts_by_owner[owner]:
             seg = src[ns[t] : ne[t]]
             decode_normalize_segment(out, seg, state)
-            if link[t]:
+            if in_link:
                 decode_normalize_segment(link_out, seg, link_state)
         total = len(out)
         if total < cfg.min_text_len:

@@ -231,6 +231,18 @@ def tokenize(source: bytes, drop_whitespace_text: bool = False) -> _Builder:
     find = source.find
     kinds = b.kind
 
+    # local bindings for the hot text-append path (one function call saved
+    # per text node; text nodes are ~half of all nodes)
+    l_kind = b.kind
+    l_name = b.name
+    l_ns = b.name_start
+    l_ne = b.name_end
+    l_attr = b.attr_end
+    l_parent = b.parent
+    l_prev = b.prev_sibling
+    l_last = b.last_child
+    l_sub = b.subtree_end
+
     while i < n:
         if source[i] != 0x3C:  # not '<' -> text run
             start = i
@@ -246,10 +258,18 @@ def tokenize(source: bytes, drop_whitespace_text: bool = False) -> _Builder:
                     and _RE_WS_ONLY.match(seg)
                 ):
                     continue
-            parent = stack[-1]
-            idx = b.append(KIND_TEXT, parent)
-            b.name_start[idx] = start
-            b.name_end[idx] = i
+            # inlined text-node append (no sibling links for text,
+            # ref: src/html/parser.zig:384 build_links only for elements)
+            idx = len(l_kind)
+            l_kind.append(KIND_TEXT)
+            l_name.append(None)
+            l_ns.append(start)
+            l_ne.append(i)
+            l_attr.append(0)
+            l_parent.append(stack[-1])
+            l_prev.append(INVALID)
+            l_last.append(INVALID)
+            l_sub.append(idx)
             continue
 
         if i + 1 >= n:
@@ -318,7 +338,9 @@ def _skip_pi(source: bytes, i: int) -> int:
 def _parse_closing_tag(b: _Builder, source: bytes, i: int) -> int:
     # ref: src/html/parser.zig:296-365
     n = len(source)
-    i = skip_ws(source, i + 2)
+    i += 2
+    if i < n and source[i] in WHITESPACE_SET:  # rare: '</ div'
+        i = skip_ws(source, i)
     m = RE_TAG_NAME.match(source, i)
     name_end = m.end()
     close_name = source[i:name_end].lower()
@@ -354,7 +376,9 @@ def _parse_closing_tag(b: _Builder, source: bytes, i: int) -> int:
 def _parse_opening_tag(b: _Builder, source: bytes, i: int) -> int:
     # ref: src/html/parser.zig:135-294
     n = len(source)
-    i = skip_ws(source, i + 1)
+    i += 1
+    if source[i] in WHITESPACE_SET:  # rare: '<  div'
+        i = skip_ws(source, i)
     m = RE_TAG_NAME.match(source, i)
     name_start = i
     name_end = m.end()
