@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dupes": dedup.minhash_lsh_dupes,
         "simhash_dupes": dedup.simhash_dupes,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "dedup_keep_first": dedup.dedup_keep_first,
         # similarity search
         "knn_topk": similarity.knn_topk,
         "lsh_knn_topk": similarity.lsh_knn_topk,
@@ -218,6 +219,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": (
             "SELECT label, COUNT(*) AS n_vecs, MAX(len(embedding)) AS dim "
             "FROM embeddings GROUP BY 1 ORDER BY 1"
+        ),
+        "dedup_keep_first": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id"
         ),
         "events_sessionize": (
             "WITH o AS (SELECT user_id, ts, "

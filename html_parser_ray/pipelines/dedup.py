@@ -295,3 +295,21 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
     if df.empty or "vec_a" not in df.columns:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")})
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def dedup_keep_first(sf_dir: str) -> pd.DataFrame:
+    """Materialized exact dedup: the surviving documents (keeper per distinct
+    text). Distributed anti-join via broadcast keeper set — the shuffle-free
+    form of `WHERE doc_id IN (SELECT min(doc_id) ... GROUP BY hash)`."""
+    groups = exact_dedup(sf_dir)
+    keepers = set(groups["keeper_doc_id"].tolist())
+    keep_ref = ray.put(keepers)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keep_ref)
+        return df[df["doc_id"].isin(ks)]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
