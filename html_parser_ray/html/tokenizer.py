@@ -451,12 +451,21 @@ def _parse_opening_tag(b: _Builder, source: bytes, i: int) -> int:
         b.subtree_end[idx] = len(b.kind) - 1
         return n
 
+    # inlined element append + sibling linking (hot path)
     parent = stack[-1]
-    idx = b.append(KIND_ELEMENT, parent)
-    b.name[idx] = tag_name
-    b.name_start[idx] = name_start
-    b.name_end[idx] = name_end
-    b.attr_end[idx] = attr_end
+    kinds = b.kind
+    idx = len(kinds)
+    kinds.append(KIND_ELEMENT)
+    b.name.append(tag_name)
+    b.name_start.append(name_start)
+    b.name_end.append(name_end)
+    b.attr_end.append(attr_end)
+    b.parent.append(parent)
+    lc = b.last_child[parent]
+    b.prev_sibling.append(lc)  # INVALID when no prior element child
+    b.last_child.append(INVALID)
+    b.subtree_end.append(idx)
+    b.last_child[parent] = idx
 
     if not self_close and tag_name == tags.PLAINTEXT_TAG:
         # rest of input is one text child (ref: src/html/parser.zig:244-257)
