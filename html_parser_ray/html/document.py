@@ -216,6 +216,27 @@ class Document:
 
         return matches_selector_at(self, _compile_cached(selector), index, scope_root)
 
+    def explain(self, selector: str, scope_root: int | None = None):
+        """Debug query: first match + near-miss report
+        (ref: queryOneRuntimeDebug, src/html/document.zig:382-384)."""
+        from html_parser_ray.selector.debug import explain_first_match
+
+        return explain_first_match(self, _compile_cached(selector), scope_root)
+
+    # ---- serialization convenience (ref: src/html/node.zig:174-187) ------
+
+    def outer_html(self, index: int) -> bytes:
+        from html_parser_ray.html.serialize import to_html
+
+        return to_html(self, index)
+
+    def inner_html(self, index: int) -> bytes:
+        from html_parser_ray.html.serialize import _write_children
+
+        out = bytearray()
+        _write_children(self, index, out)
+        return bytes(out)
+
 
 @lru_cache(maxsize=512)
 def _compile_cached(selector: str):
