@@ -313,3 +313,93 @@ def dedup_keep_first(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]], all_ids: list[int]) -> dict[int, int]:
+    """Driver-side union-find (candidate pair sets are small by construction
+    after LSH verification; the distributed alternative is
+    ``label_propagation_clusters``)."""
+    parent: dict[int, int] = {i: i for i in all_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    # path-compress to cluster minima
+    return {i: find(i) for i in all_ids}
+
+
+def label_propagation_clusters(pairs_df: pd.DataFrame, ids: list[int], max_rounds: int = 50) -> pd.DataFrame:
+    """Distributed-shaped min-label propagation over the dup-pair graph
+    (the 100 TB-scale alternative to driver union-find): each round joins the
+    current labels across edges and takes the min; converges in O(diameter)
+    rounds. Implemented with Ray Datasets per round.
+
+    Partitioning assumption: the edge list fits the object store as blocks;
+    labels shuffle by doc_id each round.
+    """
+    import ray.data
+
+    labels = {i: i for i in ids}
+    edges = [(int(a), int(b)) for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"])]
+    und = edges + [(b, a) for a, b in edges]
+    if not und:
+        return pd.DataFrame({"doc_id": sorted(ids), "cluster_id": sorted(ids)}).astype("int64")
+    edge_ds = ray.data.from_items([{"src": a, "dst": b} for a, b in und])
+    for _ in range(max_rounds):
+        lab_ref = ray.put(labels)
+
+        def relabel(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            return pd.DataFrame(
+                {
+                    "dst": df["dst"],
+                    "label": [lab[s] for s in df["src"]],
+                }
+            )
+
+        prop = (
+            edge_ds.map_batches(relabel, batch_format="pandas")
+            .to_pandas()
+            .groupby("dst")["label"]
+            .min()
+        )
+        changed = False
+        for d, lab in prop.items():
+            if lab < labels[d]:
+                labels[d] = lab
+                changed = True
+        if not changed:
+            break
+    return (
+        pd.DataFrame(
+            {"doc_id": sorted(ids), "cluster_id": [labels[i] for i in sorted(ids)]}
+        ).astype("int64")
+    )
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.DataFrame:
+    """Near-dup clusters: connected components over verified Jaccard pairs.
+
+    (doc_id, cluster_id) where cluster_id = min doc_id in the component.
+    Pairs come from the exact jaccard baseline so the recursive-SQL oracle is
+    exact; the LSH path feeds the same clustering at scale.
+    """
+    pairs = ngram_jaccard_dupes(sf_dir, threshold=threshold, k=k)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    all_ids = sorted(ds.to_pandas()["doc_id"].tolist())
+    mapping = _union_find_clusters(
+        list(zip(pairs["doc_a"], pairs["doc_b"])), all_ids
+    )
+    return pd.DataFrame(
+        {"doc_id": all_ids, "cluster_id": [mapping[i] for i in all_ids]}
+    ).astype("int64")

@@ -1,0 +1,50 @@
+"""Dedup clustering: union-find vs distributed label propagation parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from html_parser_ray.pipelines.dedup import (
+    _union_find_clusters,
+    label_propagation_clusters,
+)
+
+
+def test_union_find_basic():
+    ids = [1, 2, 3, 4, 5, 6]
+    pairs = [(1, 2), (2, 3), (5, 6)]
+    m = _union_find_clusters(pairs, ids)
+    assert m[1] == m[2] == m[3] == 1
+    assert m[4] == 4
+    assert m[5] == m[6] == 5
+
+
+def test_union_find_chain_order_independent():
+    ids = list(range(10))
+    pairs = [(8, 9), (7, 8), (0, 9)]
+    m = _union_find_clusters(pairs, ids)
+    assert m[7] == m[8] == m[9] == m[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_matches_union_find():
+    ids = list(range(20))
+    pairs_df = pd.DataFrame(
+        {"doc_a": [0, 1, 5, 6, 10, 12], "doc_b": [1, 2, 6, 7, 11, 13]}
+    )
+    lp = label_propagation_clusters(pairs_df, ids)
+    uf = _union_find_clusters(
+        list(zip(pairs_df["doc_a"], pairs_df["doc_b"])), ids
+    )
+    got = dict(zip(lp["doc_id"], lp["cluster_id"]))
+    assert got == uf
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_no_pairs():
+    lp = label_propagation_clusters(
+        pd.DataFrame({"doc_a": [], "doc_b": []}), [3, 1, 2]
+    )
+    assert lp["doc_id"].tolist() == [1, 2, 3]
+    assert lp["cluster_id"].tolist() == [1, 2, 3]
