@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
         "part_type_stats": relational.part_type_stats,
         "top_parts_by_price": relational.top_parts_by_price,
         "events_hourly": relational.events_hourly,
@@ -139,6 +140,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "revenue_by_nation": (
+            "SELECT n_name, "
+            f"CAST(SUM({cents_price} * (100 - {cents_disc})) AS BIGINT) AS revenue_bp, "
+            "CAST(COUNT(*) AS BIGINT) AS lines "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "revenue_by_nation_bucketed": (
             "SELECT n_name, "
             f"CAST(SUM({cents_price} * (100 - {cents_disc})) AS BIGINT) AS revenue_bp, "
             "CAST(COUNT(*) AS BIGINT) AS lines "

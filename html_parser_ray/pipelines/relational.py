@@ -232,3 +232,55 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     partials = ds.map_batches(partial, batch_format="pandas")
     result = _final_groupby(partials, ["n_name"], ["n_suppliers", "sum_acctbal_cents"])
     return result.sort_values("n_name").reset_index(drop=True)
+
+
+def revenue_by_nation_bucketed(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Same query as ``revenue_by_nation`` via the portable explicit
+    partitioned hash join (no Dataset.join): both sides get a
+    ``bucket = key % B`` column, bucket pairs join inside ``map_groups``.
+    The pattern to reach for when Dataset.join is unavailable or when hot
+    keys need salting into sub-buckets.
+    """
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    # orders bucketed once, broadcast as per-bucket dicts
+    orders["bucket"] = orders["o_orderkey"] % num_buckets
+    order_maps = {
+        b: dict(zip(g["o_orderkey"], g["o_custkey"]))
+        for b, g in orders.groupby("bucket")
+    }
+    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    maps_ref = ray.put((order_maps, cust_map, nation_map))
+
+    def bucket_and_partial(df: pd.DataFrame) -> pd.DataFrame:
+        omaps, cmap, nmap = ray.get(maps_ref)
+        out_rows = []
+        df = df.assign(bucket=df["l_orderkey"] % num_buckets)
+        for b, g in df.groupby("bucket"):
+            omap = omaps.get(b, {})
+            cust_keys = g["l_orderkey"].map(omap)
+            names = cust_keys.map(cmap).map(nmap)
+            rev = _cents(g["l_extendedprice"].to_numpy()) * (
+                100 - _cents(g["l_discount"].to_numpy())
+            )
+            part = pd.DataFrame({"n_name": names, "revenue_bp": rev, "lines": 1})
+            out_rows.append(part.groupby("n_name", as_index=False).sum())
+        if not out_rows:
+            return pd.DataFrame(columns=["n_name", "revenue_bp", "lines"])
+        return pd.concat(out_rows, ignore_index=True)
+
+    partials = lineitem.map_batches(bucket_and_partial, batch_format="pandas")
+    result = _final_groupby(partials, ["n_name"], ["revenue_bp", "lines"])
+    return result.sort_values("n_name").reset_index(drop=True)
