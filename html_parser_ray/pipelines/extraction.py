@@ -91,10 +91,28 @@ def build_extraction_pipeline(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    ).materialize()
+    # Only multi-fragment docs need the reassembly shuffle; single-fragment
+    # rows (the overwhelming majority) pass straight through. materialize()
+    # pins the extracted output once so the two consumers below don't
+    # re-execute the extraction — output-sized, the same data the groupby
+    # would otherwise shuffle in full.
+    import pyarrow.compute as pc
+
+    def singles_only(batch):
+        out = batch.filter(pc.equal(batch.column("n_frags"), 1))
+        return out.drop_columns(["frag_seq", "n_frags"])
+
+    def multis_only(batch):
+        return batch.filter(pc.greater(batch.column("n_frags"), 1))
+
+    singles = extracted.map_batches(singles_only, batch_format="pyarrow")
+    multis = (
+        extracted.map_batches(multis_only, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(reassemble_group, batch_format="pyarrow")
     )
-    return extracted.groupby("doc_id").map_groups(
-        reassemble_group, batch_format="pyarrow"
-    )
+    return singles.union(multis)
 
 
 def run_extraction(

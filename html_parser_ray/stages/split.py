@@ -31,13 +31,47 @@ FRAG_SCHEMA = pa.schema(
 
 
 def split_batch(batch: pa.Table, max_bytes: int = 1_000_000, max_spans: int = 64) -> pa.Table:
-    """Vectorless per-row split (rows are documents; span lists are small
-    relative to batches). Emits one fragment row per chunk of spans whose
-    cumulative text size stays under ``max_bytes`` and count under
-    ``max_spans``; normal rows pass through as a single fragment.
+    """Emit one fragment row per chunk of spans whose cumulative text size
+    stays under ``max_bytes`` and count under ``max_spans``; normal rows pass
+    through as a single fragment.
+
+    Vectorized fast path: per-row span counts and byte totals come from Arrow
+    kernels (list lengths + segment sums over the flattened text lengths); a
+    batch with no oversized row passes through zero-copy with constant
+    fragment columns appended — the per-row Python path runs only for batches
+    that actually contain a giant document.
     """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    spans_arr = batch.column("spans")
+    if isinstance(spans_arr, pa.ChunkedArray):
+        spans_arr = spans_arr.combine_chunks()
+    n_rows = batch.num_rows
+    counts = pc.list_value_length(spans_arr).to_numpy(zero_copy_only=False)
+    flat_text = spans_arr.flatten().field("text")
+    tlens = pc.utf8_length(flat_text).to_numpy(zero_copy_only=False)
+    offsets = spans_arr.offsets.to_numpy(zero_copy_only=False)
+    base = offsets[0]
+    starts = (offsets[:-1] - base).astype(np.int64)
+    totals = np.add.reduceat(
+        np.concatenate([tlens, [0]]), np.minimum(starts, len(tlens))
+    ) * (counts > 0)
+    oversized = (counts > max_spans) | (totals > max_bytes)
+    if not oversized.any():
+        ones = pa.nulls(n_rows, pa.int32()).fill_null(1)
+        zeros = pa.nulls(n_rows, pa.int32()).fill_null(0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "spans": spans_arr,
+                "frag_seq": zeros,
+                "n_frags": ones,
+            }
+        )
+
     doc_ids = batch.column("doc_id").to_pylist()
-    spans_col = batch.column("spans").to_pylist()
+    spans_col = spans_arr.to_pylist()
     out_ids: list[str] = []
     out_spans: list[list[dict]] = []
     out_seq: list[int] = []
