@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": similarity.knn_topk,
         "lsh_knn_topk": similarity.lsh_knn_topk,
+        "ivf_knn_topk": similarity.ivf_knn_topk,
         "embedding_label_stats": similarity.embedding_label_stats,
         # windowed / filter / link ops
         "events_sessionize": _sessionize,

@@ -167,3 +167,86 @@ def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
         n_vecs=("n_vecs", "sum"), dim=("dim", "max")
     )
     return result.sort_values("label").reset_index(drop=True)
+
+
+def ivf_knn_topk(
+    sf_dir: str,
+    num_queries: int = 5,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    kmeans_iters: int = 10,
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means centroids
+    (numpy Lloyd iterations on the driver over a sample — the "train once"
+    step a production system does offline), vectors assigned to their nearest
+    centroid, queries probe the ``nprobe`` nearest cells and rerank exactly.
+
+    The partition assumption: cell assignment is a pure function of the
+    broadcast centroids, so assignment + rerank distribute as map_batches
+    with no shuffle.
+    """
+    ids, unit = _load_matrix(sf_dir)
+    rng = np.random.RandomState(seed)
+    # train centroids on (up to) 2048 sampled vectors
+    sample_idx = rng.choice(len(unit), size=min(2048, len(unit)), replace=False)
+    cent = unit[rng.choice(sample_idx, size=min(num_centroids, len(sample_idx)), replace=False)]
+    sample = unit[sample_idx]
+    for _ in range(kmeans_iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+
+    order = np.argsort(ids)
+    qpos = order[:num_queries]
+    q_ids = ids[qpos]
+    q_mat = unit[qpos]
+    q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    bc = ray.put((q_ids, q_mat, q_cells, cent))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qmat, qcells, centroids = ray.get(bc)
+        batch_ids = df["vec_id"].to_numpy()
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        mu = m / np.where(n == 0, 1, n)
+        cells = (mu @ centroids.T).argmax(axis=1)
+        rows = []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cells, qcells[qi]) & (batch_ids != qid)
+            cand = np.where(mask)[0]
+            if len(cand) == 0:
+                continue
+            sims = mu[cand] @ qmat[qi]
+            top = np.lexsort((batch_ids[cand], -sims))[:k]
+            for ci in top:
+                rows.append(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": int(batch_ids[cand[ci]]),
+                        "cosine": float(sims[ci]),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype("int64")
+    final = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    final = final.groupby("query_id", as_index=False, group_keys=False).head(k)
+    final["rank"] = final.groupby("query_id").cumcount() + 1
+    return (
+        final[["query_id", "neighbor_id", "rank"]].astype("int64").reset_index(drop=True)
+    )

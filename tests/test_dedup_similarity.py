@@ -188,3 +188,27 @@ def test_lsh_knn_high_recall(emb_dir):
         inter += len(e & a)
         total += len(e)
     assert inter / total >= 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_knn_high_recall(emb_dir):
+    from html_parser_ray.pipelines.similarity import ivf_knn_topk, knn_topk
+
+    exact = knn_topk(emb_dir, num_queries=3, k=5)
+    approx = ivf_knn_topk(emb_dir, num_queries=3, k=5, num_centroids=4, nprobe=2)
+    inter = total = 0
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        inter += len(e & a)
+        total += len(e)
+    assert inter / total >= 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_deterministic(emb_dir):
+    from html_parser_ray.pipelines.similarity import ivf_knn_topk
+
+    a = ivf_knn_topk(emb_dir, num_queries=2, k=4)
+    b = ivf_knn_topk(emb_dir, num_queries=2, k=4)
+    assert a.equals(b)
