@@ -158,7 +158,7 @@ def run_query_bench() -> dict:
         "html_roundtrip_extract",
         "html_li_count",
         "q1_pricing_summary",
-        "revenue_by_nation",
+        "revenue_by_nation_bucketed",
         "events_hourly",
         "exact_dedup",
         "minhash_lsh_dupes",
