@@ -52,29 +52,31 @@ class SpanExtractor:
         self.stats = ExtractStats()
 
     def extract_columns(
-        self, kinds: list[str], texts: list[str], media_refs: list[str]
-    ) -> tuple[list[str], list[str], list[str], list[int]]:
+        self, kinds: list[str], texts: list[bytes], media_refs: list[str]
+    ) -> tuple[list[str], list[bytes], list[str], list[int]]:
         """Columnar fast path: one document's parallel input span columns in,
-        parallel output columns (kind, text, media_ref, offset) out. This is
-        what the Arrow batch stage calls — no per-span dicts on the hot path.
+        parallel output columns (kind, text_bytes, media_ref, offset) out.
+
+        ``texts`` are UTF-8 BYTES (Arrow's native string representation cast
+        to binary upstream) — the engine is byte-oriented throughout, so no
+        str round-trip happens on the hot path. Output texts are UTF-8 bytes
+        too; the batch stage casts back to an Arrow string column.
         """
         st = self.stats
         st.docs += 1
         st.spans_in += len(kinds)
         o_kind: list[str] = []
-        o_text: list[str] = []
+        o_text: list[bytes] = []
         o_media: list[str] = []
         for kind, text, media_ref in zip(kinds, texts, media_refs):
             if kind == "text":
-                norm = normalize_bytes((text or "").encode("utf-8")).decode(
-                    "utf-8", "replace"
-                )
+                norm = normalize_bytes(text or b"")
                 if norm:
                     o_kind.append("text")
                     o_text.append(norm)
                     o_media.append("")
             elif kind == "html":
-                raw = text or ""
+                raw = text or b""
                 st.html_bytes += len(raw)
                 try:
                     doc = parse_html(raw, self.drop_whitespace_text)
@@ -84,13 +86,13 @@ class SpanExtractor:
                     blocks = []
                 for blk in blocks:
                     o_kind.append("text")
-                    o_text.append(blk.decode("utf-8", "replace"))
+                    o_text.append(blk)
                     o_media.append("")
             elif kind == "media":
                 ref = media_ref or ""
                 meta = self.layout.parse(ref)
                 o_kind.append("media")
-                o_text.append(json.dumps(meta, sort_keys=True))
+                o_text.append(json.dumps(meta, sort_keys=True).encode("utf-8"))
                 o_media.append(ref)
             # unknown kinds are dropped deterministically
         st.spans_out += len(o_kind)
@@ -102,10 +104,10 @@ class SpanExtractor:
         spans = spans or []
         k, t, m, o = self.extract_columns(
             [s["kind"] for s in spans],
-            [s.get("text") or "" for s in spans],
+            [(s.get("text") or "").encode("utf-8") for s in spans],
             [s.get("media_ref") or "" for s in spans],
         )
         return [
-            {"kind": kk, "text": tt, "media_ref": mm, "offset": oo}
+            {"kind": kk, "text": tt.decode("utf-8", "replace"), "media_ref": mm, "offset": oo}
             for kk, tt, mm, oo in zip(k, t, m, o)
         ]

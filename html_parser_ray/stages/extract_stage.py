@@ -68,7 +68,9 @@ class ExtractSpansBatch:
         # offsets — avoids per-span dict materialization (to_pylist)
         flat = spans_col.flatten()
         in_kinds = flat.field("kind").to_pylist()
-        in_texts = flat.field("text").to_pylist()
+        # zero-copy string -> binary cast: the extractor is byte-oriented, so
+        # hand it UTF-8 bytes directly instead of decoded Python strs
+        in_texts = flat.field("text").cast(pa.binary()).to_pylist()
         in_media = flat.field("media_ref").to_pylist()
         offsets = spans_col.offsets.to_pylist()
         base = offsets[0]
@@ -103,10 +105,14 @@ class ExtractSpansBatch:
                     }
                 )
 
+        # output texts are UTF-8 bytes; cast binary -> string validates UTF-8
+        # at C speed (inputs are Arrow strings, so this cannot fail for them;
+        # entity decode only emits valid UTF-8 scalars)
+        text_arr = pa.array(o_text, type=pa.binary()).cast(pa.string())
         struct_arr = pa.StructArray.from_arrays(
             [
                 pa.array(o_kind, type=pa.string()),
-                pa.array(o_text, type=pa.string()),
+                text_arr,
                 pa.array(o_media, type=pa.string()),
                 pa.array(o_off, type=pa.int32()),
             ],
