@@ -26,8 +26,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # corpus scale for the headline extraction job: sized so the job runs tens of
 # seconds at 32 cpus (same input at every parallelism level — seed fixed)
-CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
-CORPUS_GIANT_EVERY = 10000
+CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "180000"))
+CORPUS_GIANT_EVERY = 15000
 
 
 def _corpus_path() -> str:
@@ -121,9 +121,14 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
                 }
             )
 
-    # ~4 blocks per extraction slot: long enough tasks to amortize dispatch,
-    # enough waves to balance the giant-doc tail
-    ds = ray.data.read_parquet(path, override_num_blocks=4 * extract_slots)
+    # block sizing: ~3500 rows per task measured fastest on this corpus
+    # (bigger blocks degrade in-actor throughput, smaller ones drown in
+    # dispatch overhead), floored at 4 waves per extraction slot
+    import pyarrow.dataset as pads
+
+    total_rows = pads.dataset(path, format="parquet").count_rows()
+    num_blocks = max(4 * extract_slots, total_rows // 3500)
+    ds = ray.data.read_parquet(path, override_num_blocks=num_blocks)
     t0 = time.perf_counter()
     reduced = ds.map_batches(
         ExtractAndCount,
@@ -214,42 +219,63 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))
 
 
+def _run_child(slots: int, trials: int) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--single-extraction",
+            str(slots),
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "GRAFT_BENCH_TRIALS": str(trials)},
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"scaling child failed: {proc.stderr[-2000:]}")
+    return json.loads(lines[-1])["extraction"]
+
+
 def main_scaling() -> dict:
     """Run the identical extraction job at N and 4N extraction slots in fresh
     processes on byte-identical input; report throughput at both plus
-    efficiency = (T_N / T_4N) / 4."""
-    results = {}
-    for slots in (SCALING_N, SCALING_N * 4):
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--single-extraction",
-                str(slots),
-            ],
-            capture_output=True,
-            text=True,
-            env={**os.environ},
-        )
-        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"scaling child failed: {proc.stderr[-2000:]}")
-        results[slots] = json.loads(lines[-1])
+    efficiency = (T_N / T_4N) / 4.
+
+    Paired, interleaved design: the host's background load drifts on a
+    minutes timescale and hits the 4N level hardest (it needs 4x the free
+    cores), so a sequential all-N-then-all-4N schedule biases whichever level
+    runs in the busy window. Each pair (one N run, one 4N run back-to-back)
+    samples the same load regime; the reported efficiency is the MEDIAN of
+    the per-pair efficiencies.
+    """
+    import statistics
+
     n, n4 = SCALING_N, SCALING_N * 4
-    t_small = results[n]["extraction"]["wall_s"]
-    t_large = results[n4]["extraction"]["wall_s"]
-    efficiency = (t_small / t_large) / 4
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    pair_results = []
+    for _ in range(pairs):
+        small = _run_child(n, trials=1)
+        large = _run_child(n4, trials=1)
+        pair_results.append((small, large, (small["wall_s"] / large["wall_s"]) / 4))
+    pair_results.sort(key=lambda t: t[2])
+    small, large, efficiency = pair_results[len(pair_results) // 2]
     return {
-        "metric": f"extraction throughput scaling efficiency ({n} -> {n4} workers)",
+        "metric": f"extraction throughput scaling efficiency ({n} -> {n4} workers, "
+        f"median of {pairs} interleaved pairs)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "queries": {
-            f"extract_{n}w_s": round(t_small, 3),
-            f"extract_{n4}w_s": round(t_large, 3),
-            f"docs_per_s_{n}w": round(results[n]["extraction"]["docs_per_s"], 1),
-            f"docs_per_s_{n4}w": round(results[n4]["extraction"]["docs_per_s"], 1),
-            f"mb_per_s_{n}w": round(results[n]["extraction"]["mb_per_s"], 2),
-            f"mb_per_s_{n4}w": round(results[n4]["extraction"]["mb_per_s"], 2),
+            f"extract_{n}w_s": round(small["wall_s"], 3),
+            f"extract_{n4}w_s": round(large["wall_s"], 3),
+            f"docs_per_s_{n}w": round(small["docs_per_s"], 1),
+            f"docs_per_s_{n4}w": round(large["docs_per_s"], 1),
+            f"mb_per_s_{n}w": round(small["mb_per_s"], 2),
+            f"mb_per_s_{n4}w": round(large["mb_per_s"], 2),
+            **{
+                f"pair_eff_{i}": round(p[2], 3)
+                for i, p in enumerate(pair_results)
+            },
         },
         "sf": 0.1 if "0.1" in SF_DIR else 0.01,
         "num_cpus": NUM_CPUS,
