@@ -11,7 +11,7 @@ Deterministic by construction: same DOM in, same block decisions out.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from html_parser_ray.html.text import NormState, decode_normalize_segment
 from html_parser_ray.html.tokenizer import KIND_ELEMENT, KIND_TEXT

@@ -17,7 +17,7 @@ block order within an html span) — the per-row invariant the north rule pins.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 import json
 
 from html_parser_ray.extract.boilerplate import ExtractConfig, extract_text_blocks

@@ -13,7 +13,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _RE_TOKEN = re.compile(r"\S+")
 # BPE-ish subword split: runs of letters, digits, or single punctuation

@@ -3,7 +3,6 @@ roundtrip queries that pin the parser against a SQL oracle)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
