@@ -1,0 +1,38 @@
+"""CLI end-to-end smoke (the ray job submit entry path) in a subprocess with
+its own Ray session."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_generate_and_extract(tmp_path):
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+
+    gen = subprocess.run(
+        [sys.executable, "-m", "html_parser_ray.cli", "generate-corpus",
+         "--output", corpus, "--num-docs", "40"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    assert json.loads(gen.stdout.splitlines()[-1])["written"] == 40
+
+    ext = subprocess.run(
+        [sys.executable, "-m", "html_parser_ray.cli", "extract",
+         "--input", corpus, "--output", out,
+         "--num-partitions", "4", "--wave-size", "4", "--batch-size", "16"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert ext.returncode == 0, ext.stderr[-2000:]
+    summary = json.loads(ext.stdout.splitlines()[-1])
+    assert summary["rows"] == 40
+    assert summary["partitions_done"] == 4
+    assert os.path.isdir(os.path.join(out, "_manifest"))
