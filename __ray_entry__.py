@@ -44,19 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from html_parser_ray.pipelines import dedup, relational, similarity, text_analysis
     from html_parser_ray.pipelines.sessionize import events_sessionize as _sessionize
 
-    def extract_corpus(sf_dir: str):
-        """Flagship extraction over the deterministic interleaved corpus
-        (input_hint schema; sf_dir scales the row count)."""
-        import ray.data
-
-        from html_parser_ray.pipelines.extraction import build_extraction_pipeline
-        from html_parser_ray.sources.corpus import generate_documents
-
-        n = 200 if "0.01" in sf_dir else 50
-        ds = ray.data.from_arrow(generate_documents(n, seed=42))
-        out = build_extraction_pipeline(ds, batch_size=32)
-        # flatten for a stable, hashable schema
-        def flatten(batch):
+    def flatten(batch):
             import pyarrow as pa
 
             rows_doc, rows_k, rows_t, rows_m, rows_o = [], [], [], [], []
@@ -80,6 +68,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
+    def extract_corpus(sf_dir: str):
+        """Flagship extraction over the deterministic interleaved corpus
+        (input_hint schema; sf_dir scales the row count); flattened to a
+        stable hashable schema."""
+        import ray.data
+
+        from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+        from html_parser_ray.sources.corpus import generate_documents
+
+        n = 200 if "0.01" in sf_dir else 50
+        ds = ray.data.from_arrow(generate_documents(n, seed=42))
+        out = build_extraction_pipeline(ds, batch_size=32)
+        return out.map_batches(flatten, batch_format="pyarrow")
+
+    def extract_corpus_split(sf_dir: str):
+        """Same flagship extraction through the giant-doc split/reassembly
+        path (span-boundary fragments -> parallel extract -> ordered merge);
+        output must equal extract_corpus (pinned by tests)."""
+        import ray.data
+
+        from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+        from html_parser_ray.sources.corpus import generate_documents
+
+        n = 200 if "0.01" in sf_dir else 50
+        ds = ray.data.from_arrow(generate_documents(n, seed=42))
+        out = build_extraction_pipeline(
+            ds, batch_size=32, split_giant_docs=True,
+            split_max_bytes=4000, split_max_spans=4,
+        )
         return out.map_batches(flatten, batch_format="pyarrow")
 
     return {
@@ -88,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_li_count": lambda sf: text_analysis.html_li_count(sf),
         # flagship interleaved extraction (rows-only check)
         "extract_corpus": extract_corpus,
+        "extract_corpus_split": extract_corpus_split,
         # relational coverage
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
