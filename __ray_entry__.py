@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from html_parser_ray.sources.corpus import generate_documents
 
         n = 200 if "0.01" in sf_dir else 50
-        ds = ray.data.from_arrow(generate_documents(n, seed=42))
+        ds = ray.data.from_arrow(generate_documents(n, seed=42)).repartition(8)
         out = build_extraction_pipeline(ds, batch_size=32)
         return out.map_batches(flatten, batch_format="pyarrow")
 
@@ -92,7 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from html_parser_ray.sources.corpus import generate_documents
 
         n = 200 if "0.01" in sf_dir else 50
-        ds = ray.data.from_arrow(generate_documents(n, seed=42))
+        ds = ray.data.from_arrow(generate_documents(n, seed=42)).repartition(8)
         out = build_extraction_pipeline(
             ds, batch_size=32, split_giant_docs=True,
             split_max_bytes=4000, split_max_spans=4,
