@@ -335,20 +335,30 @@ def _skip_pi(source: bytes, i: int) -> int:
     return n
 
 
+_RE_FUSED_CLOSE = __import__("re").compile(
+    rb"([^ \n\r\t\x0c/>\x00]+)[ \n\r\t\x0c]*>"
+)
+
+
 def _parse_closing_tag(b: _Builder, source: bytes, i: int) -> int:
     # ref: src/html/parser.zig:296-365
     n = len(source)
-    i += 2
-    if i < n and source[i] in WHITESPACE_SET:  # rare: '</ div'
-        i = skip_ws(source, i)
-    m = RE_TAG_NAME.match(source, i)
-    name_end = m.end()
-    close_name = source[i:name_end].lower()
-    gt = source.find(b">", name_end)
-    i = gt + 1 if gt >= 0 else n
 
-    if not close_name:
-        return i
+    fused = _RE_FUSED_CLOSE.match(source, i + 2)
+    if fused is not None:
+        close_name = fused.group(1).lower()
+        i = fused.end()
+    else:
+        i += 2
+        if i < n and source[i] in WHITESPACE_SET:  # rare: '</ div'
+            i = skip_ws(source, i)
+        m = RE_TAG_NAME.match(source, i)
+        name_end = m.end()
+        close_name = source[i:name_end].lower()
+        gt = source.find(b">", name_end)
+        i = gt + 1 if gt >= 0 else n
+        if not close_name:
+            return i
 
     stack = b.stack
     names = b.name
@@ -373,9 +383,30 @@ def _parse_closing_tag(b: _Builder, source: bytes, i: int) -> int:
     return i
 
 
+_RE_FUSED_TAG = __import__("re").compile(
+    # one C-level match for the common case: name + attr region (quoted values
+    # may contain '>') + terminating '>'. Falls back to the general scanner
+    # when unmatched (leading whitespace, unterminated tag, '<' in attrs).
+    rb"([^ \n\r\t\x0c/>\x00]+)((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
+)
+
+
 def _parse_opening_tag(b: _Builder, source: bytes, i: int) -> int:
     # ref: src/html/parser.zig:135-294
     n = len(source)
+
+    fused = _RE_FUSED_TAG.match(source, i + 1)
+    if fused is not None:
+        name_start = i + 1
+        name_end = fused.end(1)
+        tag_name = source[name_start:name_end].lower()
+        gt = fused.end() - 1
+        attr_end = gt
+        i = fused.end()
+        return _open_tag_body(
+            b, source, tag_name, name_start, name_end, name_end, attr_end, gt, i
+        )
+
     i += 1
     if source[i] in WHITESPACE_SET:  # rare: '<  div'
         i = skip_ws(source, i)
@@ -387,19 +418,6 @@ def _parse_opening_tag(b: _Builder, source: bytes, i: int) -> int:
         return min(i + 1, n)
     tag_name = source[name_start:name_end].lower()
     i = name_end
-
-    stack = b.stack
-    if len(stack) > 1 and tag_name in tags.MAY_TRIGGER_IMPLICIT_CLOSE:
-        # optional-close loop (ref: src/html/parser.zig:367-380)
-        while len(stack) > 1:
-            top = stack[-1]
-            top_name = b.name[top]
-            if top_name not in tags.IMPLICIT_CLOSE_SOURCES:
-                break
-            if not tags.should_implicitly_close(top_name, tag_name):
-                break
-            stack.pop()
-            b.subtree_end[top] = len(b.kind) - 1
 
     attr_start = i
     if i < n and source[i] == 0x3E:
@@ -418,6 +436,43 @@ def _parse_opening_tag(b: _Builder, source: bytes, i: int) -> int:
             i = n
     if i == n and attr_end < i:
         attr_end = i
+    return _open_tag_body(
+        b, source, tag_name, name_start, name_end, attr_start, attr_end, gt, i
+    )
+
+
+def _open_tag_body(
+    b: _Builder,
+    source: bytes,
+    tag_name: bytes,
+    name_start: int,
+    name_end: int,
+    attr_start: int,
+    attr_end: int,
+    gt: int,
+    i: int,
+) -> int:
+    """Shared opening-tag handling after the name/attr-region scan: implicit
+    closures, svg/plaintext/rawtext branches, node append, stack push.
+
+    (Implicit closures run here — after the tag-end scan — where the
+    reference runs them just before it; the two orderings are equivalent
+    because closure application only touches the open-element stack, which
+    tag-end scanning never reads.)
+    """
+    n = len(source)
+    stack = b.stack
+    if len(stack) > 1 and tag_name in tags.MAY_TRIGGER_IMPLICIT_CLOSE:
+        # optional-close loop (ref: src/html/parser.zig:367-380)
+        while len(stack) > 1:
+            top = stack[-1]
+            top_name = b.name[top]
+            if top_name not in tags.IMPLICIT_CLOSE_SOURCES:
+                break
+            if not tags.should_implicitly_close(top_name, tag_name):
+                break
+            stack.pop()
+            b.subtree_end[top] = len(b.kind) - 1
 
     self_close = tag_name in tags.VOID_TAGS
 
