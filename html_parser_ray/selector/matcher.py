@@ -171,38 +171,78 @@ def _matches_scope_anchor(doc, combinator: int, index: int, scope_root: int | No
 def _match_from_right(
     doc, compounds: tuple[Compound, ...], rel: int, index: int, scope_root: int | None
 ) -> bool:
-    # ref: src/selector/matcher.zig:56-179 (recursive formulation)
-    comp = compounds[rel]
-    if not matches_compound(doc, comp, index):
-        return False
-    if rel == 0:
-        return comp.combinator == NONE or _matches_scope_anchor(
-            doc, comp.combinator, index, scope_root
-        )
-    comb = comp.combinator
-    if comb == CHILD:
-        p = doc.parent_element(index)
-        return p is not None and _match_from_right(doc, compounds, rel - 1, p, scope_root)
-    if comb == ADJACENT:
-        prev = doc.prev_element_sibling(index)
-        return prev is not None and _match_from_right(
-            doc, compounds, rel - 1, prev, scope_root
-        )
-    if comb == DESCENDANT:
-        p = doc.parent_element(index)
-        while p is not None:
-            if _match_from_right(doc, compounds, rel - 1, p, scope_root):
-                return True
-            p = doc.parent_element(p)
-        return False
-    if comb == SIBLING:
-        prev = doc.prev_element_sibling(index)
-        while prev is not None:
-            if _match_from_right(doc, compounds, rel - 1, prev, scope_root):
-                return True
-            prev = doc.prev_element_sibling(prev)
-        return False
-    # NONE in non-leftmost position cannot be produced by the compiler
+    # ref: src/selector/matcher.zig:56-179 — the reference's explicit
+    # frame-stack backtracking, ported verbatim (no Python recursion, so
+    # pathological thousand-compound chains cannot hit the recursion limit;
+    # the reference spills its frames to the page allocator for the same
+    # reason). Frame = [rel_index, node_index, phase, cursor]; phases:
+    # 0 = enter, 1 = scan_descendant, 2 = scan_sibling.
+    frames = [[rel, index, 0, -1]]
+    while frames:
+        fr = frames[-1]
+        phase = fr[2]
+        if phase == 0:
+            rel_i = fr[0]
+            node = fr[1]
+            comp = compounds[rel_i]
+            if not matches_compound(doc, comp, node):
+                frames.pop()
+                continue
+            if rel_i == 0:
+                if comp.combinator == NONE or _matches_scope_anchor(
+                    doc, comp.combinator, node, scope_root
+                ):
+                    return True
+                frames.pop()
+                continue
+            comb = comp.combinator
+            if comb == CHILD:
+                p = doc.parent_element(node)
+                if p is None:
+                    frames.pop()
+                    continue
+                fr[0] = rel_i - 1
+                fr[1] = p
+            elif comb == ADJACENT:
+                prev = doc.prev_element_sibling(node)
+                if prev is None:
+                    frames.pop()
+                    continue
+                fr[0] = rel_i - 1
+                fr[1] = prev
+            elif comb == DESCENDANT:
+                p = doc.parent_element(node)
+                if p is None:
+                    frames.pop()
+                    continue
+                fr[2] = 1
+                fr[3] = p
+                frames.append([rel_i - 1, p, 0, -1])
+            elif comb == SIBLING:
+                prev = doc.prev_element_sibling(node)
+                if prev is None:
+                    frames.pop()
+                    continue
+                fr[2] = 2
+                fr[3] = prev
+                frames.append([rel_i - 1, prev, 0, -1])
+            else:
+                # NONE in non-leftmost position cannot be produced by the compiler
+                frames.pop()
+        elif phase == 1:
+            nxt = doc.parent_element(fr[3])
+            if nxt is None:
+                frames.pop()
+                continue
+            fr[3] = nxt
+            frames.append([fr[0] - 1, nxt, 0, -1])
+        else:
+            nxt = doc.prev_element_sibling(fr[3])
+            if nxt is None:
+                frames.pop()
+                continue
+            fr[3] = nxt
+            frames.append([fr[0] - 1, nxt, 0, -1])
     return False
 
 

@@ -222,3 +222,15 @@ def test_not_tag_and_not_id():
     doc = parse_html("<div id='a'></div><span id='b'></span>")
     assert ids_of(doc, doc.query_all("*:not(div)")) == ["b"]
     assert ids_of(doc, doc.query_all("*:not(#a)")) == ["b"]
+
+
+def test_pathological_compound_depth_no_recursion_limit():
+    # ref spills match frames to the heap (matcher.zig:62-77); the iterative
+    # port must survive thousand-compound chains that would blow Python's
+    # recursion limit in a recursive formulation
+    n = 2500
+    sel = compile_selector(" > ".join(["div"] * n))
+    doc = parse_html("<div>" * n + "x" + "</div>" * n)
+    from html_parser_ray.selector.matcher import query_all as qa
+
+    assert len(qa(doc, sel)) == 1
