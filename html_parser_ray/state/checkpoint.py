@@ -176,3 +176,49 @@ def manifest_records(output_root: str) -> list[dict]:
         with open(os.path.join(mdir, f"part-{p}.json")) as f:
             out.append(json.load(f))
     return out
+
+
+def verify_sample(
+    output_root: str,
+    input_path: str,
+    sample_docs: int = 50,
+    seed: int = 7,
+) -> dict:
+    """Per-row invariant self-check (the north rule's span-sequence equality):
+    re-extract a deterministic sample of documents with a fresh
+    single-threaded SpanExtractor and compare span sequences
+    (kind, text, media_ref, offset) against the committed output.
+
+    Returns {checked, mismatches} — mismatches must be 0.
+    """
+    import random
+
+    import ray.data
+
+    from html_parser_ray.extract.extractor import SpanExtractor
+
+    out_rows = {}
+    for batch in read_extraction_output(output_root).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        for row in batch.select(["doc_id", "spans_out"]).to_pylist():
+            out_rows[row["doc_id"]] = row["spans_out"]
+
+    rng = random.Random(seed)
+    ids = sorted(out_rows)
+    sample = set(rng.sample(ids, min(sample_docs, len(ids))))
+
+    ex = SpanExtractor()
+    checked = 0
+    mismatches = 0
+    in_ds = ray.data.read_parquet(input_path)
+    for batch in in_ds.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for row in batch.to_pylist():
+            if row["doc_id"] not in sample:
+                continue
+            expected = ex.extract_document(row["spans"])
+            got = [dict(s) for s in out_rows[row["doc_id"]] or []]
+            checked += 1
+            if got != expected:
+                mismatches += 1
+    return {"checked": checked, "mismatches": mismatches}

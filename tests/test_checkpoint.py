@@ -71,3 +71,16 @@ def test_partial_resume_after_simulated_crash(tmp_path):
     # every doc present exactly once
     ids = sorted(r["doc_id"] for r in back)
     assert ids == [f"doc-{i:08d}" for i in range(40)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_sample_invariant(tmp_path):
+    from html_parser_ray.state.checkpoint import verify_sample
+
+    inp = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_parquet(inp, 30, seed=42, rows_per_file=15)
+    run_resumable_extraction(inp, out, num_partitions=2, wave_size=2, batch_size=8)
+    res = verify_sample(out, inp, sample_docs=20)
+    assert res["checked"] == 20
+    assert res["mismatches"] == 0
