@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     p_extract.add_argument("--no-resume", action="store_true",
                            help="ignore existing manifest (reprocess everything)")
 
+    p_verify = sub.add_parser(
+        "verify", help="span-sequence invariant self-check on committed output"
+    )
+    p_verify.add_argument("--input", required=True)
+    p_verify.add_argument("--output", required=True)
+    p_verify.add_argument("--sample-docs", type=int, default=100)
+
     p_gen = sub.add_parser("generate-corpus", help="write a synthetic corpus")
     p_gen.add_argument("--output", required=True)
     p_gen.add_argument("--num-docs", type=int, default=10000)
@@ -68,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(summary))
             return 0
+        if args.cmd == "verify":
+            from html_parser_ray.state.checkpoint import verify_sample
+
+            res = verify_sample(
+                args.output, args.input, sample_docs=args.sample_docs
+            )
+            print(json.dumps(res))
+            return 0 if res["mismatches"] == 0 else 2
         return 1
     finally:
         ray.shutdown()

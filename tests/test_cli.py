@@ -36,3 +36,22 @@ def test_cli_generate_and_extract(tmp_path):
     assert summary["rows"] == 40
     assert summary["partitions_done"] == 4
     assert os.path.isdir(os.path.join(out, "_manifest"))
+
+
+@pytest.mark.slow
+def test_cli_verify(tmp_path):
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    corpus = str(tmp_path / "c")
+    out = str(tmp_path / "o")
+    for args in (
+        ["generate-corpus", "--output", corpus, "--num-docs", "20"],
+        ["extract", "--input", corpus, "--output", out,
+         "--num-partitions", "2", "--wave-size", "2", "--batch-size", "8"],
+        ["verify", "--input", corpus, "--output", out, "--sample-docs", "10"],
+    ):
+        p = subprocess.run(
+            [sys.executable, "-m", "html_parser_ray.cli", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        )
+        assert p.returncode == 0, (args[0], p.stderr[-1500:])
+    assert json.loads(p.stdout.splitlines()[-1]) == {"checked": 10, "mismatches": 0}
