@@ -1,105 +1,93 @@
-"""Local replica of the driver's correctness gate: run each queries() entry
-and its oracle_sql() side by side at a given sf, compare row-count + schema +
-order-insensitive values. Usage: python tools/check_oracles.py [sf_dir]."""
+"""Driver-mimic: run queries() and oracle_sql() side-by-side at sf0.01 and
+compare rows / schema / values (columns sorted by name, exact equality).
+
+Usage: python tools/check_oracles.py [query ...]   (default: all with oracles)
+"""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.copy()
-    df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
 
 
-def to_pandas(result):
+def to_pandas(result) -> pd.DataFrame:
     import pyarrow as pa
 
-    try:
-        import ray.data
+    import ray.data
 
-        if isinstance(result, ray.data.Dataset):
-            return result.to_pandas()
-    except ImportError:
-        pass
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or None
-
+def main() -> None:
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
 
-    sys.path.insert(0, "/root/repo")
-    import __ray_entry__ as e
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
+    for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    qs = e.queries()
-    oracles = e.oracle_sql()
-    failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    names = sys.argv[1:] or [n for n in qs if n in oracles]
+    failed = []
+    for name in names:
         try:
-            mine = normalize(to_pandas(fn(sf_dir)))
-        except Exception as exc:
-            print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
-            failures += 1
-            continue
-        sql = oracles.get(name)
-        if sql is None:
-            print(f"ok   {name}: rows={len(mine)} (no oracle)")
-            continue
-        try:
-            ref = normalize(con.execute(sql).df())
-        except Exception as exc:
-            print(f"FAIL {name}: oracle raised {exc}")
-            failures += 1
-            continue
-        if list(mine.columns) != list(ref.columns):
-            print(f"FAIL {name}: columns {list(mine.columns)} != {list(ref.columns)}")
-            failures += 1
-            continue
-        if len(mine) != len(ref):
-            print(f"FAIL {name}: rows {len(mine)} != {len(ref)}")
-            failures += 1
-            continue
-        # order-insensitive value compare (exact)
-        m = mine.astype(str).values.tolist()
-        r = ref.astype(str).values.tolist()
-        if sorted(map(tuple, m)) != sorted(map(tuple, r)):
-            print(f"FAIL {name}: value mismatch")
-            diff = [
-                (a, b) for a, b in zip(sorted(map(tuple, m)), sorted(map(tuple, r))) if a != b
-            ][:3]
-            for a, b in diff:
-                print(f"   mine={a}\n   ref ={b}")
-            failures += 1
-            continue
-        print(f"PASS {name}: rows={len(mine)}")
-
+            mine = to_pandas(qs[name](SF_DIR)).reset_index(drop=True)
+            oracle = con.execute(oracles[name]).df().reset_index(drop=True)
+            mine = mine[sorted(mine.columns)]
+            oracle = oracle[sorted(oracle.columns)]
+            rows = len(mine) == len(oracle)
+            schema = list(mine.columns) == list(oracle.columns)
+            values = rows and schema
+            if values:
+                for c in mine.columns:
+                    a, b = mine[c], oracle[c]
+                    try:
+                        eq = (a.to_numpy() == b.to_numpy()).all()
+                    except Exception:
+                        eq = a.astype(str).equals(b.astype(str))
+                    if not eq:
+                        values = False
+                        print(f"  [{name}] column {c} differs:")
+                        neq = a.astype(str) != b.astype(str)
+                        print(pd.DataFrame({"mine": a[neq], "oracle": b[neq]}).head())
+                        break
+            status = "OK" if (rows and schema and values) else "FAIL"
+            if status == "FAIL":
+                failed.append(name)
+            print(
+                f"{status:4} {name}: rows={len(mine)}/{len(oracle)} "
+                f"schema={'ok' if schema else list(mine.columns)}"
+            )
+        except Exception as e:
+            failed.append(name)
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
     ray.shutdown()
-    return 1 if failures else 0
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
