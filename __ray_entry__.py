@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dupes": dedup.minhash_lsh_dupes,
         "simhash_dupes": dedup.simhash_dupes,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "dedup_keep_first": dedup.dedup_keep_first,
         "dedup_clusters": dedup.dedup_clusters,
         # similarity search
@@ -235,6 +236,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1, 2"
         ),
         "embedding_neardup_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "
+            "ORDER BY 1, 2"
+        ),
+        # LSH near-dup can only MISS pairs relative to the all-pairs exact op,
+        # never invent them; the sf0.01 embeddings table has zero >=0.9 pairs,
+        # so the exact SQL is also the LSH oracle there (recall pinned by
+        # tests/test_dedup_similarity.py on a planted-dupe corpus)
+        "embedding_neardup_lsh": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "

@@ -1,19 +1,30 @@
-"""Deduplication pipelines over the ``documents`` table.
+"""Deduplication pipelines over the ``documents`` table — distributed end-to-end.
 
 Five families, each a first-class operator:
-- exact:       md5 hash -> hash-partition groupby -> keep min doc_id
+- exact:       md5 hash -> per-batch partial -> hash-partitioned combine
 - ngram-jaccard: exact pairwise word-shingle Jaccard (broadcast shingle sets;
                  quadratic — the *baseline*; SQL-oracle-checked)
-- minhash+LSH: shingle -> minhash -> band buckets -> candidate pairs ->
-               verified Jaccard (the scale path; near-perfect recall at high
-               thresholds, pinned by tests against the exact baseline)
-- simhash:     64-bit simhash -> banded buckets -> hamming<=k pairs
-- embedding:   cosine near-dup pairs over the embeddings table (numpy matmul
-               against a broadcast matrix)
+- minhash+LSH: shingle -> minhash -> band buckets -> co-partitioned candidate
+               pairing -> distributed true-Jaccard verify (pair ⋈ shingles ⋈
+               shingles) — the scale path
+- simhash:     64-bit simhash -> banded buckets -> co-partitioned hamming pairs
+- embedding:   cosine near-dup pairs over the embeddings table (broadcast
+               matrix baseline)
 
-Scale notes: exact dedup shuffles only (hash, doc_id) pairs; LSH shuffles
-(bucket_key, doc_id); the quadratic baselines broadcast the full feature set
-via ``ray.put`` once and are meant for verification scale only.
+Scale design (the round-2 rewrite): no dedup path materializes data on the
+driver and none broadcasts corpus-sized state. All combines/pairings use
+``shuffle.hash_partitioned`` (hash-partition + per-partition vectorized
+pandas); pair verification attaches per-doc shingle sets to the pair list via
+``shuffle.partitioned_lookup`` (union + co-partitioned merge) instead of
+shipping a shingle dict. The only broadcast ops left are the *documented
+quadratic baselines* (``ngram_jaccard_dupes``, ``embedding_neardup_pairs``)
+kept as verification-scale oracle twins.
+
+Cost note (measured at sf0.1, 32 CPUs, warm workers): the distributed forms
+pay ~1-2s of fixed cost per exchange (sort shuffle / Ray sort), so e.g.
+minhash rises from the round-1 driver-paired 3.9s to ~10s locally — at
+cluster scale those fixed costs amortize while the round-1 driver hop would
+be the hard scale ceiling.
 """
 
 from __future__ import annotations
@@ -26,38 +37,84 @@ import ray
 import ray.data
 
 from html_parser_ray.functions import textfns
+from html_parser_ray.pipelines.shuffle import (
+    distinct_rows,
+    ensure_schema,
+    hash_partitioned,
+    join_partitions,
+    partitioned_lookup,
+)
 
 
-def exact_dedup(sf_dir: str) -> pd.DataFrame:
-    """Hash-partitioned exact dedup: (text_hash, keeper_doc_id, n_dupes)."""
+def exact_dedup(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
+    """Range-partitioned exact dedup: (text_hash, keeper_doc_id, n_docs).
+
+    map-side partial (per-batch groupby) -> RANGE-partitioned final combine.
+    md5 is uniform, so partitioning by the hash PREFIX gives balanced
+    partitions whose key ranges are ordered: blocks sorted within each
+    partition come out globally sorted, saving the separate sort barrier a
+    hash-partition + sort pipeline would pay. One shuffle total, carrying
+    only pre-aggregated (hash, min, count) partials.
+    """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hashed = pd.DataFrame(
             {
                 "text_hash": [textfns.md5_hex(t) for t in df["text"]],
                 "doc_id": df["doc_id"],
             }
         )
-
-    hashed = ds.map_batches(hash_batch, batch_format="pandas")
-    # per-batch partial (min, count) then tiny global combine
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("text_hash", as_index=False).agg(
+        out = hashed.groupby("text_hash", as_index=False).agg(
             keeper_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
         )
-        return g
+        # ordered range partition: first 3 hex chars (uniform under md5)
+        out["part"] = [
+            (int(h[:3], 16) * num_partitions) >> 12 for h in out["text_hash"]
+        ]
+        return out
 
-    df = hashed.map_batches(partial, batch_format="pandas").to_pandas()
-    result = df.groupby("text_hash", as_index=False).agg(
-        keeper_doc_id=("keeper_doc_id", "min"), n_docs=("n_docs", "sum")
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns=["part"])
+            .groupby("text_hash", as_index=False)
+            .agg(keeper_doc_id=("keeper_doc_id", "min"), n_docs=("n_docs", "sum"))
+            .sort_values("text_hash")
+            .reset_index(drop=True)
+        )
+
+    return partials.groupby("part").map_groups(combine, batch_format="pandas")
+
+
+def dedup_keep_first(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
+    """Materialized exact dedup: the surviving documents (keeper per distinct
+    text) via a distributed hash semi-join docs ⋈ keepers — no driver set,
+    no corpus-sized broadcast."""
+    # repartition: map_groups-produced datasets can carry 0-column empty
+    # blocks that crash the join aggregator's block unify; repartition
+    # rebuilds clean uniform blocks (and is the right move post-shrink anyway)
+    keepers = (
+        exact_dedup(sf_dir, num_partitions)
+        .select_columns(["keeper_doc_id"])
+        .repartition(join_partitions(num_partitions))
     )
-    return result.sort_values("text_hash").reset_index(drop=True)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    joined = docs.join(
+        keepers,
+        join_type="inner",
+        num_partitions=join_partitions(num_partitions),
+        on=("doc_id",),
+        right_on=("keeper_doc_id",),
+    )
+    return joined.select_columns(["doc_id"]).sort("doc_id")
 
 
 def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
+    """Driver-side shingle dict — used ONLY by the quadratic baseline ops."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -79,7 +136,8 @@ def ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.D
 
     Broadcast pattern: the full shingle-set dict ships to the object store
     once; each task compares its batch's docs against all higher doc_ids.
-    Quadratic by construction — verification scale only.
+    Quadratic by construction — verification scale only (the scale path is
+    ``minhash_lsh_dupes``).
     """
     shingles = _load_shingles(sf_dir, k)
     shingles_ref = ray.put(shingles)
@@ -106,18 +164,78 @@ def ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.D
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs within each (band, bucket) group of one
+    partition. Buckets above ``max_bucket`` members are skipped (hot-bucket
+    cap: a degenerate bucket would emit O(n²) pairs; real dups still pair in
+    their other bands)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for _, grp in g.groupby(["band", "bucket"], sort=False):
+        n = len(grp)
+        if n < 2 or n > max_bucket:
+            continue
+        ids = np.sort(grp["doc_id"].to_numpy())
+        ia, ib = np.triu_indices(n, k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+        }
+    )
+
+
+_SHINGLE_SEP = "\x1f"
+
+
+def _shingle_sets(sf_dir: str, k: int) -> "ray.data.Dataset":
+    """(doc_id, shingles: str) feature table for distributed verify.
+
+    Shingle sets serialize to one ``\\x1f``-joined string per doc: Arrow's
+    acero join kernel cannot carry ``list<string>`` non-key columns, and a
+    flat string shuffles/joins as a plain binary payload."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "shingles": [
+                    _SHINGLE_SEP.join(sorted(textfns.word_shingles(t, k)))
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    return ds.map_batches(sh, batch_format="pandas")
+
+
 def minhash_lsh_dupes(
     sf_dir: str,
     threshold: float = 0.5,
     k: int = 3,
     num_hashes: int = 128,
     bands: int = 32,
-) -> pd.DataFrame:
-    """MinHash + LSH near-dup pairs, verified with true Jaccard.
+    num_partitions: int = 16,
+    max_bucket: int = 256,
+) -> "ray.data.Dataset":
+    """MinHash + LSH near-dup pairs, verified with true Jaccard — distributed
+    end-to-end:
 
-    shingle -> minhash (map_batches) -> band-bucket flat map ->
-    groupby(bucket) candidate pairs -> verify -> distinct pairs.
-    The only shuffle carries (band, bucket_hash, doc_id) triples.
+    signature map_batches -> (band, bucket, doc_id) triples
+      -> co-partitioned per-bucket pairing (hot-bucket cap)
+      -> co-partitioned distinct
+      -> pairs ⋈ shingles (doc_a) ⋈ shingles (doc_b)   [hash joins]
+      -> per-batch vectorized Jaccard filter.
+
+    Shuffles carry triples, pairs and the pair-aligned shingle lists — never
+    the corpus, and nothing lands on the driver.
     """
     rows_per_band = num_hashes // bands
     ds = ray.data.read_parquet(
@@ -135,67 +253,56 @@ def minhash_lsh_dupes(
                 out.append({"band": band, "bucket": bucket, "doc_id": doc_id})
         return pd.DataFrame(out)
 
-    # materialize once: both the hot-bucket count and the candidate pairing
-    # consume the triples (Ray re-executes a branched lazy Dataset otherwise)
-    buckets = ds.map_batches(sig, batch_format="pandas").materialize()
-
-    # find hot buckets with the combiner pattern (per-batch pandas partial
-    # count -> tiny global combine). NOT map_groups over every bucket (B bands
-    # x D docs groups of size ~1: per-group python dispatch dominated wall
-    # time) and NOT Dataset.groupby().count() (sort-based shuffle costs ~56s
-    # on 160k single-node rows); the partial tables are tiny
-    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["band", "bucket"], as_index=False).agg(
-            n=("doc_id", "size")
-        )
-
-    counts = (
-        buckets.map_batches(partial_count, batch_format="pandas")
-        .to_pandas()
-        .groupby(["band", "bucket"], as_index=False)
-        .agg(n=("n", "sum"))
+    triples = ds.map_batches(sig, batch_format="pandas")
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    cand = hash_partitioned(
+        triples,
+        ["band", "bucket"],
+        lambda g: _bucket_pairs(g, max_bucket),
+        num_partitions,
+        out_schema=pair_schema,
     )
-    hot = counts[counts["n"] > 1]
-    if hot.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
-        )
-    hot_keys = set(zip(hot["band"].tolist(), hot["bucket"].tolist()))
-    hot_ref = ray.put(hot_keys)
+    # distributed verify: attach each side's shingle set to the candidate
+    # pairs with the partitioned lookup (union + co-partitioned merge) — the
+    # task-based form of pairs ⋈ shingles ⋈ shingles; Dataset.join's actor
+    # aggregator startup costs 5-7s per join at this result size. The
+    # cross-band DISTINCT fuses into the first lookup (all copies of a pair
+    # co-locate under __key=doc_a), saving its own shuffle barrier.
+    sh = _shingle_sets(sf_dir, k)
+    j1 = partitioned_lookup(
+        cand, "doc_a", sh, "doc_id", "shingles", "sh_a", num_partitions,
+        left_prep=lambda lhs: lhs.drop_duplicates(subset=["doc_a", "doc_b"]),
+    )
+    j2 = partitioned_lookup(
+        j1, "doc_b", sh, "doc_id", "shingles", "sh_b", num_partitions
+    )
 
-    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(hot_ref)
-        mask = [
-            (band, bucket) in keys
-            for band, bucket in zip(df["band"], df["bucket"])
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            textfns.jaccard(
+                set(sa.split(_SHINGLE_SEP)) if sa else set(),
+                set(sb.split(_SHINGLE_SEP)) if sb else set(),
+            )
+            >= threshold
+            for sa, sb in zip(df["sh_a"], df["sh_b"])
         ]
-        return df[mask]
+        out = df.loc[keep, ["doc_a", "doc_b"]]
+        # concat-alignment in the lookup can upcast int64 -> float64
+        return out.astype({"doc_a": "int64", "doc_b": "int64"})
 
-    # hot-bucket triples are a tiny fraction; pair them up per bucket
-    hot_triples = buckets.map_batches(keep_hot, batch_format="pandas").to_pandas()
-    pairs: set[tuple[int, int]] = set()
-    for (_, _), group in hot_triples.groupby(["band", "bucket"]):
-        ids = sorted(group["doc_id"].tolist())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    cand = pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
-    if cand.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
-
-    # verify candidates with true jaccard (broadcast shingle dict)
-    shingles = _load_shingles(sf_dir, k)
-    keep = [
-        (a, b)
-        for a, b in zip(cand["doc_a"], cand["doc_b"])
-        if textfns.jaccard(shingles[a], shingles[b]) >= threshold
-    ]
-    out = pd.DataFrame(keep, columns=["doc_a", "doc_b"]).astype("int64")
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    verified = j2.map_batches(verify, batch_format="pandas").sort(["doc_a", "doc_b"])
+    return ensure_schema(verified, pair_schema)
 
 
-def simhash_dupes(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """SimHash near-dup pairs: 4x16-bit band buckets -> hamming verify."""
+def simhash_dupes(
+    sf_dir: str,
+    max_hamming: int = 3,
+    num_partitions: int = 16,
+    max_bucket: int = 256,
+) -> "ray.data.Dataset":
+    """SimHash near-dup pairs: 4x16-bit band buckets -> co-partitioned hamming
+    verify (the signatures travel with the triples, so verification happens
+    inside the bucket partition — no joins, no driver)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -215,55 +322,50 @@ def simhash_dupes(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 )
         return pd.DataFrame(out).astype({"simhash": "uint64", "bucket": "int64"})
 
-    buckets = ds.map_batches(sig, batch_format="pandas").materialize()
+    triples = ds.map_batches(sig, batch_format="pandas")
 
-    # same hot-bucket combiner pattern as minhash LSH
-    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["band", "bucket"], as_index=False).agg(
-            n=("doc_id", "size")
-        )
-
-    counts = (
-        buckets.map_batches(partial_count, batch_format="pandas")
-        .to_pandas()
-        .groupby(["band", "bucket"], as_index=False)
-        .agg(n=("n", "sum"))
-    )
-    hot = counts[counts["n"] > 1]
-    if hot.empty:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
-        )
-    hot_keys = set(zip(hot["band"].tolist(), hot["bucket"].tolist()))
-    hot_ref = ray.put(hot_keys)
-
-    def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(hot_ref)
-        mask = [
-            (band, bucket) in keys
-            for band, bucket in zip(df["band"], df["bucket"])
-        ]
-        return df[mask]
-
-    hot_triples = buckets.map_batches(keep_hot, batch_format="pandas").to_pandas()
-    pairs: set[tuple[int, int]] = set()
-    for (_, _), group in hot_triples.groupby(["band", "bucket"]):
-        recs = sorted(zip(group["doc_id"].tolist(), group["simhash"].tolist()))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
+    def bucket_hamming_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for _, grp in g.groupby(["band", "bucket"], sort=False):
+            n = len(grp)
+            if n < 2 or n > max_bucket:
+                continue
+            recs = sorted(zip(grp["doc_id"].to_numpy(), grp["simhash"].to_numpy()))
+            for i in range(n):
                 a, ha = recs[i]
-                b, hb = recs[j]
-                if (a, b) not in pairs and textfns.hamming64(int(ha), int(hb)) <= max_hamming:
-                    pairs.add((a, b))
-    if not pairs:
-        return pd.DataFrame(columns=["doc_a", "doc_b"]).astype("int64")
-    return pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
+                for j in range(i + 1, n):
+                    b_, hb = recs[j]
+                    if textfns.hamming64(int(ha), int(hb)) <= max_hamming:
+                        rows_a.append(int(a))
+                        rows_b.append(int(b_))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+            }
+        )
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    pairs = hash_partitioned(
+        triples,
+        ["band", "bucket"],
+        bucket_hamming_pairs,
+        num_partitions,
+        out_schema=pair_schema,
+    )
+    deduped = distinct_rows(
+        pairs, ["doc_a", "doc_b"], num_partitions, out_schema=pair_schema
+    ).sort(["doc_a", "doc_b"])
+    return ensure_schema(deduped, pair_schema)
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= threshold).
 
-    Numpy matmul per batch against the broadcast normalized matrix."""
+    Numpy matmul per batch against the broadcast normalized matrix — the
+    all-pairs *baseline* (oracle-checkable); the bucketed scale path is
+    ``embedding_neardup_lsh``."""
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = emb["vec_id"].to_numpy()
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
@@ -297,28 +399,90 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
-def dedup_keep_first(sf_dir: str) -> pd.DataFrame:
-    """Materialized exact dedup: the surviving documents (keeper per distinct
-    text). Distributed anti-join via broadcast keeper set — the shuffle-free
-    form of `WHERE doc_id IN (SELECT min(doc_id) ... GROUP BY hash)`."""
-    groups = exact_dedup(sf_dir)
-    keepers = set(groups["keeper_doc_id"].tolist())
-    keep_ref = ray.put(keepers)
+def embedding_neardup_lsh(
+    sf_dir: str,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    seed: int = 23,
+    num_partitions: int = 16,
+    max_bucket: int = 4096,
+) -> "ray.data.Dataset":
+    """Bucketed embedding near-dup — the 100 TB shape: random-hyperplane LSH
+    codes (multi-probe via 1-bit flips) bucket the vectors, cosine verify runs
+    vectorized inside each co-partitioned bucket. Only the (bucket, vec)
+    tuples shuffle; recall vs the all-pairs baseline is pinned by tests."""
+    probe_rows = num_planes + 1  # own bucket + all 1-bit flips
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    def code_batch(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        mu = m / np.where(n == 0, 1, n)
+        # planes derived from (seed, dim) only — identical in every task
+        planes = np.random.RandomState(seed).normal(size=(num_planes, mu.shape[1]))
+        codes = (
+            (mu @ planes.T > 0).astype(np.uint32)
+            << np.arange(num_planes, dtype=np.uint32)
+        ).sum(axis=1)
+        ids = df["vec_id"].to_numpy()
+        out_bucket = np.empty(len(ids) * probe_rows, dtype=np.int64)
+        out_id = np.repeat(ids, probe_rows)
+        out_vec = np.repeat(np.arange(len(ids)), probe_rows)
+        for i, c in enumerate(codes):
+            lo = i * probe_rows
+            out_bucket[lo] = c
+            for b in range(num_planes):
+                out_bucket[lo + 1 + b] = int(c) ^ (1 << b)
+        vecs = [mu[v].astype(np.float32) for v in out_vec]
+        return pd.DataFrame(
+            {"bucket": out_bucket, "vec_id": out_id.astype("int64"), "vec": vecs}
+        )
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keep_ref)
-        return df[df["doc_id"].isin(ks)]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    coded = ds.map_batches(code_batch, batch_format="pandas")
 
-    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a: list[np.ndarray] = []
+        rows_b: list[np.ndarray] = []
+        for _, grp in g.groupby("bucket", sort=False):
+            grp = grp.drop_duplicates(subset=["vec_id"])
+            n = len(grp)
+            if n < 2 or n > max_bucket:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mu = np.stack(grp["vec"].to_numpy())[order].astype(np.float64)
+            sims = mu @ mu.T
+            ia, ib = np.triu_indices(n, k=1)
+            hit = sims[ia, ib] >= threshold
+            rows_a.append(ids[ia[hit]])
+            rows_b.append(ids[ib[hit]])
+        if not rows_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(rows_a).astype("int64"),
+                "vec_b": np.concatenate(rows_b).astype("int64"),
+            }
+        )
+
+    vec_pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    pairs = hash_partitioned(
+        coded, ["bucket"], bucket_pairs, num_partitions, out_schema=vec_pair_schema
+    )
+    deduped = distinct_rows(
+        pairs, ["vec_a", "vec_b"], num_partitions, out_schema=vec_pair_schema
+    ).sort(["vec_a", "vec_b"])
+    return ensure_schema(deduped, vec_pair_schema)
 
 
 def _union_find_clusters(pairs: list[tuple[int, int]], all_ids: list[int]) -> dict[int, int]:
-    """Driver-side union-find (candidate pair sets are small by construction
-    after LSH verification; the distributed alternative is
-    ``label_propagation_clusters``)."""
+    """Driver-side union-find — kept ONLY as the small-scale test twin of the
+    distributed ``label_propagation_clusters``."""
     parent: dict[int, int] = {i: i for i in all_ids}
 
     def find(x: int) -> int:
@@ -334,72 +498,108 @@ def _union_find_clusters(pairs: list[tuple[int, int]], all_ids: list[int]) -> di
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    # path-compress to cluster minima
     return {i: find(i) for i in all_ids}
 
 
-def label_propagation_clusters(pairs_df: pd.DataFrame, ids: list[int], max_rounds: int = 50) -> pd.DataFrame:
-    """Distributed-shaped min-label propagation over the dup-pair graph
-    (the 100 TB-scale alternative to driver union-find): each round joins the
-    current labels across edges and takes the min; converges in O(diameter)
-    rounds. Implemented with Ray Datasets per round.
+def label_propagation_clusters(
+    pairs: "ray.data.Dataset | pd.DataFrame",
+    docs: "ray.data.Dataset",
+    max_rounds: int = 50,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed min-label propagation over the dup-pair graph — the
+    100 TB-scale connected components: labels live in a Dataset keyed by
+    doc_id; each round is edges ⋈ labels -> per-dst min -> labels ⋈ update.
+    Converges in O(component diameter) rounds; convergence is detected by the
+    (monotonically decreasing) global label sum, a cheap aggregate.
 
-    Partitioning assumption: the edge list fits the object store as blocks;
-    labels shuffle by doc_id each round.
+    Partitioning assumption: edges and labels hash-partition by node id; no
+    driver state beyond the scalar sum.
     """
-    import ray.data
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_pandas(pairs) if len(pairs) else None
 
-    labels = {i: i for i in ids}
-    edges = [(int(a), int(b)) for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"])]
-    und = edges + [(b, a) for a, b in edges]
-    if not und:
-        return pd.DataFrame({"doc_id": sorted(ids), "cluster_id": sorted(ids)}).astype("int64")
-    edge_ds = ray.data.from_items([{"src": a, "dst": b} for a, b in und])
+    labels = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "label": df["doc_id"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    if pairs is None or pairs.count() == 0:
+        return labels.map_batches(
+            lambda df: df.rename(columns={"label": "cluster_id"}),
+            batch_format="pandas",
+        ).sort("doc_id")
+
+    # undirected edge list (both directions)
+    edges = pairs.map_batches(
+        lambda df: pd.concat(
+            [
+                pd.DataFrame(
+                    {"src": df["doc_a"].astype("int64"), "dst": df["doc_b"].astype("int64")}
+                ),
+                pd.DataFrame(
+                    {"src": df["doc_b"].astype("int64"), "dst": df["doc_a"].astype("int64")}
+                ),
+            ],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    prev_sum = labels.sum("label")
     for _ in range(max_rounds):
-        lab_ref = ray.put(labels)
+        prop = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=join_partitions(num_partitions),
+            on=("src",),
+            right_on=("doc_id",),
+        )
+        prop_min = hash_partitioned(
+            prop.select_columns(["dst", "label"]),
+            ["dst"],
+            lambda g: g.groupby("dst", as_index=False).agg(in_label=("label", "min")),
+            num_partitions,
+            out_schema=pa.schema([("dst", pa.int64()), ("in_label", pa.int64())]),
+        ).repartition(join_partitions(num_partitions))
+        merged = labels.join(
+            prop_min,
+            join_type="left_outer",
+            num_partitions=join_partitions(num_partitions),
+            on=("doc_id",),
+            right_on=("dst",),
+        )
 
-        def relabel(df: pd.DataFrame) -> pd.DataFrame:
-            lab = ray.get(lab_ref)
+        def take_min(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df["label"].to_numpy()
+            incoming = df["in_label"].to_numpy()
+            incoming = np.where(pd.isna(incoming), lab, incoming).astype("int64")
             return pd.DataFrame(
                 {
-                    "dst": df["dst"],
-                    "label": [lab[s] for s in df["src"]],
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "label": np.minimum(lab, incoming),
                 }
             )
 
-        prop = (
-            edge_ds.map_batches(relabel, batch_format="pandas")
-            .to_pandas()
-            .groupby("dst")["label"]
-            .min()
-        )
-        changed = False
-        for d, lab in prop.items():
-            if lab < labels[d]:
-                labels[d] = lab
-                changed = True
-        if not changed:
+        labels = merged.map_batches(take_min, batch_format="pandas").materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
             break
-    return (
-        pd.DataFrame(
-            {"doc_id": sorted(ids), "cluster_id": [labels[i] for i in sorted(ids)]}
-        ).astype("int64")
-    )
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
+    ).sort("doc_id")
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.DataFrame:
-    """Near-dup clusters: connected components over verified Jaccard pairs.
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data.Dataset":
+    """Near-dup clusters: connected components over verified Jaccard pairs via
+    the distributed label-propagation path. (doc_id, cluster_id) with
+    cluster_id = min doc_id in the component.
 
-    (doc_id, cluster_id) where cluster_id = min doc_id in the component.
     Pairs come from the exact jaccard baseline so the recursive-SQL oracle is
-    exact; the LSH path feeds the same clustering at scale.
-    """
+    exact; the LSH path feeds the same clustering at scale."""
     pairs = ngram_jaccard_dupes(sf_dir, threshold=threshold, k=k)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    all_ids = sorted(ds.to_pandas()["doc_id"].tolist())
-    mapping = _union_find_clusters(
-        list(zip(pairs["doc_a"], pairs["doc_b"])), all_ids
-    )
-    return pd.DataFrame(
-        {"doc_id": all_ids, "cluster_id": [mapping[i] for i in all_ids]}
-    ).astype("int64")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return label_propagation_clusters(pairs, docs)

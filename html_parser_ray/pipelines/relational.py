@@ -234,53 +234,86 @@ def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     return result.sort_values("n_name").reset_index(drop=True)
 
 
-def revenue_by_nation_bucketed(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
-    """Same query as ``revenue_by_nation`` via the portable explicit
-    partitioned hash join (no Dataset.join): both sides get a
-    ``bucket = key % B`` column, bucket pairs join inside ``map_groups``.
-    The pattern to reach for when Dataset.join is unavailable or when hot
-    keys need salting into sub-buckets.
+def revenue_by_nation_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Same query as ``revenue_by_nation`` via a portable explicit
+    **co-partitioned hash join** (no ``Dataset.join``): both big sides are
+    tagged and unioned into one Dataset, hash-partitioned by the join key, and
+    joined bucket-by-bucket inside one vectorized pandas pass per bucket
+    (build dict from the orders rows, probe with the lineitem rows). Only the
+    genuinely small dimension tables (customer, nation) broadcast. This is the
+    pattern to reach for when hot keys need salting into sub-buckets — and the
+    round-2 replacement for the round-1 variant that broadcast the entire
+    orders table (VERDICT.md §wrong item 1).
     """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
     lineitem = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = pd.read_parquet(
+    orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
+
+    # small sides: broadcast once via ray.put (dimension tables)
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     nation = pd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    # orders bucketed once, broadcast as per-bucket dicts
-    orders["bucket"] = orders["o_orderkey"] % num_buckets
-    order_maps = {
-        b: dict(zip(g["o_orderkey"], g["o_custkey"]))
-        for b, g in orders.groupby("bucket")
-    }
-    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    maps_ref = ray.put((order_maps, cust_map, nation_map))
+    cust_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    nation_map_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    def bucket_and_partial(df: pd.DataFrame) -> pd.DataFrame:
-        omaps, cmap, nmap = ray.get(maps_ref)
-        out_rows = []
-        df = df.assign(bucket=df["l_orderkey"] % num_buckets)
-        for b, g in df.groupby("bucket"):
-            omap = omaps.get(b, {})
-            cust_keys = g["l_orderkey"].map(omap)
-            names = cust_keys.map(cmap).map(nmap)
-            rev = _cents(g["l_extendedprice"].to_numpy()) * (
-                100 - _cents(g["l_discount"].to_numpy())
-            )
-            part = pd.DataFrame({"n_name": names, "revenue_bp": rev, "lines": 1})
-            out_rows.append(part.groupby("n_name", as_index=False).sum())
-        if not out_rows:
-            return pd.DataFrame(columns=["n_name", "revenue_bp", "lines"])
-        return pd.concat(out_rows, ignore_index=True)
+    # tag + align both big sides on a common schema, union, co-partition by
+    # key. The probe side pre-aggregates per (batch, orderkey) BEFORE the
+    # shuffle (combiner pattern): ~4 lineitem rows per order collapse to one,
+    # so the exchange carries 1/4 the rows.
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        raw = pd.DataFrame(
+            {
+                "key": df["l_orderkey"].astype("int64"),
+                "rev_bp": _cents(df["l_extendedprice"].to_numpy())
+                * (100 - _cents(df["l_discount"].to_numpy())),
+                "lines": np.int64(1),
+            }
+        )
+        agg = raw.groupby("key", as_index=False).sum()
+        agg["custkey"] = np.int64(-1)
+        agg["side"] = np.uint8(0)
+        return agg
 
-    partials = lineitem.map_batches(bucket_and_partial, batch_format="pandas")
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype("int64"),
+                "rev_bp": np.int64(0),
+                "lines": np.int64(0),
+                "custkey": df["o_custkey"].astype("int64"),
+                "side": np.uint8(1),
+            }
+        )
+
+    both = lineitem.map_batches(tag_lineitem, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def bucket_join_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cust_map_ref)
+        nmap = ray.get(nation_map_ref)
+        build = g[g["side"] == 1]
+        probe = g[g["side"] == 0]
+        omap = dict(zip(build["key"], build["custkey"]))
+        names = probe["key"].map(omap).map(cmap).map(nmap)
+        part = pd.DataFrame(
+            {
+                "n_name": names,
+                "revenue_bp": probe["rev_bp"].to_numpy(),
+                "lines": probe["lines"].to_numpy(),
+            }
+        )
+        return part.groupby("n_name", as_index=False).sum()
+
+    partials = hash_partitioned(both, ["key"], bucket_join_partial, num_buckets)
     result = _final_groupby(partials, ["n_name"], ["revenue_bp", "lines"])
     return result.sort_values("n_name").reset_index(drop=True)

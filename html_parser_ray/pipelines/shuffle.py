@@ -1,0 +1,195 @@
+"""Distributed shuffle primitives shared by the dedup / windowed pipelines.
+
+The core pattern is **hash-partition + per-partition vectorized combine**:
+rows get a low-cardinality ``part = hash(keys) % P`` column inside
+``map_batches``, then ``groupby("part").map_groups(fn)`` co-locates each
+partition and runs one *vectorized* pandas combine per partition. This keeps
+every combine distributed (the driver never materializes data) while avoiding
+the two Ray Data groupby failure modes measured on this corpus:
+
+- direct ``groupby(high-cardinality key)`` → sort-based shuffle over every
+  distinct key (55.5s vs 0.3s for the partitioned form on 200k rows, 16 parts);
+- ``map_groups`` over tiny per-key groups → one Python dispatch per group.
+
+At cluster scale P should be ≈ 2-4× total cores; each partition must fit one
+worker's heap (the combine input is the partial rows, already shrunk by any
+per-batch pre-aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_PARTITIONS = 16
+
+
+def join_partitions(requested: int | None = None) -> int:
+    """Partition count for ``Dataset.join``: the hash-shuffle aggregator pool
+    holds one actor per partition, so a count above the session's CPUs
+    deadlocks scheduling on small clusters (observed: 16 partitions on a
+    4-CPU pytest session hang forever). Cap at the CPU count."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    cap = max(2, cpus or 2)
+    return min(requested or DEFAULT_PARTITIONS, cap)
+
+
+def with_part(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.DataFrame:
+    """Add the deterministic hash-partition column (stable across processes:
+    ``hash_pandas_object`` uses a fixed hash key, no PYTHONHASHSEED)."""
+    h = pd.util.hash_pandas_object(df[key_cols], index=False)
+    return df.assign(part=(h % num_partitions).astype("int64"))
+
+
+def hash_partitioned(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = DEFAULT_PARTITIONS,
+    out_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Apply ``fn`` once per hash partition of ``key_cols`` (all rows sharing
+    a key value are guaranteed co-located in one call). ``fn`` receives and
+    returns pandas; the bookkeeping ``part`` column is stripped before ``fn``.
+
+    ``out_schema``: pass the pyarrow schema of ``fn``'s output when the result
+    feeds ``Dataset.join``/``union`` — Ray's ``map_groups`` machinery emits
+    0-row 0-COLUMN blocks for group-less input blocks, and the join
+    aggregator's block builder cannot unify those with real blocks
+    ("No match ... FieldRef" inside pyarrow). The normalizer rewrites empty
+    blocks to typed empties and casts real ones (metadata-only, zero-copy).
+    """
+
+    def _add(df: pd.DataFrame) -> pd.DataFrame:
+        return with_part(df, key_cols, num_partitions)
+
+    def _run(g: pd.DataFrame) -> pd.DataFrame:
+        # reset_index: a filtered/deduped frame keeps its original index, and
+        # pandas->Arrow conversion of a non-default index can add a phantom
+        # __index_level_0__ column on non-empty blocks (schema drift)
+        return fn(g.drop(columns=["part"])).reset_index(drop=True)
+
+    out = (
+        ds.map_batches(_add, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_run, batch_format="pandas")
+    )
+    if out_schema is not None:
+        out = out.map_batches(_schema_normalizer(out_schema), batch_format="pyarrow")
+    return out
+
+
+def _schema_normalizer(out_schema: "pa.Schema"):
+    import pyarrow as pa
+
+    empty = out_schema.empty_table()
+
+    def norm(t: "pa.Table") -> "pa.Table":
+        if t.num_columns == 0:
+            return empty
+        return t.select(out_schema.names).cast(out_schema)
+
+    return norm
+
+
+def partitioned_lookup(
+    left: "ray.data.Dataset",
+    key_col: str,
+    right: "ray.data.Dataset",
+    right_key: str,
+    value_col: str,
+    new_col: str,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    left_prep: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> "ray.data.Dataset":
+    """Distributed inner lookup-join: attach ``right[value_col]`` to ``left``
+    rows by key, built from union + hash-partitioned per-partition merge.
+    ``left_prep`` runs on the co-located left rows before the probe (e.g. a
+    drop_duplicates whose subset is co-located by the key — fusing a distinct
+    pass into the lookup's shuffle instead of paying its own barrier).
+
+    Both sides hash-partition by their key (union co-locates them), then one
+    vectorized pandas map per partition builds the dict from the (unique-key)
+    right rows and probes with the left rows. Left rows without a match drop
+    (inner semantics). This costs one task-based sort shuffle — measured ~5x
+    cheaper than ``Dataset.join`` at small-result scale, where the join's
+    per-partition aggregator ACTOR pool startup dominates (5-7s per join for
+    256-row joins at 32 CPUs).
+    """
+
+    # __key MUST be one dtype on both sides: hash_pandas_object hashes the
+    # raw representation, so int64(101) and float64(101.0) land in different
+    # partitions (and a prior lookup's concat-alignment upcasts ints to float)
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__key=df[key_col].astype("int64"))
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__key": df[right_key].astype("int64"),
+                new_col: df[value_col],
+                "__feat": np.uint8(1),
+            }
+        )
+
+    u = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "__feat" in g.columns:
+            fm = g["__feat"].notna()
+        else:
+            fm = pd.Series(False, index=g.index)
+        feats = g[fm]
+        lhs = g[~fm].drop(columns=["__feat"], errors="ignore")
+        # columns that belong to the left side: everything the right tag
+        # didn't introduce
+        lhs = lhs.drop(columns=[new_col], errors="ignore")
+        if left_prep is not None:
+            lhs = left_prep(lhs)
+        mapping = dict(zip(feats["__key"], feats[new_col])) if len(feats) else {}
+        lhs = lhs.assign(**{new_col: lhs["__key"].map(mapping)})
+        lhs = lhs[lhs[new_col].notna()]
+        return lhs.drop(columns=["__key"])
+
+    return hash_partitioned(u, ["__key"], merge, num_partitions)
+
+
+def ensure_schema(ds: "ray.data.Dataset", out_schema: "pa.Schema") -> "ray.data.Dataset":
+    """Guarantee ``ds`` carries ``out_schema`` even when the result is empty.
+
+    ``Dataset.to_pandas()`` of ANY zero-row dataset yields a 0-column frame
+    (Ray drops schema with the last row), so the empty case returns a typed
+    zero-row pandas DataFrame directly. Materialization is output-sized —
+    a pair/aggregate list, never the corpus."""
+    m = ds.materialize()
+    if m.count() == 0:
+        return out_schema.empty_table().to_pandas()
+    return m
+
+
+def distinct_rows(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    num_partitions: int = DEFAULT_PARTITIONS,
+    out_schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """Distributed DISTINCT over ``key_cols`` (exact: co-partitioned drop_duplicates)."""
+    return hash_partitioned(
+        ds,
+        key_cols,
+        lambda g: g.drop_duplicates(subset=key_cols),
+        num_partitions,
+        out_schema=out_schema,
+    )

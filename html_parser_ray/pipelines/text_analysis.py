@@ -73,8 +73,9 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
             )
         return pd.DataFrame(rows)
 
-    df = ds.map_batches(feats, batch_format="pandas").to_pandas()
-    return df.sort_values("doc_id").reset_index(drop=True)
+    # stays a Dataset end-to-end (sorted for the oracle compare); rows reach
+    # the driver only at the test-harness boundary
+    return ds.map_batches(feats, batch_format="pandas").sort("doc_id")
 
 
 def langid_counts(sf_dir: str) -> pd.DataFrame:
@@ -111,8 +112,7 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    df = ds.map_batches(fp, batch_format="pandas").to_pandas()
-    return df.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(fp, batch_format="pandas").sort("doc_id")
 
 
 # ---- HTML-engine roundtrip queries (SQL-oracle-checked parser proofs) -----

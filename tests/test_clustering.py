@@ -27,13 +27,19 @@ def test_union_find_chain_order_independent():
     assert m[7] == m[8] == m[9] == m[0] == 0
 
 
+def _docs_ds(ids):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_label_propagation_matches_union_find():
     ids = list(range(20))
     pairs_df = pd.DataFrame(
         {"doc_a": [0, 1, 5, 6, 10, 12], "doc_b": [1, 2, 6, 7, 11, 13]}
     )
-    lp = label_propagation_clusters(pairs_df, ids)
+    lp = label_propagation_clusters(pairs_df, _docs_ds(ids)).to_pandas()
     uf = _union_find_clusters(
         list(zip(pairs_df["doc_a"], pairs_df["doc_b"])), ids
     )
@@ -44,7 +50,16 @@ def test_label_propagation_matches_union_find():
 @pytest.mark.usefixtures("ray_session")
 def test_label_propagation_no_pairs():
     lp = label_propagation_clusters(
-        pd.DataFrame({"doc_a": [], "doc_b": []}), [3, 1, 2]
-    )
+        pd.DataFrame({"doc_a": [], "doc_b": []}), _docs_ds([3, 1, 2])
+    ).to_pandas()
     assert lp["doc_id"].tolist() == [1, 2, 3]
     assert lp["cluster_id"].tolist() == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_chain_converges():
+    """A 6-node path graph needs multiple propagation rounds (diameter > 1)."""
+    ids = list(range(6))
+    pairs_df = pd.DataFrame({"doc_a": [4, 3, 2, 1, 0], "doc_b": [5, 4, 3, 2, 1]})
+    lp = label_propagation_clusters(pairs_df, _docs_ds(ids)).to_pandas()
+    assert lp["cluster_id"].tolist() == [0] * 6

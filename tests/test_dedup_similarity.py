@@ -99,7 +99,7 @@ def dup_corpus(tmp_path_factory):
 def test_exact_dedup_finds_exact_dupes(dup_corpus):
     from html_parser_ray.pipelines.dedup import exact_dedup
 
-    out = exact_dedup(dup_corpus)
+    out = exact_dedup(dup_corpus).to_pandas()
     dupes = out[out["n_docs"] > 1]
     assert len(dupes) == 1
     assert dupes.iloc[0]["keeper_doc_id"] == 100
@@ -111,7 +111,7 @@ def test_lsh_recall_matches_exact_jaccard(dup_corpus):
     from html_parser_ray.pipelines.dedup import minhash_lsh_dupes, ngram_jaccard_dupes
 
     exact = ngram_jaccard_dupes(dup_corpus, threshold=0.8)
-    lsh = minhash_lsh_dupes(dup_corpus, threshold=0.8)
+    lsh = minhash_lsh_dupes(dup_corpus, threshold=0.8).to_pandas()
     exact_pairs = set(map(tuple, exact.values.tolist()))
     lsh_pairs = set(map(tuple, lsh.values.tolist()))
     assert (100, 101) in exact_pairs
@@ -124,7 +124,7 @@ def test_lsh_recall_matches_exact_jaccard(dup_corpus):
 def test_simhash_finds_planted_dupes(dup_corpus):
     from html_parser_ray.pipelines.dedup import simhash_dupes
 
-    out = simhash_dupes(dup_corpus, max_hamming=6)
+    out = simhash_dupes(dup_corpus, max_hamming=6).to_pandas()
     pairs = set(map(tuple, out.values.tolist()))
     assert (100, 102) in pairs  # identical text -> identical simhash
     assert (100, 101) in pairs  # near-identical
@@ -154,6 +154,25 @@ def test_embedding_neardup(emb_dir):
 
     out = embedding_neardup_pairs(emb_dir, threshold=0.99)
     assert (30, 31) in set(map(tuple, out.values.tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_lsh_recall(emb_dir):
+    """Bucketed LSH near-dup must find every pair the all-pairs baseline
+    finds at high threshold (multi-probe with 12 planes on 40 vecs)."""
+    from html_parser_ray.pipelines.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    exact = embedding_neardup_pairs(emb_dir, threshold=0.99)
+    lsh = embedding_neardup_lsh(emb_dir, threshold=0.99).to_pandas()
+    exact_pairs = set(map(tuple, exact.values.tolist()))
+    lsh_pairs = set(map(tuple, lsh.values.tolist()))
+    assert (30, 31) in lsh_pairs
+    # LSH can only miss pairs (bucketing), never invent them
+    assert lsh_pairs <= exact_pairs or exact_pairs == lsh_pairs
+    assert len(lsh_pairs) >= len(exact_pairs) * 0.9
 
 
 @pytest.mark.usefixtures("ray_session")
