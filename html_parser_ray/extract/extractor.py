@@ -21,6 +21,7 @@ from dataclasses import dataclass
 import json
 
 from html_parser_ray.extract.boilerplate import ExtractConfig, extract_text_blocks
+from html_parser_ray.extract.fused import extract_blocks_fused
 from html_parser_ray.extract.layout import LayoutParser
 from html_parser_ray.html.document import parse_html
 from html_parser_ray.html.text import normalize_bytes
@@ -45,10 +46,14 @@ class SpanExtractor:
         config: ExtractConfig | None = None,
         layout_model: str = "layout-stub-v0",
         drop_whitespace_text: bool = False,
+        use_fused: bool = True,
     ) -> None:
         self.config = config or ExtractConfig()
         self.layout = LayoutParser(layout_model)
         self.drop_whitespace_text = drop_whitespace_text
+        # fused single-pass tokenize+strip (~1.35x) — byte-identical to the
+        # DOM path (tests/test_fused_parity.py); DOM path kept as the oracle
+        self.use_fused = use_fused
         self.stats = ExtractStats()
 
     def extract_columns(
@@ -79,8 +84,13 @@ class SpanExtractor:
                 raw = text or b""
                 st.html_bytes += len(raw)
                 try:
-                    doc = parse_html(raw, self.drop_whitespace_text)
-                    blocks = extract_text_blocks(doc, self.config)
+                    if self.use_fused:
+                        blocks = extract_blocks_fused(
+                            raw, self.config, self.drop_whitespace_text
+                        )
+                    else:
+                        doc = parse_html(raw, self.drop_whitespace_text)
+                        blocks = extract_text_blocks(doc, self.config)
                 except Exception:
                     st.parse_errors += 1
                     blocks = []

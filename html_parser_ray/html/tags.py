@@ -36,25 +36,25 @@ _P_CLOSERS = frozenset(
     ).split()
 )
 
-# new_tag -> set of open tags it implicitly closes
-# (ref: src/html/tags.zig:236-256)
+# open_tag -> frozenset of new tags that implicitly close it
+# (ref: src/html/tags.zig:236-256); dict+set form = one lookup per stack probe
+IMPLICIT_CLOSERS: dict[bytes, frozenset] = {
+    b"p": _P_CLOSERS,
+    b"li": frozenset((b"li",)),
+    b"dt": frozenset((b"dt", b"dd")),
+    b"dd": frozenset((b"dt", b"dd")),
+    b"tr": frozenset((b"tr",)),
+    b"td": frozenset((b"td", b"th")),
+    b"th": frozenset((b"td", b"th")),
+    b"head": frozenset((b"body",)),
+    b"option": frozenset((b"option",)),
+}
+
+
 def should_implicitly_close(open_tag: bytes, new_tag: bytes) -> bool:
     """True when seeing ``<new_tag>`` implicitly closes an open ``open_tag``."""
-    if open_tag == b"p":
-        return new_tag in _P_CLOSERS
-    if open_tag == b"li":
-        return new_tag == b"li"
-    if open_tag in (b"dt", b"dd"):
-        return new_tag in (b"dt", b"dd")
-    if open_tag == b"tr":
-        return new_tag == b"tr"
-    if open_tag in (b"td", b"th"):
-        return new_tag in (b"td", b"th")
-    if open_tag == b"head":
-        return new_tag == b"body"
-    if open_tag == b"option":
-        return new_tag == b"option"
-    return False
+    closers = IMPLICIT_CLOSERS.get(open_tag)
+    return closers is not None and new_tag in closers
 
 
 # Fast precheck: tags that can possibly trigger implicit closes
@@ -66,3 +66,23 @@ MAY_TRIGGER_IMPLICIT_CLOSE = frozenset(
         b"section fieldset blockquote"
     ).split()
 )
+
+# One-lookup dispatch for the tokenizer hot path: a single dict hit replaces
+# five set-membership tests per opening tag; flags == 0 (the common case:
+# span/a/b/em/...) short-circuits every special branch.
+FLAG_VOID = 1
+FLAG_RAWTEXT = 2
+FLAG_SVG = 4
+FLAG_PLAINTEXT = 8
+FLAG_MAY_TRIGGER = 16
+
+TAG_FLAGS: dict[bytes, int] = {}
+for _t in VOID_TAGS:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | FLAG_VOID
+for _t in RAWTEXT_TAGS:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | FLAG_RAWTEXT
+TAG_FLAGS[SVG_TAG] = TAG_FLAGS.get(SVG_TAG, 0) | FLAG_SVG
+TAG_FLAGS[PLAINTEXT_TAG] = TAG_FLAGS.get(PLAINTEXT_TAG, 0) | FLAG_PLAINTEXT
+for _t in MAY_TRIGGER_IMPLICIT_CLOSE:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | FLAG_MAY_TRIGGER
+del _t

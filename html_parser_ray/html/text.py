@@ -13,6 +13,12 @@ from __future__ import annotations
 from html_parser_ray.html import entities
 from html_parser_ray.html.tables import RE_WS_RUN, WHITESPACE
 
+# fast-path prechecks (one C-speed scan each): a segment with no non-space
+# whitespace, no double space and no boundary space is already normalized;
+# adding '&' to the class also clears it for entity decode
+_RE_NEEDS_NORM = __import__("re").compile(rb"[\n\r\t\x0c]|  ")
+_RE_NEEDS_WORK = __import__("re").compile(rb"[&\n\r\t\x0c]|  ")
+
 
 class NormState:
     """Cross-segment whitespace normalization state."""
@@ -35,6 +41,14 @@ def normalize_segment(out: bytearray, seg: bytes, state: NormState) -> None:
         return
     leading_ws = seg[0] in WHITESPACE
     trailing_ws = seg[-1] in WHITESPACE
+    if not leading_ws and not trailing_ws and _RE_NEEDS_NORM.search(seg) is None:
+        # already normalized: single internal spaces only
+        if state.pending_space and state.wrote_any:
+            out += b" "
+        out += seg
+        state.wrote_any = True
+        state.pending_space = False
+        return
     tokens = [t for t in RE_WS_RUN.split(seg) if t]
     if not tokens:
         # all-whitespace segment only arms the pending space
@@ -65,6 +79,19 @@ def decode_normalize_segment(out: bytearray, seg: bytes, state: NormState) -> No
     decoded ``&#x20;`` counts as whitespace there too, since normalization runs
     over the decoded bytes).
     """
+    if (
+        seg
+        and seg[0] != 0x20
+        and seg[-1] != 0x20
+        and _RE_NEEDS_WORK.search(seg) is None
+    ):
+        # no entities, no whitespace work: append directly
+        if state.pending_space and state.wrote_any:
+            out += b" "
+        out += seg
+        state.wrote_any = True
+        state.pending_space = False
+        return
     normalize_segment(out, entities.decode(seg), state)
 
 

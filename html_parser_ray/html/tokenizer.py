@@ -49,6 +49,15 @@ KIND_TEXT = 2
 
 INVALID = 0xFFFFFFFF
 
+# hot-path locals for the one-lookup tag dispatch (tags.TAG_FLAGS)
+_TAG_FLAGS = tags.TAG_FLAGS
+_F_VOID = tags.FLAG_VOID
+_F_RAWTEXT = tags.FLAG_RAWTEXT
+_F_SVG = tags.FLAG_SVG
+_F_PLAINTEXT = tags.FLAG_PLAINTEXT
+_F_TRIGGER = tags.FLAG_MAY_TRIGGER
+_IMPLICIT_CLOSERS = tags.IMPLICIT_CLOSERS
+
 _RE_WS_ONLY = __import__("re").compile(rb"[ \n\r\t\x0c]*\Z")
 
 
@@ -278,6 +287,15 @@ def tokenize(source: bytes, drop_whitespace_text: bool = False) -> _Builder:
 
         c = source[i + 1]
         if c == 0x2F:  # '/': closing tag
+            # inlined fast path: fused name match + top-of-stack close
+            fused = _RE_FUSED_CLOSE.match(source, i + 2)
+            if fused is not None and len(stack) > 1:
+                top = stack[-1]
+                if l_name[top] == fused.group(1).lower():
+                    stack.pop()
+                    l_sub[top] = len(l_kind) - 1
+                    i = fused.end()
+                    continue
             i = _parse_closing_tag(b, source, i)
         elif c == 0x3F:  # '?': processing instruction
             i = _skip_pi(source, i)
@@ -403,6 +421,37 @@ def _parse_opening_tag(b: _Builder, source: bytes, i: int) -> int:
         gt = fused.end() - 1
         attr_end = gt
         i = fused.end()
+        flags = _TAG_FLAGS.get(tag_name, 0)
+        if not flags & ~_F_TRIGGER:
+            # plain element (flags 0: span/a/b/em/...; or trigger-only:
+            # div/p/li/...): no void/rawtext/svg/plaintext behavior —
+            # run the optional-close loop if needed, then inline append+push
+            stack = b.stack
+            if flags and len(stack) > 1:
+                # optional-close loop (ref: src/html/parser.zig:367-380)
+                closers = _IMPLICIT_CLOSERS
+                while len(stack) > 1:
+                    top = stack[-1]
+                    cset = closers.get(b.name[top])
+                    if cset is None or tag_name not in cset:
+                        break
+                    stack.pop()
+                    b.subtree_end[top] = len(b.kind) - 1
+            parent = stack[-1]
+            kinds = b.kind
+            idx = len(kinds)
+            kinds.append(KIND_ELEMENT)
+            b.name.append(tag_name)
+            b.name_start.append(name_start)
+            b.name_end.append(name_end)
+            b.attr_end.append(attr_end)
+            b.parent.append(parent)
+            b.prev_sibling.append(b.last_child[parent])
+            b.last_child.append(INVALID)
+            b.subtree_end.append(idx)
+            b.last_child[parent] = idx
+            stack.append(idx)
+            return i
         return _open_tag_body(
             b, source, tag_name, name_start, name_end, name_end, attr_end, gt, i
         )
@@ -462,21 +511,21 @@ def _open_tag_body(
     """
     n = len(source)
     stack = b.stack
-    if len(stack) > 1 and tag_name in tags.MAY_TRIGGER_IMPLICIT_CLOSE:
+    flags = _TAG_FLAGS.get(tag_name, 0)
+    if flags & _F_TRIGGER and len(stack) > 1:
         # optional-close loop (ref: src/html/parser.zig:367-380)
+        closers = _IMPLICIT_CLOSERS
         while len(stack) > 1:
             top = stack[-1]
-            top_name = b.name[top]
-            if top_name not in tags.IMPLICIT_CLOSE_SOURCES:
-                break
-            if not tags.should_implicitly_close(top_name, tag_name):
+            cset = closers.get(b.name[top])
+            if cset is None or tag_name not in cset:
                 break
             stack.pop()
             b.subtree_end[top] = len(b.kind) - 1
 
-    self_close = tag_name in tags.VOID_TAGS
+    self_close = bool(flags & _F_VOID)
 
-    if tag_name == b"svg":
+    if flags & _F_SVG:
         # opaque svg subtree (ref: src/html/parser.zig:193-236)
         svg_self_close = _is_explicit_self_closing(source, attr_start, gt)
         parent = stack[-1]
@@ -522,7 +571,7 @@ def _open_tag_body(
     b.subtree_end.append(idx)
     b.last_child[parent] = idx
 
-    if not self_close and tag_name == tags.PLAINTEXT_TAG:
+    if not self_close and flags & _F_PLAINTEXT:
         # rest of input is one text child (ref: src/html/parser.zig:244-257)
         if n > i:
             t = b.append(KIND_TEXT, idx)
@@ -531,7 +580,7 @@ def _open_tag_body(
         b.subtree_end[idx] = len(b.kind) - 1
         return n
 
-    if not self_close and tag_name in tags.RAWTEXT_TAGS:
+    if not self_close and flags & _F_RAWTEXT:
         # opaque raw-text content (ref: src/html/parser.zig:259-286)
         content_start = i
         close = _find_rawtext_close(source, tag_name, i)

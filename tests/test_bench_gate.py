@@ -1,0 +1,49 @@
+"""Single-core perf regression tripwire (the in-suite half of the bench gate).
+
+``python bench.py --gate`` is the full distributed gate (mirrors the
+reference's stable-profile hard fail, tools/scripts.zig:1433-1448). This test
+is its cheap pytest twin: serial extraction of the seeded 2k-doc corpus must
+clear a floor set ~3x below the measured median (7.7k docs/s at round 2) so
+host-load noise cannot flake the suite while a real regression (e.g. a
+quadratic slip in the tokenizer) still fails the build.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+FLOOR_DOCS_PER_S = 2500.0
+
+
+def test_single_core_extraction_floor():
+    from html_parser_ray.extract.extractor import SpanExtractor
+    from html_parser_ray.sources.corpus import generate_documents
+
+    tbl = generate_documents(2000, seed=42)
+    spans_col = tbl.column("spans").combine_chunks()
+    flat = spans_col.flatten()
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").cast(pa.binary()).to_pylist()
+    media = flat.field("media_ref").to_pylist()
+    offs = spans_col.offsets.to_pylist()
+
+    ex = SpanExtractor()
+
+    def run():
+        for ri in range(len(offs) - 1):
+            lo, hi = offs[ri], offs[ri + 1]
+            ex.extract_columns(kinds[lo:hi], texts[lo:hi], media[lo:hi])
+
+    run()  # warm (memo, allocator)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    docs_per_s = 2000 / best
+    assert docs_per_s >= FLOOR_DOCS_PER_S, (
+        f"single-core extraction regressed: {docs_per_s:.0f} docs/s "
+        f"< floor {FLOOR_DOCS_PER_S}"
+    )
