@@ -104,6 +104,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "offset"]
         )
 
+    def media_image_features(sf_dir: str):
+        """REAL PNG decode -> resize -> grid features over the deterministic
+        synthetic media table (integer-quantized sums for stable hashing)."""
+        import ray.data
+
+        from html_parser_ray.stages.multimodal import (
+            build_media_feature_pipeline,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(60, seed=42))
+
+        def summarize(batch):
+            import pyarrow as pa
+
+            feats = batch.column("feature").to_pylist()
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "media_type": batch.column("media_type"),
+                    "decoded": batch.column("decoded"),
+                    "feat_q": pa.array(
+                        [int(round(sum(f) * 10_000)) for f in feats],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        return (
+            build_media_feature_pipeline(ds, concurrency=2)
+            .map_batches(summarize, batch_format="pyarrow")
+            .sort("media_id")
+        )
+
+    def media_audio_features(sf_dir: str):
+        """REAL PCM16 WAV decode -> frame energy features (quantized)."""
+        import ray.data
+
+        from html_parser_ray.stages.multimodal import (
+            build_audio_feature_pipeline,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(60, seed=42))
+
+        def summarize(batch):
+            import pyarrow as pa
+
+            feats = batch.column("feature").to_pylist()
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "decoded": batch.column("decoded"),
+                    "sample_rate": batch.column("sample_rate"),
+                    "n_samples": batch.column("n_samples"),
+                    "feat_q": pa.array(
+                        [int(round(sum(f) * 10_000)) for f in feats],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        return (
+            build_audio_feature_pipeline(ds, concurrency=2)
+            .map_batches(summarize, batch_format="pyarrow")
+            .sort("media_id")
+        )
+
     return {
         # HTML engine pinned against SQL oracles
         "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
@@ -142,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _sessionize,
         "quality_filter": text_analysis.quality_filter,
         "html_link_extract": text_analysis.html_link_extract,
+        # multimodal (real PNG/WAV decode; golden-pinned)
+        "media_image_features": media_image_features,
+        "media_audio_features": media_audio_features,
     }
 
 
@@ -348,5 +419,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, rank FROM "
             "read_parquet('/root/repo/golden/ivf_knn_topk_sf001.parquet') "
             "ORDER BY query_id, rank"
+        ),
+        "media_image_features": (
+            "SELECT media_id, media_type, decoded, feat_q FROM "
+            "read_parquet('/root/repo/golden/media_image_features.parquet') "
+            "ORDER BY media_id"
+        ),
+        "media_audio_features": (
+            "SELECT media_id, decoded, sample_rate, n_samples, feat_q FROM "
+            "read_parquet('/root/repo/golden/media_audio_features.parquet') "
+            "ORDER BY media_id"
         ),
     }

@@ -1,15 +1,21 @@
 """Multimodal (image/audio/video) column stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata columns
-(``media_type``, ``width``/``height``/``duration_ms``...). The decode /
-resize / feature-extract / frame-sample kernels require codec libraries that
-are NOT in this container, so the pixel/sample work is STUBBED behind
-deterministic fakes — but the Ray-side plumbing is real and tested: actor-pool
-``map_batches`` stages with load-once model state, small batch sizes for large
-binary payloads, Arrow binary columns end to end.
+(``media_type``, ``width``/``height``/``duration_ms``...). Round-2 status:
 
-Swap the ``_decode_stub`` internals for PIL/ffmpeg/torchaudio calls without
-touching the stage signatures.
+- **image**: REAL PNG decode (stdlib zlib + numpy unfilter,
+  functions/codecs.py) -> nearest-neighbor resize -> grid luminance/profile
+  features. Non-PNG payloads fall back to a deterministic hash fake and are
+  flagged ``decoded=False``.
+- **audio**: REAL PCM16 WAV decode (stdlib ``wave``) -> per-frame RMS +
+  zero-crossing features.
+- **video**: frame-sampling plumbing is real (offsets, flat_map shape); the
+  frame GRAB is a declared stub — no video codec library ships in this
+  container.
+
+Ray-side design: actor-pool ``map_batches`` stages with load-once state,
+small batch sizes for large binary payloads (batch x concurrency x payload
+must fit worker heap), Arrow binary columns end to end.
 """
 
 from __future__ import annotations
@@ -18,6 +24,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from html_parser_ray.functions import codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -32,20 +40,45 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table (binary payloads = seeded bytes)."""
+    """Deterministic media table with REAL payloads: images are valid PNGs
+    (gradient + seeded noise), audio rows are valid PCM16 WAVs (seeded sine
+    mix); video payloads remain opaque seeded bytes (no codec available)."""
     import random
 
     kinds = ["image", "audio", "video"]
     ids, types, payloads, ws, hs, durs = [], [], [], [], [], []
     for i in range(n):
         rng = random.Random((seed << 16) ^ i)
+        nprng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
         kind = kinds[i % 3]
         ids.append(f"media-{i:06d}")
         types.append(kind)
-        payloads.append(rng.randbytes(rng.randint(256, 4096)))
-        ws.append(rng.choice([320, 640, 1280]) if kind != "audio" else 0)
-        hs.append(rng.choice([240, 480, 720]) if kind != "audio" else 0)
-        durs.append(rng.randint(1000, 60000) if kind != "image" else 0)
+        if kind == "image":
+            w, h = rng.choice([(32, 24), (48, 32), (64, 48)])
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 255 // max(1, w - 1)) + nprng.randint(0, 32, (h, w))) % 256
+            rgb = np.stack([img, 255 - img, (yy * 255 // max(1, h - 1))], axis=2)
+            payloads.append(codecs.encode_png(rgb.astype(np.uint8)))
+            ws.append(w)
+            hs.append(h)
+            durs.append(0)
+        elif kind == "audio":
+            rate = 8000
+            dur_ms = rng.randint(50, 200)
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            freq = rng.choice([220.0, 440.0, 880.0])
+            sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * nprng.randn(len(t))
+            payloads.append(
+                codecs.encode_wav((sig * 32767 * 0.5).astype(np.int16), rate)
+            )
+            ws.append(0)
+            hs.append(0)
+            durs.append(dur_ms)
+        else:
+            payloads.append(rng.randbytes(rng.randint(256, 4096)))
+            ws.append(rng.choice([320, 640, 1280]))
+            hs.append(rng.choice([240, 480, 720]))
+            durs.append(rng.randint(1000, 60000))
     return pa.table(
         {
             "media_id": ids,
@@ -59,29 +92,58 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def _decode_stub(payload: bytes, salt: bytes) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-pixels from the payload hash.
-
-    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))`` /
-    an ffmpeg frame grab. Raises nothing — the fake always "decodes".
-    """
+    """Fallback for undecodable payloads: deterministic pseudo-features from
+    the payload hash (keeps the pipeline total; rows are flagged)."""
     h = hashlib.blake2b(salt + payload, digest_size=32).digest()
     return np.frombuffer(h, dtype=np.uint8).astype(np.float32)
 
 
 class ImageFeatureStage:
-    """Actor stage: decode (stub) + resize (stub) + embed (stub) images.
+    """Actor stage: REAL PNG decode + resize + grid features.
 
-    Load-once state: the "model" key. Small default batch size — binary
-    payloads can be large, and batch_size x concurrency x payload must fit in
-    worker heap (memory-aware sizing per SURVEY §4.2).
+    Load-once state: model key + target size. Small default batch size —
+    binary payloads can be large (memory-aware sizing per SURVEY §4.2).
+    Output ``feature`` is 32 floats: 4x4 grid luminance means (16) + 4-point
+    row/column profiles (8) + 8 header stats (dims, channels, mean/std,
+    min/max, payload size).
     """
 
     DEFAULT_BATCH_SIZE = 16
+    FEATURE_LEN = 32
 
-    def __init__(self, model_name: str = "img-feat-stub-v0", target_size: int = 224):
+    def __init__(self, model_name: str = "img-feat-grid-v1", target_size: int = 32):
         self.model_name = model_name
         self.target_size = target_size
         self._salt = hashlib.sha256(model_name.encode()).digest()[:8]
+
+    def _features(self, payload: bytes) -> tuple[list[float], bool]:
+        if codecs.is_png(payload):
+            try:
+                img = codecs.decode_png(payload)
+                img = codecs.resize_nearest(img, self.target_size, self.target_size)
+                grid = codecs.image_grid_features(img, grid=4)  # 24 floats
+                h, w, c = img.shape
+                mean = float(img.mean()) / 255.0
+                std = float(img.std()) / 255.0
+                head = [
+                    float(h) / 1024.0,
+                    float(w) / 1024.0,
+                    float(c) / 4.0,
+                    mean,
+                    std,
+                    float(img.min()) / 255.0,
+                    float(img.max()) / 255.0,
+                    float(len(payload)) / 1e6,
+                ]
+                return [float(x) for x in grid] + head, True
+            except Exception:
+                # ValueError (unsupported shape), zlib.error (corrupt IDAT),
+                # struct.error (truncated header) — any of these means "not
+                # decodable": fall through to the flagged fallback rather
+                # than killing the batch
+                pass
+        vec = _decode_stub(payload, self._salt)[: self.FEATURE_LEN]
+        return [float(x) for x in vec], False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         types = batch.column("media_type").to_pylist()
@@ -90,12 +152,12 @@ class ImageFeatureStage:
         ok = []
         for t, p in zip(types, payloads):
             if t != "image" or not p:
-                feats.append([0.0] * 32)
+                feats.append([0.0] * self.FEATURE_LEN)
                 ok.append(False)
                 continue
-            vec = _decode_stub(p, self._salt)
-            feats.append([float(x) for x in vec])
-            ok.append(True)
+            vec, decoded = self._features(p)
+            feats.append(vec)
+            ok.append(decoded)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -106,10 +168,58 @@ class ImageFeatureStage:
         )
 
 
-class FrameSampleStage:
-    """Actor stage: sample N frame offsets per video (stub frame grab).
+class AudioFeatureStage:
+    """Actor stage: REAL PCM16 WAV decode + frame energy/ZCR features."""
 
-    Emits one row per sampled frame — a flat_map-shaped batch transform.
+    DEFAULT_BATCH_SIZE = 32
+    FRAMES = 8
+
+    def __init__(self, frames: int = FRAMES):
+        self.frames = frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        feats, rates, samples, ok = [], [], [], []
+        for t, p in zip(types, payloads):
+            if t != "audio" or not p or not codecs.is_wav(p):
+                feats.append([0.0] * (2 * self.frames))
+                rates.append(0)
+                samples.append(0)
+                ok.append(False)
+                continue
+            try:
+                sig, rate = codecs.decode_wav(p)
+            except Exception:
+                feats.append([0.0] * (2 * self.frames))
+                rates.append(0)
+                samples.append(0)
+                ok.append(False)
+                continue
+            vec = codecs.audio_energy_features(sig, rate, self.frames)
+            feats.append([float(x) for x in vec])
+            rates.append(rate)
+            samples.append(len(sig))
+            ok.append(True)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media_type": batch.column("media_type"),
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+                "sample_rate": pa.array(rates, type=pa.int32()),
+                "n_samples": pa.array(samples, type=pa.int64()),
+                "decoded": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor stage: sample N frame offsets per video.
+
+    Emits one row per sampled frame — a flat_map-shaped batch transform. The
+    frame-grab itself is a DECLARED STUB (payload-hash bytes): no video codec
+    library exists in this container; the offsets, row-explosion and binary
+    output plumbing are the real design.
     """
 
     def __init__(self, num_frames: int = 4):
@@ -143,11 +253,20 @@ class FrameSampleStage:
 
 
 def build_media_feature_pipeline(ds, concurrency: int = 4, batch_size: int | None = None):
-    """Compose the media feature pipeline over a media-schema Dataset."""
+    """Compose the image feature pipeline over a media-schema Dataset."""
     return ds.map_batches(
         ImageFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size or ImageFeatureStage.DEFAULT_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+
+def build_audio_feature_pipeline(ds, concurrency: int = 4, batch_size: int | None = None):
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size or AudioFeatureStage.DEFAULT_BATCH_SIZE,
         concurrency=concurrency,
     )
 

@@ -1,0 +1,32 @@
+"""Pipeline example scripts must run (analog of the reference's
+examples-check step, ref: build.zig:56,81-82 over examples/*.zig)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from examples import (
+    dedup_pipeline,
+    extraction_pipeline,
+    media_features,
+    resumable_job,
+    similarity_search,
+)
+
+SCRIPTS = [
+    extraction_pipeline,
+    dedup_pipeline,
+    similarity_search,
+    media_features,
+    resumable_job,
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("mod", SCRIPTS, ids=lambda m: m.__name__.split(".")[-1])
+def test_example_script_runs(mod):
+    mod.run(smoke=True)

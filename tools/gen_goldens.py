@@ -185,6 +185,20 @@ def main() -> None:
             os.path.join(GOLDEN, f"{name}.parquet"),
         )
         print(f"{name}: {len(df)} rows")
+
+    # media pipelines: deterministic synth table -> quantized feature sums
+    # (real PNG/WAV decode; pins both the codecs and the stage plumbing)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("media_image_features", "media_audio_features"):
+        ds = qs[name]("/root/testdata/sf0.01")
+        tbl = ds.to_pandas()
+        pq.write_table(
+            pa.Table.from_pandas(tbl, preserve_index=False),
+            os.path.join(GOLDEN, f"{name}.parquet"),
+        )
+        print(f"{name}: {len(tbl)} rows")
     ray.shutdown()
 
 
