@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "dedup_keep_first": dedup.dedup_keep_first,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
         # similarity search
         "knn_topk": similarity.knn_topk,
         "lsh_knn_topk": similarity.lsh_knn_topk,
@@ -343,6 +344,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id"
         ),
         "dedup_clusters": (
+            "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
+            "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS sh FROM w), "
+            "p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM g a JOIN g b ON a.doc_id <> b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(a.sh || b.sh)) >= 0.5), "
+            "reach(s, t) AS (SELECT u, v FROM p UNION SELECT r.s, p.v FROM reach r JOIN p ON r.t = p.u AND r.s <> p.v) "
+            "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS BIGINT) AS cluster_id "
+            "FROM documents d LEFT JOIN reach r ON r.s = d.doc_id "
+            "GROUP BY d.doc_id ORDER BY d.doc_id"
+        ),
+
+        # same recursive-CTE oracle as dedup_clusters: at sf0.01 LSH recall equals
+        # the exact baseline (the committed minhash golden equals the exact-pair
+        # SQL), so the connected components coincide — a genuine SQL check of
+        # the full LSH -> distributed-label-propagation scale path
+        "dedup_clusters_lsh": (
             "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
             "ELSE list_distinct(list_transform(range(1, len(words) - 1), "

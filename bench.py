@@ -213,7 +213,7 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
 # oversubscribed vCPUs (~12-19 effective parallel units measured via a
 # multiprocessing burn test), so N=2 vs 4N=8 keeps BOTH levels inside real
 # hardware capacity — the cluster analog is N vs 4N nodes. Each level gets the
-# same constant +2 CPUs for read/driver work so only extraction parallelism
+# same constant +6 CPUs for read/driver work so only extraction parallelism
 # varies.
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))
 
@@ -319,9 +319,13 @@ if __name__ == "__main__":
 
         # best of 2 trials: the first pays worker import/startup costs, the
         # second measures steady-state throughput (what a long 100 TB run sees)
+        # +6 CPUs reserve: the fused extractor is ~2x faster per worker, so
+        # the old +2 read reserve starved the 4N level (read-bound at 8
+        # workers -> 0.70 efficiency); +6 keeps reads ahead at both levels
+        # and is CONSTANT across levels so only extraction parallelism varies
         best = None
         for _ in range(2):
-            trial = run_extraction_bench(slots + 2, extract_slots=slots)
+            trial = run_extraction_bench(slots + 6, extract_slots=slots)
             if best is None or trial["wall_s"] < best["wall_s"]:
                 best = trial
         ray.shutdown()

@@ -531,21 +531,27 @@ def label_propagation_clusters(
             batch_format="pandas",
         ).sort("doc_id")
 
-    # undirected edge list (both directions)
-    edges = pairs.map_batches(
-        lambda df: pd.concat(
-            [
-                pd.DataFrame(
-                    {"src": df["doc_a"].astype("int64"), "dst": df["doc_b"].astype("int64")}
-                ),
-                pd.DataFrame(
-                    {"src": df["doc_b"].astype("int64"), "dst": df["doc_a"].astype("int64")}
-                ),
-            ],
-            ignore_index=True,
-        ),
-        batch_format="pandas",
-    ).materialize()
+    # undirected edge list (both directions); repartition rebuilds clean
+    # uniform blocks — upstream map_groups datasets can carry 0-column empty
+    # blocks that crash the join aggregator's unify
+    edges = (
+        pairs.map_batches(
+            lambda df: pd.concat(
+                [
+                    pd.DataFrame(
+                        {"src": df["doc_a"].astype("int64"), "dst": df["doc_b"].astype("int64")}
+                    ),
+                    pd.DataFrame(
+                        {"src": df["doc_b"].astype("int64"), "dst": df["doc_a"].astype("int64")}
+                    ),
+                ],
+                ignore_index=True,
+            ),
+            batch_format="pandas",
+        )
+        .repartition(join_partitions(num_partitions))
+        .materialize()
+    )
 
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
@@ -582,7 +588,11 @@ def label_propagation_clusters(
                 }
             )
 
-        labels = merged.map_batches(take_min, batch_format="pandas").materialize()
+        labels = (
+            merged.map_batches(take_min, batch_format="pandas")
+            .repartition(join_partitions(num_partitions))
+            .materialize()
+        )
         s = labels.sum("label")
         if s == prev_sum:
             break
@@ -599,7 +609,28 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data
     cluster_id = min doc_id in the component.
 
     Pairs come from the exact jaccard baseline so the recursive-SQL oracle is
-    exact; the LSH path feeds the same clustering at scale."""
+    exact; ``dedup_clusters_lsh`` is the same clustering fed by LSH pairs."""
     pairs = ngram_jaccard_dupes(sf_dir, threshold=threshold, k=k)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return label_propagation_clusters(pairs, docs)
+
+
+def dedup_clusters_lsh(
+    sf_dir: str, threshold: float = 0.5, k: int = 3
+) -> "ray.data.Dataset":
+    """The 100 TB clustering path end-to-end: MinHash+LSH candidate pairs
+    (co-partitioned pairing + distributed verify) feed the distributed
+    label propagation — every stage a Dataset, nothing on the driver.
+
+    At high thresholds LSH recall is near-perfect, so this matches
+    ``dedup_clusters`` on the test corpora (pinned by tests and by the
+    committed golden at sf0.01)."""
+    pairs = minhash_lsh_dupes(sf_dir, threshold=threshold, k=k)
+    if isinstance(pairs, pd.DataFrame):  # empty-result typed frame
+        pairs_df = pairs
+    else:
+        pairs_df = None
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return label_propagation_clusters(
+        pairs_df if pairs_df is not None else pairs, docs
+    )

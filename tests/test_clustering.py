@@ -57,6 +57,37 @@ def test_label_propagation_no_pairs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_clusters_lsh_matches_exact_path(tmp_path):
+    """The full LSH -> label-propagation scale path must produce the same
+    clusters as the exact-pairs path on a planted-dupe corpus (high-threshold
+    LSH recall is exact there)."""
+    import numpy as np
+
+    from html_parser_ray.pipelines.dedup import dedup_clusters, dedup_clusters_lsh
+
+    rows = [
+        {"doc_id": i, "text": " ".join(f"u{i}_{j}" for j in range(25))}
+        for i in range(15)
+    ]
+    shared = " ".join(f"common{j}" for j in range(50))
+    rows += [
+        {"doc_id": 100, "text": shared},
+        {"doc_id": 101, "text": shared + " tail"},
+        {"doc_id": 102, "text": shared},
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows).assign(lang="en", source="t").to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    exact = dedup_clusters(str(tmp_path), threshold=0.7).to_pandas()
+    lsh = dedup_clusters_lsh(str(tmp_path), threshold=0.7).to_pandas()
+    assert exact.values.tolist() == lsh.values.tolist()
+    got = dict(zip(lsh["doc_id"], lsh["cluster_id"]))
+    assert got[100] == got[101] == got[102] == 100
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_label_propagation_chain_converges():
     """A 6-node path graph needs multiple propagation rounds (diameter > 1)."""
     ids = list(range(6))
