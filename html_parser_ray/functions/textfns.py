@@ -126,13 +126,27 @@ def minhash_signature(shingles: set[str], num_hashes: int = 64, seed: int = 1) -
     base = np.fromiter(
         (_hash32(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, 2**31 - 1, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, 2**31 - 1, size=num_hashes).astype(np.uint64)
+    a, b = _minhash_coeffs(num_hashes, seed)
     p = np.uint64(4294967311)  # prime > 2^32
     # (num_hashes, n_shingles) affine transform, min over shingles
     vals = (a[:, None] * base[None, :] + b[:, None]) % p
     return vals.min(axis=1)
+
+
+_MINHASH_COEFFS: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded affine coefficients, cached per (num_hashes, seed) — the
+    RandomState construction cost dominates short documents otherwise."""
+    key = (num_hashes, seed)
+    got = _MINHASH_COEFFS.get(key)
+    if got is None:
+        rng = np.random.RandomState(seed)
+        a = rng.randint(1, 2**31 - 1, size=num_hashes).astype(np.uint64)
+        b = rng.randint(0, 2**31 - 1, size=num_hashes).astype(np.uint64)
+        _MINHASH_COEFFS[key] = got = (a, b)
+    return got
 
 
 def jaccard(a: set[str], b: set[str]) -> float:

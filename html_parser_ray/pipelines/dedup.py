@@ -21,10 +21,11 @@ quadratic baselines* (``ngram_jaccard_dupes``, ``embedding_neardup_pairs``)
 kept as verification-scale oracle twins.
 
 Cost note (measured at sf0.1, 32 CPUs, warm workers): the distributed forms
-pay ~1-2s of fixed cost per exchange (sort shuffle / Ray sort), so e.g.
-minhash rises from the round-1 driver-paired 3.9s to ~10s locally — at
-cluster scale those fixed costs amortize while the round-1 driver hop would
-be the hard scale ceiling.
+pay ~1s of fixed cost per exchange, so e.g. minhash runs ~8s locally vs the
+round-1 driver-paired 3.9s — at cluster scale those fixed costs amortize
+while the round-1 driver hop would be the hard scale ceiling. Result
+ordering uses ``shuffle.sort_output`` (single-task sort for output-sized
+results; Ray's Dataset.sort costs ~2.6s regardless of size).
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ from html_parser_ray.pipelines.shuffle import (
     hash_partitioned,
     join_partitions,
     partitioned_lookup,
+    sort_output,
 )
 
 
@@ -110,7 +112,11 @@ def dedup_keep_first(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset"
         on=("doc_id",),
         right_on=("keeper_doc_id",),
     )
-    return joined.select_columns(["doc_id"]).sort("doc_id")
+    return sort_output(
+        joined.select_columns(["doc_id"]),
+        ["doc_id"],
+        pa.schema([("doc_id", pa.int64())]),
+    )
 
 
 def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
@@ -243,55 +249,124 @@ def minhash_lsh_dupes(
     )
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            s = textfns.word_shingles(text, k)
-            m = textfns.minhash_signature(s, num_hashes=num_hashes)
-            for band in range(bands):
-                chunk = m[band * rows_per_band : (band + 1) * rows_per_band]
-                bucket = hash(tuple(int(x) for x in chunk)) & 0x7FFFFFFFFFFFFFFF
-                out.append({"band": band, "bucket": bucket, "doc_id": doc_id})
-        return pd.DataFrame(out)
+        # signatures per doc (numpy affine minhash), then VECTORIZED band
+        # bucketing: polynomial hash over each band's chunk across the whole
+        # batch at once (equal chunks -> equal buckets; the 61-bit Mersenne
+        # modulus keeps collisions negligible). Replaces a Python
+        # hash(tuple(...)) per (doc, band) — 160k calls per sf0.1 batch set.
+        ids = df["doc_id"].to_numpy()
+        sigs = np.stack(
+            [
+                textfns.minhash_signature(
+                    textfns.word_shingles(t, k), num_hashes=num_hashes
+                )
+                for t in df["text"]
+            ]
+        ).astype(np.uint64)
+        chunks = sigs.reshape(len(ids), bands, rows_per_band)
+        weights = (
+            np.arange(1, rows_per_band + 1, dtype=np.uint64) * np.uint64(1099511628211)
+        )
+        mersenne = np.uint64((1 << 61) - 1)
+        buckets = ((chunks * weights[None, None, :]).sum(axis=2)) % mersenne
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int64), len(ids)),
+                "bucket": buckets.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(ids, bands),
+            }
+        )
 
     triples = ds.map_batches(sig, batch_format="pandas")
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    # materialize: the candidate list is consumed twice below (one copy per
+    # pair side); without pinning, the whole signature chain re-executes
     cand = hash_partitioned(
         triples,
         ["band", "bucket"],
         lambda g: _bucket_pairs(g, max_bucket),
         num_partitions,
         out_schema=pair_schema,
-    )
-    # distributed verify: attach each side's shingle set to the candidate
-    # pairs with the partitioned lookup (union + co-partitioned merge) — the
-    # task-based form of pairs ⋈ shingles ⋈ shingles; Dataset.join's actor
-    # aggregator startup costs 5-7s per join at this result size. The
-    # cross-band DISTINCT fuses into the first lookup (all copies of a pair
-    # co-locate under __key=doc_a), saving its own shuffle barrier.
+    ).materialize()
+    # distributed verify, single pass over the feature table: both pair
+    # copies (keyed by doc_a and doc_b) union with the shingle table; ONE
+    # co-partitioned shuffle attaches each side's shingles (and fuses the
+    # cross-band DISTINCT — all copies of a pair share each key), then a
+    # second, pair-sized shuffle zips the two halves and verifies true
+    # Jaccard. The pairwise-lookup form would shuffle the corpus-sized
+    # shingle table twice; Dataset.join's aggregator actors cost 5-7s per
+    # join at this result size.
     sh = _shingle_sets(sf_dir, k)
-    j1 = partitioned_lookup(
-        cand, "doc_a", sh, "doc_id", "shingles", "sh_a", num_partitions,
-        left_prep=lambda lhs: lhs.drop_duplicates(subset=["doc_a", "doc_b"]),
-    )
-    j2 = partitioned_lookup(
-        j1, "doc_b", sh, "doc_id", "shingles", "sh_b", num_partitions
+
+    def key_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].astype("int64"),
+                "doc_b": df["doc_b"].astype("int64"),
+                "__key": df["doc_a"].astype("int64"),
+                "__side": np.uint8(0),
+            }
+        )
+
+    def key_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].astype("int64"),
+                "doc_b": df["doc_b"].astype("int64"),
+                "__key": df["doc_b"].astype("int64"),
+                "__side": np.uint8(1),
+            }
+        )
+
+    def key_feat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": np.int64(-1),
+                "doc_b": np.int64(-1),
+                "__key": df["doc_id"].astype("int64"),
+                "__side": np.uint8(2),
+                "sh": df["shingles"],
+            }
+        )
+
+    u = (
+        cand.map_batches(key_a, batch_format="pandas")
+        .union(cand.map_batches(key_b, batch_format="pandas"))
+        .union(sh.map_batches(key_feat, batch_format="pandas"))
     )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        if "sh" not in g.columns:
+            g = g.assign(sh=None)
+        fm = g["__side"] == 2
+        feats = g[fm]
+        mapping = dict(zip(feats["__key"], feats["sh"]))
+        lhs = g[~fm].drop_duplicates(subset=["doc_a", "doc_b", "__side"])
+        lhs = lhs.assign(sh=lhs["__key"].map(mapping))
+        lhs = lhs[lhs["sh"].notna()]
+        return lhs.drop(columns=["__key"])
+
+    half = hash_partitioned(u, ["__key"], attach, num_partitions)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a_rows = g[g["__side"] == 0][["doc_a", "doc_b", "sh"]]
+        b_rows = g[g["__side"] == 1][["doc_a", "doc_b", "sh"]]
+        merged = a_rows.merge(b_rows, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
         keep = [
             textfns.jaccard(
                 set(sa.split(_SHINGLE_SEP)) if sa else set(),
                 set(sb.split(_SHINGLE_SEP)) if sb else set(),
             )
             >= threshold
-            for sa, sb in zip(df["sh_a"], df["sh_b"])
+            for sa, sb in zip(merged["sh_a"], merged["sh_b"])
         ]
-        out = df.loc[keep, ["doc_a", "doc_b"]]
-        # concat-alignment in the lookup can upcast int64 -> float64
+        out = merged.loc[keep, ["doc_a", "doc_b"]]
         return out.astype({"doc_a": "int64", "doc_b": "int64"})
 
-    verified = j2.map_batches(verify, batch_format="pandas").sort(["doc_a", "doc_b"])
-    return ensure_schema(verified, pair_schema)
+    verified = hash_partitioned(
+        half, ["doc_a", "doc_b"], verify, num_partitions, out_schema=pair_schema
+    )
+    return sort_output(verified, ["doc_a", "doc_b"], pair_schema)
 
 
 def simhash_dupes(
@@ -356,8 +431,8 @@ def simhash_dupes(
     )
     deduped = distinct_rows(
         pairs, ["doc_a", "doc_b"], num_partitions, out_schema=pair_schema
-    ).sort(["doc_a", "doc_b"])
-    return ensure_schema(deduped, pair_schema)
+    )
+    return sort_output(deduped, ["doc_a", "doc_b"], pair_schema)
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
@@ -476,8 +551,8 @@ def embedding_neardup_lsh(
     )
     deduped = distinct_rows(
         pairs, ["vec_a", "vec_b"], num_partitions, out_schema=vec_pair_schema
-    ).sort(["vec_a", "vec_b"])
-    return ensure_schema(deduped, vec_pair_schema)
+    )
+    return sort_output(deduped, ["vec_a", "vec_b"], vec_pair_schema)
 
 
 def _union_find_clusters(pairs: list[tuple[int, int]], all_ids: list[int]) -> dict[int, int]:

@@ -17,7 +17,9 @@ import pandas as pd
 
 import ray.data
 
-from html_parser_ray.pipelines.shuffle import hash_partitioned
+import pyarrow as pa
+
+from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
 
 
 def events_sessionize(
@@ -56,6 +58,11 @@ def events_sessionize(
             {"user_id": "int64", "n_events": "int64", "n_sessions": "int64"}
         )
 
-    return hash_partitioned(ds, ["user_id"], per_partition, num_partitions).sort(
-        "user_id"
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("n_sessions", pa.int64())]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["user_id"], per_partition, num_partitions),
+        ["user_id"],
+        out_schema,
     )

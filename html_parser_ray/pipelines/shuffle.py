@@ -166,6 +166,38 @@ def partitioned_lookup(
     return hash_partitioned(u, ["__key"], merge, num_partitions)
 
 
+def sort_output(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    out_schema: "pa.Schema",
+    small_limit: int = 200_000,
+):
+    """Deterministic ordering + schema guarantee for a RESULT dataset.
+
+    Ray's ``Dataset.sort`` pays ~2.6s of boundary-sampling/merge machinery
+    regardless of size — absurd for an output-sized pair list. Materialize
+    (results are output-sized by construction), then: empty -> typed empty
+    frame (see ``ensure_schema``); small -> coalesce to one block and sort it
+    in a single distributed task; genuinely large -> the real distributed
+    sort."""
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return out_schema.empty_table().to_pandas()
+    if n <= small_limit:
+        normalizer = _schema_normalizer(out_schema)
+
+        def sort_block(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(keys).reset_index(drop=True)
+
+        return (
+            m.repartition(1)
+            .map_batches(sort_block, batch_format="pandas")
+            .map_batches(normalizer, batch_format="pyarrow")
+        )
+    return m.sort(keys)
+
+
 def ensure_schema(ds: "ray.data.Dataset", out_schema: "pa.Schema") -> "ray.data.Dataset":
     """Guarantee ``ds`` carries ``out_schema`` even when the result is empty.
 

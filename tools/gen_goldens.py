@@ -101,15 +101,20 @@ def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32) -> pd.DataFram
 
     docs = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
     rows_per_band = num_hashes // bands
+    weights = (
+        np.arange(1, rows_per_band + 1, dtype=np.uint64) * np.uint64(1099511628211)
+    )
+    mersenne = np.uint64((1 << 61) - 1)
     buckets: dict[tuple[int, int], list[int]] = {}
     shingles: dict[int, set] = {}
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         s = textfns.word_shingles(text, k)
         shingles[doc_id] = set(s)
-        m = textfns.minhash_signature(s, num_hashes=num_hashes)
+        m = textfns.minhash_signature(s, num_hashes=num_hashes).astype(np.uint64)
         for band in range(bands):
             chunk = m[band * rows_per_band : (band + 1) * rows_per_band]
-            bucket = hash(tuple(int(x) for x in chunk)) & 0x7FFFFFFFFFFFFFFF
+            # same polynomial band hash as the pipeline (uint64 wraparound)
+            bucket = int((chunk * weights).sum() % mersenne)
             buckets.setdefault((band, bucket), []).append(int(doc_id))
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
