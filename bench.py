@@ -141,6 +141,10 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
         n_docs += pc.sum(batch.column("docs")).as_py() or 0
         n_spans += pc.sum(batch.column("spans")).as_py() or 0
     wall = time.perf_counter() - t0
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        # per-operator breakdown (read vs extract wall, task counts, block
+        # sizes) — the feedback loop used to tune batch/block/slot settings
+        print(reduced.stats(), file=sys.stderr)
     return {
         "wall_s": wall,
         "docs": n_docs,

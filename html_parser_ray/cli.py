@@ -39,7 +39,63 @@ def main(argv: list[str] | None = None) -> int:
     p_gen.add_argument("--seed", type=int, default=42)
     p_gen.add_argument("--giant-doc-every", type=int, default=0)
 
+    p_conf = sub.add_parser(
+        "conformance",
+        help="run the tree-construction suites and write a report "
+        "(analog of the reference's `zig build conformance`)",
+    )
+    p_conf.add_argument(
+        "--report", default=None, help="write the JSON report here (default stdout only)"
+    )
+    p_conf.add_argument("--max-cases", type=int, default=None)
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "conformance":
+        # single-process, no Ray needed (per-document engine check; the
+        # reference's runExternalSuites shape, tools/scripts.zig:2180+)
+        import os
+
+        from html_parser_ray.conformance import run_dat_file
+
+        data_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests",
+            "data",
+        )
+        report: dict = {"suites": {}}
+        for fname in ("tree_construction.dat", "whatwg_extra.dat"):
+            r = run_dat_file(os.path.join(data_dir, fname), args.max_cases)
+            report["suites"][fname] = {
+                "total": r.total,
+                "passed": r.passed,
+                "failed": r.failed,
+                "failures": [
+                    {
+                        "case": idx,
+                        "input_preview": html[:100],
+                        "expected": exp,
+                        "actual": got,
+                    }
+                    for idx, html, exp, got in r.failures[:10]
+                ],
+            }
+        report["total"] = sum(s["total"] for s in report["suites"].values())
+        report["passed"] = sum(s["passed"] for s in report["suites"].values())
+        out = json.dumps(report, indent=1)
+        if args.report:
+            with open(args.report, "w") as f:
+                f.write(out)
+        print(
+            json.dumps(
+                {
+                    "passed": report["passed"],
+                    "total": report["total"],
+                    **{k: f"{v['passed']}/{v['total']}" for k, v in report["suites"].items()},
+                }
+            )
+        )
+        return 0 if report["passed"] / max(1, report["total"]) >= 0.8 else 2
 
     if args.cmd == "generate-corpus":
         from html_parser_ray.sources.corpus import write_corpus_parquet

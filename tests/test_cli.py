@@ -55,3 +55,22 @@ def test_cli_verify(tmp_path):
         )
         assert p.returncode == 0, (args[0], p.stderr[-1500:])
     assert json.loads(p.stdout.splitlines()[-1]) == {"checked": 10, "mismatches": 0}
+
+
+def test_cli_conformance(tmp_path):
+    """`conformance` subcommand runs the .dat suites and writes a report
+    (the reference's `zig build conformance` analog)."""
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    report = str(tmp_path / "report.json")
+    p = subprocess.run(
+        [sys.executable, "-m", "html_parser_ray.cli", "conformance",
+         "--report", report],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-1500:]
+    summary = json.loads(p.stdout.splitlines()[-1])
+    assert summary["passed"] >= 135 and summary["total"] >= 155
+    rep = json.loads(open(report).read())
+    assert set(rep["suites"]) == {"tree_construction.dat", "whatwg_extra.dat"}
+    for s in rep["suites"].values():
+        assert s["failures"]  # honest failures recorded with expected/actual
