@@ -88,9 +88,9 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
-        # round-2 sweep (fused extractor): 20-24 actors is the plateau on this
-        # host (52-55k docs/s); beyond 28 the oversubscribed vCPUs regress
-        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "24"))
+        # native-extractor sweep: 12-16 actors saturate (~100k docs/s; the
+        # parquet read feeds at most that) — more actors just starve the read
+        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "14"))
         extract_slots = max(2, min(num_cpus - 2, max_slots))
 
     import pyarrow.compute as pc
@@ -132,7 +132,7 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     reduced = ds.map_batches(
         ExtractAndCount,
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=512,
         concurrency=extract_slots,
     )
     n_docs = 0
@@ -213,13 +213,73 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
     }
 
 
-# Scaling levels: N and 4N extraction slots. The sandbox "32 CPUs" are
-# oversubscribed vCPUs (~12-19 effective parallel units measured via a
-# multiprocessing burn test), so N=2 vs 4N=8 keeps BOTH levels inside real
-# hardware capacity — the cluster analog is N vs 4N nodes. Each level gets the
-# same constant +6 CPUs for read/driver work so only extraction parallelism
-# varies.
-SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "2"))
+# Scaling levels model WHOLE NODES: a "node" is 1 extraction actor plus 2
+# CPUs of read/ingest capacity (reads scale with nodes on a real cluster —
+# each node decodes its own input split), so level k runs k actors in a
+# 3k-CPU session. The sandbox "32 CPUs" are oversubscribed vCPUs (~13-19
+# effective parallel units), so N=1 vs 4N=4 (3 vs 12 CPUs) keeps BOTH levels
+# inside real capacity. The native extractor made the round-2 fixed-reserve
+# design read-bound at the 4N level (eff 0.70 at +2, 0.62 proportional at
+# N=2/8); this design measures 0.93-0.95. The job is lengthened by listing
+# the corpus files GRAFT_SCALING_REPEAT times so fixed pipeline costs
+# amortize (byte-identical input at both levels).
+SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "1"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "4"))
+
+
+def _scaling_level(slots: int) -> dict:
+    """Run the extraction job on the repeated corpus with whole-node
+    proportional resources (called in a CHILD process via --scaling-level)."""
+    import glob
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    import ray
+    import ray.data
+
+    from html_parser_ray.stages.extract_stage import ExtractSpansBatch
+
+    path = ensure_corpus()
+    files = sorted(glob.glob(path + "/part-*.parquet")) * SCALING_REPEAT
+    total_rows = (
+        pads.dataset(path, format="parquet").count_rows() * SCALING_REPEAT
+    )
+    html_bytes = corpus_html_bytes(path) * SCALING_REPEAT
+
+    class ExtractAndCount(ExtractSpansBatch):
+        def __call__(self, batch):
+            out = ExtractSpansBatch.__call__(self, batch)
+            return pa.table({"docs": pa.array([out.num_rows], type=pa.int64())})
+
+    ray.init(address="local", num_cpus=3 * slots, include_dashboard=False)
+    # warmup: worker import + native build outside the timed window
+    ray.data.read_parquet(files[:2]).map_batches(
+        ExtractAndCount, batch_format="pyarrow", batch_size=512,
+        concurrency=max(1, slots),
+    ).count()
+    ds = ray.data.read_parquet(
+        files, override_num_blocks=max(4 * slots, total_rows // 3500)
+    )
+    t0 = _time.perf_counter()
+    red = ds.map_batches(
+        ExtractAndCount, batch_format="pyarrow", batch_size=512,
+        concurrency=slots,
+    )
+    n = 0
+    for b in red.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += pc.sum(b.column("docs")).as_py() or 0
+    wall = _time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "wall_s": wall,
+        "docs": n,
+        "docs_per_s": n / wall,
+        "mb_per_s": html_bytes / 1e6 / wall,
+        "num_cpus": 3 * slots,
+    }
 
 
 def _run_child(slots: int, trials: int) -> dict:
@@ -227,17 +287,17 @@ def _run_child(slots: int, trials: int) -> dict:
         [
             sys.executable,
             os.path.abspath(__file__),
-            "--single-extraction",
+            "--scaling-level",
             str(slots),
         ],
         capture_output=True,
         text=True,
-        env={**os.environ, "GRAFT_BENCH_TRIALS": str(trials)},
+        env={**os.environ},
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"scaling child failed: {proc.stderr[-2000:]}")
-    return json.loads(lines[-1])["extraction"]
+    return json.loads(lines[-1])
 
 
 def main_scaling() -> dict:
@@ -285,9 +345,10 @@ def main_scaling() -> dict:
     }
 
 
-GATE_FLOOR_DOCS_PER_S = 25_000.0  # > r1's 24,863; ~half the r2 median (host
-# load drifts 2x on this box) — the reference's analog is the stable-profile
-# bench hard-fail (tools/scripts.zig:1433-1448)
+GATE_FLOOR_DOCS_PER_S = 40_000.0  # measured ~80-100k with the native
+# extractor (host load drifts 2x on this box; floor sits at ~half the low
+# end) — the reference's analog is the stable-profile bench hard-fail
+# (tools/scripts.zig:1433-1448)
 
 
 def main_gate() -> int:
@@ -315,6 +376,10 @@ def main_gate() -> int:
 if __name__ == "__main__":
     if "--gate" in sys.argv:
         sys.exit(main_gate())
+    if "--scaling-level" in sys.argv:
+        slots = int(sys.argv[sys.argv.index("--scaling-level") + 1])
+        print(json.dumps(_scaling_level(slots)))
+        sys.exit(0)
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
     elif "--single-extraction" in sys.argv:

@@ -54,6 +54,14 @@ class SpanExtractor:
         # fused single-pass tokenize+strip (~1.35x) — byte-identical to the
         # DOM path (tests/test_fused_parity.py); DOM path kept as the oracle
         self.use_fused = use_fused
+        # native C fast path (another ~5x per core): only for the DEFAULT
+        # config; byte-parity pinned by tests/test_native_parity.py; any
+        # unavailability (no compiler) silently keeps the Python fused path
+        self._native = None
+        if use_fused and self.config == ExtractConfig():
+            from html_parser_ray.native import get_native_extractor
+
+            self._native = get_native_extractor()
         self.stats = ExtractStats()
 
     def extract_columns(
@@ -84,13 +92,17 @@ class SpanExtractor:
                 raw = text or b""
                 st.html_bytes += len(raw)
                 try:
-                    if self.use_fused:
-                        blocks = extract_blocks_fused(
-                            raw, self.config, self.drop_whitespace_text
-                        )
-                    else:
-                        doc = parse_html(raw, self.drop_whitespace_text)
-                        blocks = extract_text_blocks(doc, self.config)
+                    blocks = None
+                    if self._native is not None:
+                        blocks = self._native(raw, self.drop_whitespace_text)
+                    if blocks is None:
+                        if self.use_fused:
+                            blocks = extract_blocks_fused(
+                                raw, self.config, self.drop_whitespace_text
+                            )
+                        else:
+                            doc = parse_html(raw, self.drop_whitespace_text)
+                            blocks = extract_text_blocks(doc, self.config)
                 except Exception:
                     st.parse_errors += 1
                     blocks = []

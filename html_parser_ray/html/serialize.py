@@ -8,7 +8,11 @@ branch (preserve original ``name=value`` text verbatim including quotes,
 ref: src/html/node.zig:344-351) always applies; boolean attributes emit as
 bare names.
 
-Divergence (documented): tag names emit fully lowercased (see tokenizer note).
+Tag-name case parity: the reference lowercases only the first 8 bytes of a
+tag name in place during the scan (ref: src/html/parser.zig:144-151), so its
+serializer emits ``lower(first 8) + original tail``. This serializer
+reconstructs exactly that from the name span — the round-1 "fully lowercased
+>8-byte names" divergence is closed.
 """
 
 from __future__ import annotations
@@ -77,12 +81,17 @@ def write_node(doc, index: int, out: bytearray, self_only: bool = False) -> None
         _write_children(doc, index, out)
         return
     name = doc.name[index]
-    out += b"<" + name
+    # reference-exact serialized name: the in-place parser lowercases only
+    # the first min(8, len) name bytes (parser.zig:144-151), leaving any tail
+    # case intact — reconstruct that from the span over immutable source
+    raw = doc.source[doc.name_start[index] : doc.name_end[index]]
+    ser_name = name if len(raw) <= 8 else raw[:8].lower() + raw[8:]
+    out += b"<" + ser_name
     _write_attrs(out, doc.source, doc.name_end[index], doc.attr_end[index])
     out += b">"
     if name not in VOID_TAGS and not self_only:
         _write_children(doc, index, out)
-        out += b"</" + name + b">"
+        out += b"</" + ser_name + b">"
 
 
 def _write_children(doc, parent_idx: int, out: bytearray) -> None:

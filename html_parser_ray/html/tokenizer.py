@@ -27,10 +27,11 @@ Behavior pinned to the reference:
   popping everything above it; unmatched closes are ignored
   (ref: src/html/parser.zig:296-365).
 
-Divergence (documented): tag names are stored fully lowercased, where the
-reference lowercases only the first 8 bytes in place (comparison semantics are
-identical — ref compares the tail case-insensitively; only re-serialization of
->8-byte mixed-case names differs).
+Tag-name storage note: names are stored fully lowercased, where the reference
+lowercases only the first 8 bytes in place. Comparison semantics are identical
+(ref compares the tail case-insensitively); the serializer reconstructs the
+reference's exact ``lower(first 8) + original tail`` output from the name
+span (serialize.py), so no observable divergence remains.
 """
 
 from __future__ import annotations

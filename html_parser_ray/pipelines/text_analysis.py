@@ -8,6 +8,7 @@ import pyarrow as pa
 
 import ray.data
 
+from html_parser_ray.pipelines.shuffle import sort_output
 from html_parser_ray.extract.boilerplate import extract_text_blocks
 from html_parser_ray.functions import textfns
 from html_parser_ray.html.document import parse_html
@@ -151,8 +152,14 @@ def html_roundtrip_extract(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(
+    out = ds.map_batches(
         HtmlRoundtripExtract, batch_format="pyarrow", concurrency=_actor_slots()
+    )
+    # actor pools complete blocks out of order under load — pin the oracle's
+    # ORDER BY deterministically
+    return sort_output(
+        out, ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("main_text", pa.string())]),
     )
 
 
@@ -178,7 +185,13 @@ class HtmlLiCount:
 
 def html_li_count(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(HtmlLiCount, batch_format="pyarrow", concurrency=_actor_slots())
+    out = ds.map_batches(
+        HtmlLiCount, batch_format="pyarrow", concurrency=_actor_slots()
+    )
+    return sort_output(
+        out, ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("li_count", pa.int64())]),
+    )
 
 
 def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
@@ -201,9 +214,13 @@ def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
     scored = ds.map_batches(score, batch_format="pyarrow")
     import pyarrow.compute as pc
 
-    return scored.map_batches(
+    kept = scored.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n_tokens"), min_tokens)),
         batch_format="pyarrow",
+    )
+    return sort_output(
+        kept, ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]),
     )
 
 
@@ -253,4 +270,16 @@ def html_link_extract(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(HtmlLinkExtract, batch_format="pyarrow", concurrency=_actor_slots())
+    out = ds.map_batches(
+        HtmlLinkExtract, batch_format="pyarrow", concurrency=_actor_slots()
+    )
+    return sort_output(
+        out, ["doc_id"],
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("internal_href", pa.string()),
+                ("external_href", pa.string()),
+            ]
+        ),
+    )

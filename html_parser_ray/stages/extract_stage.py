@@ -58,8 +58,173 @@ class ExtractSpansBatch:
             drop_whitespace_text=drop_whitespace_text,
         )
         self.emit_metrics = emit_metrics
+        # batched native path: one C call per batch over the Arrow values
+        # buffer (zero-copy in). Only when the per-doc native path is active
+        # (default config + compiler available) and no per-doc metrics are
+        # requested; parity pinned by tests/test_native_parity.py.
+        self._batch_native = None
+        if self.extractor._native is not None and not emit_metrics:
+            from html_parser_ray.native import get_native_batch_extractor
+
+            self._batch_native = get_native_batch_extractor()
+        # media layout results repeat heavily across a corpus (refs are a
+        # bounded id space); memoize the serialized metadata per ref
+        import json
+        from functools import lru_cache
+
+        layout = self.extractor.layout
+
+        @lru_cache(maxsize=1 << 16)
+        def _media_json(ref: str) -> bytes:
+            return json.dumps(layout.parse(ref), sort_keys=True).encode("utf-8")
+
+        self._media_json = _media_json
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._batch_native is not None:
+            out = self._call_native(batch)
+            if out is not None:
+                return out
+        return self._call_python(batch)
+
+    def _call_native(self, batch: pa.Table) -> "pa.Table | None":
+        """Batched native extraction: html spans go through ONE C call over
+        the Arrow values buffer; text/media spans are handled vectorized-ish
+        in Python; per-row span order and offset renumbering preserved.
+        Returns None on any native-side capacity error (fallback)."""
+        import numpy as np
+
+        import pyarrow.compute as pc
+
+        doc_ids = batch.column("doc_id")
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat = spans_col.flatten()
+        kind_arr = flat.field("kind")
+        text_arr = flat.field("text")
+        media_arr = flat.field("media_ref")
+        row_offs = np.asarray(spans_col.offsets)
+        base = row_offs[0]
+
+        is_html = pc.equal(kind_arr, "html").fill_null(False)
+        is_text = pc.equal(kind_arr, "text").fill_null(False)
+        is_media = pc.equal(kind_arr, "media").fill_null(False)
+        html_np = is_html.to_numpy(zero_copy_only=False)
+        text_np = is_text.to_numpy(zero_copy_only=False)
+        media_np = is_media.to_numpy(zero_copy_only=False)
+
+        html_texts = text_arr.filter(is_html).cast(pa.binary())
+        if isinstance(html_texts, pa.ChunkedArray):
+            html_texts = html_texts.combine_chunks()
+        n_html = len(html_texts)
+        if n_html > 0:
+            bufs = html_texts.buffers()
+            aoff = html_texts.offset
+            offs64 = (
+                np.frombuffer(bufs[1], dtype=np.int32)[aoff : aoff + n_html + 1]
+                .astype(np.int64)
+            )
+            res = self._batch_native(
+                bufs[2].address,
+                offs64,
+                int(offs64[-1]),
+                self.extractor.drop_whitespace_text,
+            )
+            if res is None:
+                return None
+            mv, lens, doc_nblocks = res
+            block_bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=block_bounds[1:])
+            first_block = np.zeros(n_html + 1, dtype=np.int64)
+            np.cumsum(doc_nblocks, out=first_block[1:])
+            html_bytes = int(offs64[-1] - offs64[0])
+        else:
+            mv = memoryview(b"")
+            block_bounds = np.zeros(1, dtype=np.int64)
+            first_block = np.zeros(1, dtype=np.int64)
+            doc_nblocks = np.zeros(0, dtype=np.int64)
+            html_bytes = 0
+
+        html_rank = np.cumsum(html_np) - 1
+        text_rank = np.cumsum(text_np) - 1
+        media_rank = np.cumsum(media_np) - 1
+        text_texts = text_arr.filter(is_text).cast(pa.binary()).to_pylist()
+        media_refs = media_arr.filter(is_media).to_pylist()
+
+        from html_parser_ray.html.text import normalize_bytes
+
+        values = bytearray()
+        val_offs = [0]
+        o_kind: list[str] = []
+        o_media: list[str] = []
+        o_off: list[int] = []
+        out_offsets = [0]
+        media_json = self._media_json
+        n_rows = len(spans_col)
+        for ri in range(n_rows):
+            lo, hi = row_offs[ri] - base, row_offs[ri + 1] - base
+            k_off = 0
+            for i in range(lo, hi):
+                if html_np[i]:
+                    hr = html_rank[i]
+                    for b_ in range(first_block[hr], first_block[hr + 1]):
+                        values += mv[block_bounds[b_] : block_bounds[b_ + 1]]
+                        val_offs.append(len(values))
+                        o_kind.append("text")
+                        o_media.append("")
+                        o_off.append(k_off)
+                        k_off += 1
+                elif text_np[i]:
+                    norm = normalize_bytes(text_texts[text_rank[i]] or b"")
+                    if norm:
+                        values += norm
+                        val_offs.append(len(values))
+                        o_kind.append("text")
+                        o_media.append("")
+                        o_off.append(k_off)
+                        k_off += 1
+                elif media_np[i]:
+                    ref = media_refs[media_rank[i]] or ""
+                    values += media_json(ref)
+                    val_offs.append(len(values))
+                    o_kind.append("media")
+                    o_media.append(ref)
+                    o_off.append(k_off)
+                    k_off += 1
+                # unknown kinds dropped deterministically
+            out_offsets.append(len(o_kind))
+
+        st = self.extractor.stats
+        st.docs += n_rows
+        st.spans_in += len(flat)
+        st.spans_out += len(o_kind)
+        st.html_bytes += html_bytes
+
+        text_out = pa.Array.from_buffers(
+            pa.binary(),
+            len(val_offs) - 1,
+            [
+                None,
+                pa.py_buffer(np.asarray(val_offs, dtype=np.int32).tobytes()),
+                pa.py_buffer(bytes(values)),
+            ],
+        ).cast(pa.string())
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(o_kind, type=pa.string()),
+                text_out,
+                pa.array(o_media, type=pa.string()),
+                pa.array(o_off, type=pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int32()), struct_arr
+        )
+        return pa.table({"doc_id": doc_ids, "spans_out": spans_out})
+
+    def _call_python(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id")
         spans_col = batch.column("spans")
         if isinstance(spans_col, pa.ChunkedArray):

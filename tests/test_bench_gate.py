@@ -47,3 +47,11 @@ def test_single_core_extraction_floor():
         f"single-core extraction regressed: {docs_per_s:.0f} docs/s "
         f"< floor {FLOOR_DOCS_PER_S}"
     )
+    # with the native C path active the bar is much higher (measured ~27k;
+    # floor at ~1/3). Python-only environments (no compiler) skip this part.
+    from html_parser_ray.native import get_native_extractor
+
+    if get_native_extractor() is not None:
+        assert docs_per_s >= 9_000, (
+            f"native extraction regressed: {docs_per_s:.0f} docs/s < 9000"
+        )

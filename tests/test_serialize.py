@@ -84,3 +84,20 @@ def test_meta_position_and_charset():
     html_el = doc.html()
     # +1 head, +2 text, +3 title, +4 text(Title), +5 text, +6 meta
     assert doc.get_attr(html_el + 6, b"charset") == b"utf-8"
+
+
+def test_long_mixed_case_tag_name_parity():
+    """Reference lowercases only the first 8 name bytes in place
+    (parser.zig:144-151); >8-byte mixed-case tails keep their case in
+    re-serialization. Round-1 divergence, closed in round 2."""
+    from html_parser_ray.html.document import parse_html
+    from html_parser_ray.html.serialize import to_html
+
+    cases = [
+        (b"<VeRyLoNgTagName a=1>x</VeRyLoNgTagName>",
+         b"<verylongTagName a=1>x</verylongTagName>"),
+        (b"<CUSTOMELEMENT>y</CUSTOMELEMENT>", b"<customelEMENT>y</customelEMENT>"),
+        (b"<SHORTTAG>z</SHORTTAG>", b"<shorttag>z</shorttag>"),  # exactly 8
+    ]
+    for src, want in cases:
+        assert to_html(parse_html(src)) == want, src
