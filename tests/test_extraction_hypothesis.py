@@ -1,0 +1,58 @@
+"""Property-based three-way extraction parity: DOM walk == Python fused ==
+native C, over adversarial byte blobs (arbitrary binary + html-ish soup).
+
+A 4000-example offline run passed clean; the committed budget keeps the
+suite fast while still exploring fresh inputs every run (hypothesis derives
+examples from a stored database plus randomization).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from html_parser_ray.extract.boilerplate import ExtractConfig, extract_text_blocks
+from html_parser_ray.extract.fused import extract_blocks_fused
+from html_parser_ray.html.document import parse_html
+from html_parser_ray.native import get_native_extractor
+
+_NAT = get_native_extractor()
+_CFG = ExtractConfig()
+
+_FRAGMENTS = st.sampled_from(
+    [
+        b"<div>", b"</div>", b"<p class='a b'>", b"<a href=x>", b"</a>",
+        b"<br/>", b"< ", b"<<", b">>", b"&", b"&#", b"&#x", b";", b"&amp;",
+        b"<script>", b"</script>", b"<svg>", b"</svg>", b"<!--", b"-->",
+        b"<!", b"<?", b"?>", b"text", b" ", b"\n", b"\x00", b"\xff",
+        b"<option>", b"<head>", b"<body>", b"<td>", b"<tr>", b"='v'",
+        b'="q"', b"<textarea>", b"<plaintext>", b"<li>", b"<DIV", b"/>",
+        b"<p id=", b"sidebar", b"'",
+    ]
+)
+_SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=40).map(b"".join)
+_BLOB = st.one_of(
+    st.binary(max_size=300),
+    _SOUP,
+    st.tuples(_SOUP, st.binary(max_size=80)).map(lambda t: t[0] + t[1]),
+)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_BLOB)
+def test_three_way_parity(data: bytes):
+    dom = extract_text_blocks(parse_html(data), _CFG)
+    fused = extract_blocks_fused(data, _CFG)
+    assert fused == dom, data
+    if _NAT is not None:
+        assert _NAT(data) == dom, data
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_BLOB)
+def test_three_way_parity_drop_whitespace(data: bytes):
+    dom = extract_text_blocks(parse_html(data, True), _CFG)
+    fused = extract_blocks_fused(data, _CFG, drop_whitespace_text=True)
+    assert fused == dom, data
+    if _NAT is not None:
+        assert _NAT(data, True) == dom, data
