@@ -14,11 +14,10 @@ Five families, each a first-class operator:
 Scale design (the round-2 rewrite): no dedup path materializes data on the
 driver and none broadcasts corpus-sized state. All combines/pairings use
 ``shuffle.hash_partitioned`` (hash-partition + per-partition vectorized
-pandas); pair verification attaches per-doc shingle sets to the pair list via
-``shuffle.partitioned_lookup`` (union + co-partitioned merge) instead of
-shipping a shingle dict. The only broadcast ops left are the *documented
-quadratic baselines* (``ngram_jaccard_dupes``, ``embedding_neardup_pairs``)
-kept as verification-scale oracle twins.
+pandas); pair verification co-locates both pair sides with the shingle table
+in one union shuffle (see ``minhash_lsh_dupes``). The only broadcast ops
+left are the *documented quadratic baselines* (``ngram_jaccard_dupes``,
+``embedding_neardup_pairs``) kept as verification-scale oracle twins.
 
 Cost note (measured at sf0.1, 32 CPUs, warm workers): the distributed forms
 pay ~1s of fixed cost per exchange, so e.g. minhash runs ~8s locally vs the
@@ -43,7 +42,6 @@ from html_parser_ray.pipelines.shuffle import (
     ensure_schema,
     hash_partitioned,
     join_partitions,
-    partitioned_lookup,
     sort_output,
 )
 

@@ -94,3 +94,32 @@ def test_label_propagation_chain_converges():
     pairs_df = pd.DataFrame({"doc_a": [4, 3, 2, 1, 0], "doc_b": [5, 4, 3, 2, 1]})
     lp = label_propagation_clusters(pairs_df, _docs_ds(ids)).to_pandas()
     assert lp["cluster_id"].tolist() == [0] * 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_lookup_primitive():
+    """shuffle.partitioned_lookup: distributed inner lookup-join (the generic
+    primitive; dtype-normalized keys, left_prep fusion, inner drop)."""
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import partitioned_lookup
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 2, 3, 9], "v": [10, 20, 21, 30, 90]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"rid": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    )
+    out = (
+        partitioned_lookup(left, "k", right, "rid", "name", "nm", 4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert out["nm"].tolist() == ["a", "b", "b", "c"]  # k=9 dropped (inner)
+    # left_prep fuses a transform into the co-located pass
+    out2 = partitioned_lookup(
+        left, "k", right, "rid", "name", "nm", 4,
+        left_prep=lambda df: df.drop_duplicates(subset=["k"]),
+    ).to_pandas()
+    assert sorted(out2["k"].astype(int).tolist()) == [1, 2, 3]
