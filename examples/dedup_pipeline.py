@@ -39,14 +39,17 @@ def run(smoke: bool = False) -> None:
         pd.DataFrame(rows).assign(lang="en", source="ex").to_parquet(
             f"{d}/documents.parquet"
         )
-        groups = exact_dedup(d).to_pandas()
+        def as_df(r):
+            return r if isinstance(r, pd.DataFrame) else r.to_pandas()
+
+        groups = as_df(exact_dedup(d))
         dupes = groups[groups["n_docs"] > 1]
         assert dupes.iloc[0]["keeper_doc_id"] == 100
 
-        keep = dedup_keep_first(d).to_pandas()
+        keep = as_df(dedup_keep_first(d))
         assert 101 not in set(keep["doc_id"])
 
-        pairs = minhash_lsh_dupes(d, threshold=0.7).to_pandas()
+        pairs = as_df(minhash_lsh_dupes(d, threshold=0.7))
         assert (100, 102) in set(map(tuple, pairs.values.tolist()))
         print(f"exact groups with dupes: {len(dupes)}; near-dup pairs: {len(pairs)}")
 

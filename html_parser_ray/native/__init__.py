@@ -40,9 +40,29 @@ def _build_lib() -> "ctypes.CDLL | None":
     except OSError:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    so_path = os.path.join(
-        "/tmp", f"hpr_fused_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so"
+    # per-user cache dir with 0700 perms: a world-writable shared /tmp path
+    # with a predictable name would let another local user pre-plant a
+    # malicious .so (the source is public, so the hash is computable)
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "hpr_native"
     )
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    except OSError:
+        return None
+    so_path = os.path.join(
+        cache_dir, f"hpr_fused_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so"
+    )
+
+    def _owned_by_us(path: str) -> bool:
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        return st.st_uid == os.getuid()
+
+    if os.path.exists(so_path) and not _owned_by_us(so_path):
+        return None
     if not os.path.exists(so_path):
         for cc in ("gcc", "cc", "clang"):
             try:
@@ -59,6 +79,8 @@ def _build_lib() -> "ctypes.CDLL | None":
                 continue
         else:
             return None
+    if not _owned_by_us(so_path):
+        return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:

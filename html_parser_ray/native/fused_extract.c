@@ -134,9 +134,10 @@ static uint32_t classify(const uint8_t *s, int len) {
             f |= F_TRIGGER | F_PCLOSER | F_DROP;
         break;
     case 7:
-        if (eq(s, len, "address") || eq(s, len, "article") ||
-            eq(s, len, "section"))
+        if (eq(s, len, "article") || eq(s, len, "section"))
             f |= F_TRIGGER | F_PCLOSER | F_BLOCK;
+        if (eq(s, len, "address")) /* trigger but NOT in BLOCK_TAGS */
+            f |= F_TRIGGER | F_PCLOSER;
         if (eq(s, len, "caption") || eq(s, len, "summary")) f |= F_BLOCK;
         break;
     case 8:
@@ -526,7 +527,15 @@ static int class_id_marks(const uint8_t *s, int64_t start, int64_t end) {
             if (s[i] == 'i' && s[i + 1] == 'd') { has = 1; break; }
     if (!has) return 0;
 
-    uint8_t blob[4096];
+    uint8_t blob_stack[4096];
+    uint8_t *blob = blob_stack;
+    int64_t blob_cap = (int64_t)sizeof(blob_stack);
+    /* decoded class+id blob is bounded by the region length + 1 separator */
+    if (end - start + 2 > blob_cap) {
+        blob = malloc((size_t)(end - start + 2));
+        if (!blob) return 0;
+        blob_cap = end - start + 2;
+    }
     int64_t bl = 0;
     int have_class = 0, have_id = 0;
     int64_t vclass_s = -1, vclass_e = -1, vid_s = -1, vid_e = -1;
@@ -580,23 +589,19 @@ static int class_id_marks(const uint8_t *s, int64_t start, int64_t end) {
     /* blob parts: non-empty class value, then non-empty id value (lowered,
      * entity-decoded), joined by one space */
     if (have_class && vclass_s >= 0 && vclass_e > vclass_s) {
-        int64_t w = decode_lower(s, vclass_s, vclass_e, blob + bl,
-                                 (int64_t)sizeof(blob) - bl);
-        if (w < 0) return 0; /* pathological attr: be conservative, no drop */
+        int64_t w = decode_lower(s, vclass_s, vclass_e, blob + bl, blob_cap - bl);
+        if (w < 0) w = 0; /* cannot happen: cap covers the region */
         bl += w;
     }
     if (have_id && vid_s >= 0 && vid_e > vid_s) {
-        if (bl > 0) {
-            if (bl + 1 > (int64_t)sizeof(blob)) return 0;
-            blob[bl++] = ' ';
-        }
-        int64_t w = decode_lower(s, vid_s, vid_e, blob + bl,
-                                 (int64_t)sizeof(blob) - bl);
-        if (w < 0) return 0;
+        if (bl > 0 && bl + 1 <= blob_cap) blob[bl++] = ' ';
+        int64_t w = decode_lower(s, vid_s, vid_e, blob + bl, blob_cap - bl);
+        if (w < 0) w = 0;
         bl += w;
     }
-    if (bl == 0) return 0;
-    return blob_marks(blob, bl);
+    int verdict = bl > 0 ? blob_marks(blob, bl) : 0;
+    if (blob != blob_stack) free(blob);
+    return verdict;
 }
 
 /* ---------------- dynamic structures ---------------- */

@@ -39,7 +39,6 @@ import ray.data
 from html_parser_ray.functions import textfns
 from html_parser_ray.pipelines.shuffle import (
     distinct_rows,
-    ensure_schema,
     hash_partitioned,
     join_partitions,
     sort_output,
@@ -90,7 +89,7 @@ def exact_dedup(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
     return partials.groupby("part").map_groups(combine, batch_format="pandas")
 
 
-def dedup_keep_first(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
+def dedup_keep_first(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset | pd.DataFrame":
     """Materialized exact dedup: the surviving documents (keeper per distinct
     text) via a distributed hash semi-join docs ⋈ keepers — no driver set,
     no corpus-sized broadcast."""
@@ -169,17 +168,25 @@ def ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.D
 
 
 def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    """All (doc_a < doc_b) pairs within each (band, bucket) group of one
-    partition. Buckets above ``max_bucket`` members are skipped (hot-bucket
-    cap: a degenerate bucket would emit O(n²) pairs; real dups still pair in
-    their other bands)."""
+    """Candidate (doc_a < doc_b) pairs within each (band, bucket) group of
+    one partition. Buckets up to ``max_bucket`` members pair all-vs-all;
+    HOT buckets (the most-duplicated content — e.g. thousands of identical
+    templated pages, which collide in EVERY band so other bands cannot
+    rescue them) emit a STAR against the bucket's min doc_id instead:
+    O(n) candidates that keep every member connected to the keeper, so
+    downstream verify/clustering still sees the whole cluster without the
+    O(n²) pair blowup."""
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     for _, grp in g.groupby(["band", "bucket"], sort=False):
         n = len(grp)
-        if n < 2 or n > max_bucket:
+        if n < 2:
             continue
         ids = np.sort(grp["doc_id"].to_numpy())
+        if n > max_bucket:
+            out_a.append(np.full(n - 1, ids[0], dtype=ids.dtype))
+            out_b.append(ids[1:])
+            continue
         ia, ib = np.triu_indices(n, k=1)
         out_a.append(ids[ia])
         out_b.append(ids[ib])
@@ -228,7 +235,7 @@ def minhash_lsh_dupes(
     bands: int = 32,
     num_partitions: int = 16,
     max_bucket: int = 256,
-) -> "ray.data.Dataset":
+) -> "ray.data.Dataset | pd.DataFrame":
     """MinHash + LSH near-dup pairs, verified with true Jaccard — distributed
     end-to-end:
 
@@ -247,6 +254,14 @@ def minhash_lsh_dupes(
     )
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # np.stack rejects empty input (empty row groups)
+            return pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                }
+            )
         # signatures per doc (numpy affine minhash), then VECTORIZED band
         # bucketing: polynomial hash over each band's chunk across the whole
         # batch at once (equal chunks -> equal buckets; the 61-bit Mersenne
@@ -372,7 +387,7 @@ def simhash_dupes(
     max_hamming: int = 3,
     num_partitions: int = 16,
     max_bucket: int = 256,
-) -> "ray.data.Dataset":
+) -> "ray.data.Dataset | pd.DataFrame":
     """SimHash near-dup pairs: 4x16-bit band buckets -> co-partitioned hamming
     verify (the signatures travel with the triples, so verification happens
     inside the bucket partition — no joins, no driver)."""
@@ -402,9 +417,18 @@ def simhash_dupes(
         rows_b: list[int] = []
         for _, grp in g.groupby(["band", "bucket"], sort=False):
             n = len(grp)
-            if n < 2 or n > max_bucket:
+            if n < 2:
                 continue
             recs = sorted(zip(grp["doc_id"].to_numpy(), grp["simhash"].to_numpy()))
+            if n > max_bucket:
+                # hot bucket: star against the min member (see _bucket_pairs)
+                a, ha = recs[0]
+                for j in range(1, n):
+                    b_, hb = recs[j]
+                    if textfns.hamming64(int(ha), int(hb)) <= max_hamming:
+                        rows_a.append(int(a))
+                        rows_b.append(int(b_))
+                continue
             for i in range(n):
                 a, ha = recs[i]
                 for j in range(i + 1, n):
@@ -479,7 +503,7 @@ def embedding_neardup_lsh(
     seed: int = 23,
     num_partitions: int = 16,
     max_bucket: int = 4096,
-) -> "ray.data.Dataset":
+) -> "ray.data.Dataset | pd.DataFrame":
     """Bucketed embedding near-dup — the 100 TB shape: random-hyperplane LSH
     codes (multi-probe via 1-bit flips) bucket the vectors, cosine verify runs
     vectorized inside each co-partitioned bucket. Only the (bucket, vec)
@@ -487,6 +511,14 @@ def embedding_neardup_lsh(
     probe_rows = num_planes + 1  # own bucket + all 1-bit flips
 
     def code_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # np.stack rejects empty input
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "vec": pd.Series(dtype="object"),
+                }
+            )
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         mu = m / np.where(n == 0, 1, n)
@@ -521,12 +553,19 @@ def embedding_neardup_lsh(
         for _, grp in g.groupby("bucket", sort=False):
             grp = grp.drop_duplicates(subset=["vec_id"])
             n = len(grp)
-            if n < 2 or n > max_bucket:
+            if n < 2:
                 continue
             ids = grp["vec_id"].to_numpy()
             order = np.argsort(ids)
             ids = ids[order]
             mu = np.stack(grp["vec"].to_numpy())[order].astype(np.float64)
+            if n > max_bucket:
+                # hot bucket: star against the min member (see _bucket_pairs)
+                sims = mu[1:] @ mu[0]
+                hit = sims >= threshold
+                rows_a.append(np.full(int(hit.sum()), ids[0], dtype=ids.dtype))
+                rows_b.append(ids[1:][hit])
+                continue
             sims = mu @ mu.T
             ia, ib = np.triu_indices(n, k=1)
             hit = sims[ia, ib] >= threshold
@@ -598,6 +637,8 @@ def label_propagation_clusters(
         ),
         batch_format="pandas",
     ).materialize()
+    if pairs is not None:
+        pairs = pairs.materialize()  # count() + edges both consume it
     if pairs is None or pairs.count() == 0:
         return labels.map_batches(
             lambda df: df.rename(columns={"label": "cluster_id"}),

@@ -176,10 +176,12 @@ def sort_output(
 
     Ray's ``Dataset.sort`` pays ~2.6s of boundary-sampling/merge machinery
     regardless of size — absurd for an output-sized pair list. Materialize
-    (results are output-sized by construction), then: empty -> typed empty
-    frame (see ``ensure_schema``); small -> coalesce to one block and sort it
-    in a single distributed task; genuinely large -> the real distributed
-    sort."""
+    (results are output-sized by construction), then: empty -> typed
+    zero-row pandas frame (``Dataset.to_pandas()`` of ANY empty dataset
+    yields a 0-column frame, so a Dataset cannot represent the empty result
+    faithfully — callers must accept ``Dataset | DataFrame``); small ->
+    coalesce to one block and sort it in a single distributed task;
+    genuinely large -> the real distributed sort."""
     m = ds.materialize()
     n = m.count()
     if n == 0:
@@ -196,19 +198,6 @@ def sort_output(
             .map_batches(normalizer, batch_format="pyarrow")
         )
     return m.sort(keys)
-
-
-def ensure_schema(ds: "ray.data.Dataset", out_schema: "pa.Schema") -> "ray.data.Dataset":
-    """Guarantee ``ds`` carries ``out_schema`` even when the result is empty.
-
-    ``Dataset.to_pandas()`` of ANY zero-row dataset yields a 0-column frame
-    (Ray drops schema with the last row), so the empty case returns a typed
-    zero-row pandas DataFrame directly. Materialization is output-sized —
-    a pair/aggregate list, never the corpus."""
-    m = ds.materialize()
-    if m.count() == 0:
-        return out_schema.empty_table().to_pandas()
-    return m
 
 
 def distinct_rows(

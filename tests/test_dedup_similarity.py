@@ -231,3 +231,44 @@ def test_ivf_deterministic(emb_dir):
     a = ivf_knn_topk(emb_dir, num_queries=2, k=4)
     b = ivf_knn_topk(emb_dir, num_queries=2, k=4)
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_bucket_star_pairing(tmp_path):
+    """A duplicate cluster LARGER than the hot-bucket cap (identical docs
+    collide in every band, so 'other bands' cannot rescue them) must still
+    connect every member via star pairs against the min doc — the round-2
+    code-review found the old cap silently dropped such clusters entirely."""
+    shared = " ".join(f"common{j}" for j in range(40))
+    rows = [{"doc_id": i, "text": shared} for i in range(30)]
+    rows.append({"doc_id": 500, "text": "totally unrelated " + "filler " * 30})
+    pd.DataFrame(rows).assign(lang="en", source="t").to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from html_parser_ray.pipelines.dedup import dedup_clusters_lsh, minhash_lsh_dupes
+
+    out = minhash_lsh_dupes(str(tmp_path), threshold=0.9, max_bucket=8)
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    pairs = set(map(tuple, out.values.tolist()))
+    # star through doc 0 connects the whole 30-doc cluster
+    for b in range(1, 30):
+        assert (0, b) in pairs, b
+    clusters = dedup_clusters_lsh(str(tmp_path), threshold=0.9).to_pandas()
+    got = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert all(got[i] == 0 for i in range(30))
+    assert got[500] == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_empty_corpus_and_no_dupes(tmp_path):
+    """Empty-batch guard + typed empty result (Dataset|DataFrame union)."""
+    rows = [{"doc_id": i, "text": f"unique {i} " + " ".join(f"w{i}_{j}" for j in range(30))} for i in range(6)]
+    pd.DataFrame(rows).assign(lang="en", source="t").to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from html_parser_ray.pipelines.dedup import minhash_lsh_dupes
+
+    out = minhash_lsh_dupes(str(tmp_path), threshold=0.9)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert list(df.columns) == ["doc_a", "doc_b"]
+    assert len(df) == 0
