@@ -27,7 +27,9 @@ _FRAGMENTS = st.sampled_from(
         b"<!", b"<?", b"?>", b"text", b" ", b"\n", b"\x00", b"\xff",
         b"<option>", b"<head>", b"<body>", b"<td>", b"<tr>", b"='v'",
         b'="q"', b"<textarea>", b"<plaintext>", b"<li>", b"<DIV", b"/>",
-        b"<p id=", b"sidebar", b"'",
+        b"<address>", b"</address>", b"<caption>",
+        b"<div class='" + b"y" * 64 + b" sidebar'>", b"<p id=", b"sidebar",
+        b"'",
     ]
 )
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=40).map(b"".join)

@@ -57,6 +57,9 @@ EDGE_CASES = [
     b"<p>a</p\t ><p>b</p>",
     b"<head>x<body>y",
     b"<a href='1'>one</a><a href='2'>two</a><p>t</p>",
+    b"<div>intro<address>123 Main St</address>tail</div>",
+    b"<div class='" + b"x" * 4200 + b" sidebar'>hidden</div><p>keep</p>",
+    b"<div class='" + b"x" * 4200 + b"'>kept-long-class</div>",
 ]
 
 CONFIGS = [

@@ -45,7 +45,7 @@ def test_fuzz_parity():
         "&#x1F600;", "<svg>", "</svg>", "<textarea>", "</textarea>",
         "<PLAINTEXT>", "<?pi?>", "<!doctype>", "</p >", "< sp>", "<div<div>",
         "&bogus;", "&lt", "<p CLASS='SideBar'>", "<input type=x>",
-        "<p id=advert-x>", "word&#x20;next", "&#0;", "&#1114111;", "&#1114112;",
+        "<address>", "</address>", "<caption>", "<div class='yyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyyy sidebar'>", "<p id=advert-x>", "word&#x20;next", "&#0;", "&#1114111;", "&#1114112;",
     ]
     for seed in range(600):
         rng = random.Random(seed)
