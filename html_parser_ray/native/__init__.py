@@ -4,10 +4,11 @@
 ``extract_blocks_fused(source, cfg=None, drop_whitespace_text=False) ->
 list[bytes]`` — or None when unavailable. The shared library compiles on
 first use from the in-repo C source with the system compiler (cached under
-/tmp keyed by a source hash); ANY failure — no compiler, compile error,
-load error — silently yields None and the pure-Python fused path runs
-instead, so the engine never depends on a toolchain. Set
-``GRAFT_DISABLE_NATIVE=1`` to force the Python path.
+the per-user ``~/.cache/hpr_native`` keyed by a source hash, ownership-
+checked before loading); ANY failure — no compiler, compile error, load
+error — silently yields None and the pure-Python fused path runs instead,
+so the engine never depends on a toolchain. Set ``GRAFT_DISABLE_NATIVE=1``
+to force the Python path.
 
 The native path only handles the DEFAULT ExtractConfig (the production
 configuration); wrappers route non-default configs to Python. Byte-parity
@@ -68,7 +69,7 @@ def _build_lib() -> "ctypes.CDLL | None":
             try:
                 tmp = so_path + f".build{os.getpid()}"
                 r = subprocess.run(
-                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _C_SOURCE],
+                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _C_SOURCE],
                     capture_output=True,
                     timeout=120,
                 )

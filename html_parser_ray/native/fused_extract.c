@@ -17,7 +17,7 @@
  *   returns 0 on success; <0 on capacity/internal errors (caller falls back
  *   to the Python path).
  *
- * Compile: gcc -O2 -shared -fPIC -o fused_extract.so fused_extract.c
+ * Compile: gcc -O3 -shared -fPIC -o fused_extract.so fused_extract.c
  */
 
 #include <stdint.h>
