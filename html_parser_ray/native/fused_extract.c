@@ -405,11 +405,14 @@ static inline void norm_byte(uint8_t b, Norm *st, uint8_t *out, int64_t *olen) {
 static uint8_t EMIT_SPECIAL[256];
 static int emit_special_init = 0;
 
-/* decode+normalize segment [start,end) into out (or count only).
+/* decode+normalize segment [start,end) into out (or count only), optionally
+ * feeding a SECOND normalize machine (the link-density counter) from the
+ * same decoded byte stream — link segments previously decoded twice (37%%
+ * of kernel time was emit_norm).
  * Fast path: runs of plain bytes (no ws, no '&') memcpy in one go; the
  * per-byte machine only touches the special bytes. */
-static void emit_norm(const uint8_t *s, int64_t start, int64_t end, Norm *st,
-                      uint8_t *out, int64_t *olen) {
+static void emit_norm2(const uint8_t *s, int64_t start, int64_t end, Norm *st,
+                       uint8_t *out, int64_t *olen, Norm *lst, int64_t *llen) {
     if (!emit_special_init) {
         memset(EMIT_SPECIAL, 0, sizeof(EMIT_SPECIAL));
         EMIT_SPECIAL[' '] = EMIT_SPECIAL['\n'] = EMIT_SPECIAL['\r'] =
@@ -432,6 +435,12 @@ static void emit_norm(const uint8_t *s, int64_t start, int64_t end, Norm *st,
             *olen += run - i;
             st->wrote = 1;
             st->pending = 0;
+            if (lst) {
+                if (lst->pending && lst->wrote) (*llen)++;
+                *llen += run - i;
+                lst->wrote = 1;
+                lst->pending = 0;
+            }
             i = run;
             if (i >= end) break;
         }
@@ -441,17 +450,22 @@ static void emit_norm(const uint8_t *s, int64_t start, int64_t end, Norm *st,
             /* entities.py decodes against the WHOLE buffer slice [start,end) */
             int consumed = decode_entity(s, end, i, dec, &declen);
             if (consumed > 0) {
-                for (int t = 0; t < declen; t++) norm_byte(dec[t], st, out, olen);
+                for (int t = 0; t < declen; t++) {
+                    norm_byte(dec[t], st, out, olen);
+                    if (lst) norm_byte(dec[t], lst, NULL, llen);
+                }
                 i += consumed;
                 continue;
             }
             norm_byte(b, st, out, olen);
+            if (lst) norm_byte(b, lst, NULL, llen);
             i++;
             continue;
         }
         /* whitespace run */
         while (i < end && EMIT_SPECIAL[s[i]] == 1) i++;
         st->pending = 1;
+        if (lst) lst->pending = 1;
     }
 }
 
@@ -948,9 +962,8 @@ static int64_t extract_one(Ctx *ctx, const uint8_t *s, int64_t n,
                     rc = -2;
                     goto done;
                 }
-                emit_norm(s, segs[sg].start, segs[sg].end, &st, out + ooff, &blen);
-                if (segs[sg].in_link)
-                    emit_norm(s, segs[sg].start, segs[sg].end, &lst, NULL, &llen);
+                emit_norm2(s, segs[sg].start, segs[sg].end, &st, out + ooff,
+                           &blen, segs[sg].in_link ? &lst : NULL, &llen);
             }
             if (blen < 1) continue; /* min_text_len = 1 */
             if (blen > 0 && (double)llen / (double)blen > 0.5) continue;
