@@ -382,22 +382,5 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
-    elif "--single-extraction" in sys.argv:
-        slots = int(sys.argv[sys.argv.index("--single-extraction") + 1])
-        import ray
-
-        # best of 2 trials: the first pays worker import/startup costs, the
-        # second measures steady-state throughput (what a long 100 TB run sees)
-        # +6 CPUs reserve: the fused extractor is ~2x faster per worker, so
-        # the old +2 read reserve starved the 4N level (read-bound at 8
-        # workers -> 0.70 efficiency); +6 keeps reads ahead at both levels
-        # and is CONSTANT across levels so only extraction parallelism varies
-        best = None
-        for _ in range(2):
-            trial = run_extraction_bench(slots + 6, extract_slots=slots)
-            if best is None or trial["wall_s"] < best["wall_s"]:
-                best = trial
-        ray.shutdown()
-        print(json.dumps({"extraction": best}))
     else:
         print(json.dumps(main_single(NUM_CPUS)))
