@@ -5,8 +5,8 @@ Criterion = element-tag preorder sequence equality with wrapper filtering
 under tests/data/ (authored from published html5lib-tests/WHATWG semantics;
 upstream suites are unreachable in this sandbox — no network, no cache).
 
-Measured round-2 rates: tree_construction 62/79, whatwg_extra 76/81
-(combined 138/160 = 86%, vs the reference's 524/600 = 87% and 440/500 = 88%
+Measured round-2 rates: tree_construction 75/94, whatwg_extra 76/81
+(combined 151/175 = 86%, vs the reference's 524/600 = 87% and 440/500 = 88%
 on the upstream corpora). Failures are exclusively the expected permissive-
 parser divergences: adoption agency (no formatting-element reconstruction),
 table foster parenting (no reordering), spec token rewrites (</br>, <image>,
@@ -26,14 +26,14 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # floors sit just under the measured pass counts so a tokenizer regression
 # (any previously-passing case breaking) fails the suite
 FLOORS = {
-    "tree_construction.dat": (79, 62),
+    "tree_construction.dat": (94, 75),
     "whatwg_extra.dat": (81, 75),
 }
 
 def test_dat_parser_shape():
     with open(os.path.join(DATA, "tree_construction.dat"), encoding="utf-8") as f:
         cases = parse_dat(f.read())
-    assert len(cases) == 79
+    assert len(cases) == 94
     # first case sanity
     assert cases[0].html == "<p>One<p>Two"
     assert cases[0].expected == ["p", "p"]
