@@ -69,7 +69,7 @@ def test_cli_conformance(tmp_path):
     )
     assert p.returncode == 0, p.stderr[-1500:]
     summary = json.loads(p.stdout.splitlines()[-1])
-    assert summary["passed"] >= 148 and summary["total"] >= 170
+    assert summary["passed"] >= 165 and summary["total"] >= 190
     rep = json.loads(open(report).read())
     assert set(rep["suites"]) == {"tree_construction.dat", "whatwg_extra.dat"}
     for s in rep["suites"].values():

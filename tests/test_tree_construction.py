@@ -5,9 +5,9 @@ Criterion = element-tag preorder sequence equality with wrapper filtering
 under tests/data/ (authored from published html5lib-tests/WHATWG semantics;
 upstream suites are unreachable in this sandbox — no network, no cache).
 
-Measured round-2 rates: tree_construction 75/94, whatwg_extra 76/81
-(combined 151/175 = 86%, vs the reference's 524/600 = 87% and 440/500 = 88%
-on the upstream corpora). Failures are exclusively the expected permissive-
+Measured round-2 rates: tree_construction 75/94, whatwg_extra 95/100
+(combined 170/194 = 87.6%, vs the reference's 524/600 = 87.3% and
+440/500 = 88% on the upstream corpora). Failures are exclusively the expected permissive-
 parser divergences: adoption agency (no formatting-element reconstruction),
 table foster parenting (no reordering), spec token rewrites (</br>, <image>,
 lone </p>), opaque svg subtrees, <xmp> rawtext, loose td/tr outside tables,
@@ -27,7 +27,7 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # (any previously-passing case breaking) fails the suite
 FLOORS = {
     "tree_construction.dat": (94, 75),
-    "whatwg_extra.dat": (81, 75),
+    "whatwg_extra.dat": (100, 94),
 }
 
 def test_dat_parser_shape():
