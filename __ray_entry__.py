@@ -218,6 +218,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
+    # golden parquets resolve relative to this file, not a hard-coded checkout
+    # location — the oracle must work from any repo path
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
     cents_price = _CENTS.format(col="l_extendedprice")
     cents_disc = _CENTS.format(col="l_discount")
     return {
@@ -401,52 +406,52 @@ def oracle_sql() -> dict[str, str]:
         # what these goldens encode (extract_corpus uses n=200 there).
         "extract_corpus": (
             "SELECT doc_id, kind, text, media_ref, \"offset\" FROM "
-            "read_parquet('/root/repo/golden/extract_corpus_n200.parquet') "
+            f"read_parquet('{golden}/extract_corpus_n200.parquet') "
             "ORDER BY doc_id, \"offset\""
         ),
         "extract_corpus_split": (
             "SELECT doc_id, kind, text, media_ref, \"offset\" FROM "
-            "read_parquet('/root/repo/golden/extract_corpus_n200.parquet') "
+            f"read_parquet('{golden}/extract_corpus_n200.parquet') "
             "ORDER BY doc_id, \"offset\""
         ),
         "langid_counts": (
             "SELECT predicted_lang, n FROM "
-            "read_parquet('/root/repo/golden/langid_counts_sf001.parquet') "
+            f"read_parquet('{golden}/langid_counts_sf001.parquet') "
             "ORDER BY predicted_lang"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, fingerprint, bpe_tokens FROM "
-            "read_parquet('/root/repo/golden/doc_fingerprints_sf001.parquet') "
+            f"read_parquet('{golden}/doc_fingerprints_sf001.parquet') "
             "ORDER BY doc_id"
         ),
         "minhash_lsh_dupes": (
             "SELECT doc_a, doc_b FROM "
-            "read_parquet('/root/repo/golden/minhash_lsh_dupes_sf001.parquet') "
+            f"read_parquet('{golden}/minhash_lsh_dupes_sf001.parquet') "
             "ORDER BY doc_a, doc_b"
         ),
         "simhash_dupes": (
             "SELECT doc_a, doc_b FROM "
-            "read_parquet('/root/repo/golden/simhash_dupes_sf001.parquet') "
+            f"read_parquet('{golden}/simhash_dupes_sf001.parquet') "
             "ORDER BY doc_a, doc_b"
         ),
         "lsh_knn_topk": (
             "SELECT query_id, neighbor_id, rank FROM "
-            "read_parquet('/root/repo/golden/lsh_knn_topk_sf001.parquet') "
+            f"read_parquet('{golden}/lsh_knn_topk_sf001.parquet') "
             "ORDER BY query_id, rank"
         ),
         "ivf_knn_topk": (
             "SELECT query_id, neighbor_id, rank FROM "
-            "read_parquet('/root/repo/golden/ivf_knn_topk_sf001.parquet') "
+            f"read_parquet('{golden}/ivf_knn_topk_sf001.parquet') "
             "ORDER BY query_id, rank"
         ),
         "media_image_features": (
             "SELECT media_id, media_type, decoded, feat_q FROM "
-            "read_parquet('/root/repo/golden/media_image_features.parquet') "
+            f"read_parquet('{golden}/media_image_features.parquet') "
             "ORDER BY media_id"
         ),
         "media_audio_features": (
             "SELECT media_id, decoded, sample_rate, n_samples, feat_q FROM "
-            "read_parquet('/root/repo/golden/media_audio_features.parquet') "
+            f"read_parquet('{golden}/media_audio_features.parquet') "
             "ORDER BY media_id"
         ),
     }

@@ -55,16 +55,15 @@ class ExtractConfig:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1 << 16)
-def _region_marks_boilerplate(
+def _region_marks_boilerplate_impl(
     region: bytes, drop_class_substrings: tuple, drop_class_tokens: tuple
 ) -> bool:
     """Pure function of the raw attr-region bytes -> boilerplate verdict.
 
-    Memoized per process: class/id attribute regions repeat heavily across
-    real documents (nav/footer/sidebar markup is templated), so most calls
-    are dict hits — measured ~17% of single-core extraction time before the
-    memo."""
+    Memoized per process via the wrapper below: class/id attribute regions
+    repeat heavily across real documents (nav/footer/sidebar markup is
+    templated), so most calls are dict hits — measured ~17% of single-core
+    extraction time before the memo."""
     from html_parser_ray.html.attrs import collect_attrs
 
     attrs = collect_attrs(region, 0, len(region))
@@ -243,3 +242,20 @@ def extract_text_blocks(doc, cfg: ExtractConfig | None = None) -> list[bytes]:
             continue
         blocks.append(bytes(out))
     return blocks
+
+_region_marks_cached = lru_cache(maxsize=1 << 16)(_region_marks_boilerplate_impl)
+
+# memo only bounded-size regions: unique large attribute payloads (inline
+# style/data-URI blobs) would otherwise pin up to 65536 arbitrarily large byte
+# strings per worker process
+_MEMO_MAX_REGION = 1024
+
+
+def _region_marks_boilerplate(
+    region: bytes, drop_class_substrings: tuple, drop_class_tokens: tuple
+) -> bool:
+    if len(region) > _MEMO_MAX_REGION:
+        return _region_marks_boilerplate_impl(
+            region, drop_class_substrings, drop_class_tokens
+        )
+    return _region_marks_cached(region, drop_class_substrings, drop_class_tokens)

@@ -86,7 +86,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype == 1:  # Sub — sequential in the pixel dimension
             cur = line.copy()
             for x in range(channels, stride):
-                cur[x] += cur[x - channels]
+                # explicit mod-256 like Average/Paeth: uint8 wraparound via
+                # += emits a per-scanline RuntimeWarning and breaks under
+                # np.seterr('raise') contexts
+                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
         elif ftype == 3:  # Average
             cur = line.copy()
             up = prev

@@ -718,12 +718,19 @@ def label_propagation_clusters(
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data.Dataset":
-    """Near-dup clusters: connected components over verified Jaccard pairs via
-    the distributed label-propagation path. (doc_id, cluster_id) with
-    cluster_id = min doc_id in the component.
+    """Near-dup clusters over the EXACT pairwise-Jaccard baseline — an
+    ORACLE TWIN, not a production operator. The pair stage
+    (``ngram_jaccard_dupes``) is quadratic in corpus size by construction;
+    it exists so the recursive-CTE SQL oracle can check the clustering
+    exactly at verification scale.
 
-    Pairs come from the exact jaccard baseline so the recursive-SQL oracle is
-    exact; ``dedup_clusters_lsh`` is the same clustering fed by LSH pairs."""
+    **Production users: call ``dedup_clusters_lsh``** — the same distributed
+    label-propagation clustering fed by MinHash+LSH candidate pairs; every
+    stage is a Dataset shuffle and nothing is quadratic. (The query key
+    ``dedup_clusters`` is kept for driver-contract stability.)
+
+    Output: (doc_id, cluster_id) with cluster_id = min doc_id in the
+    component."""
     pairs = ngram_jaccard_dupes(sf_dir, threshold=threshold, k=k)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return label_propagation_clusters(pairs, docs)

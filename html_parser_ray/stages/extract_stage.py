@@ -82,7 +82,14 @@ class ExtractSpansBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._batch_native is not None:
-            out = self._call_native(batch)
+            # degrade to the Python path on ANY native-side failure, not just
+            # the in-band capacity signal: e.g. ArrowCapacityError from
+            # combine_chunks/cast(binary) on >2 GB batches, or the
+            # int32-offsets assumption — a failed task would kill the job
+            try:
+                out = self._call_native(batch)
+            except Exception:
+                out = None
             if out is not None:
                 return out
         return self._call_python(batch)

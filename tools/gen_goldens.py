@@ -116,6 +116,12 @@ def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32) -> pd.DataFram
             # same polynomial band hash as the pipeline (uint64 wraparound)
             bucket = int((chunk * weights).sum() % mersenne)
             buckets.setdefault((band, bucket), []).append(int(doc_id))
+    # the pipeline star-caps buckets over max_bucket=256; this all-vs-all
+    # twin only equals it while no bucket exceeds the cap — fail loudly at
+    # regeneration time if a corpus/threshold change breaks that assumption
+    assert all(len(ids) <= 256 for ids in buckets.values()), (
+        "bucket exceeds pipeline max_bucket=256; twin no longer equals pipeline"
+    )
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
         if len(ids) < 2:
@@ -141,6 +147,10 @@ def gen_simhash(max_hamming: int = 3) -> pd.DataFrame:
     for d, h in sigs.items():
         for band in range(4):
             buckets.setdefault((band, (h >> (band * 16)) & 0xFFFF), []).append(d)
+    # same cap assumption as gen_minhash_lsh (pipeline max_bucket=256)
+    assert all(len(ids) <= 256 for ids in buckets.values()), (
+        "bucket exceeds pipeline max_bucket=256; twin no longer equals pipeline"
+    )
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
         if len(ids) < 2:
