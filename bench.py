@@ -162,6 +162,27 @@ def run_query_bench() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+
+    # steady-state warm-up: the FIRST hash-partitioned exchange in a Ray
+    # process pays ~2-3s of one-time worker/executor spin-up that belongs to
+    # no particular query (measured: the same query runs 6.2s cold, 1.5s
+    # warm). One tiny throwaway exchange absorbs it so per-query times
+    # compare steady-state work, which is what the 100 TB design cares about.
+    import pandas as pd
+
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    hash_partitioned(
+        ray.data.range(1000).map_batches(
+            lambda df: df.rename(columns={"id": "k"}), batch_format="pandas"
+        ),
+        ["k"],
+        lambda g: g,
+        4,
+    ).materialize()
+
     chosen = [
         "html_roundtrip_extract",
         "html_li_count",

@@ -19,12 +19,14 @@ in one union shuffle (see ``minhash_lsh_dupes``). The only broadcast ops
 left are the *documented quadratic baselines* (``ngram_jaccard_dupes``,
 ``embedding_neardup_pairs``) kept as verification-scale oracle twins.
 
-Cost note (measured at sf0.1, 32 CPUs, warm workers): the distributed forms
-pay ~1s of fixed cost per exchange, so e.g. minhash runs ~8s locally vs the
-round-1 driver-paired 3.9s — at cluster scale those fixed costs amortize
-while the round-1 driver hop would be the hard scale ceiling. Result
-ordering uses ``shuffle.sort_output`` (single-task sort for output-sized
-results; Ray's Dataset.sort costs ~2.6s regardless of size).
+Cost note (measured at sf0.1, 32 CPUs, warm workers): an exchange's fixed
+cost scales with the INPUT BLOCK COUNT, so every read here uses
+``shuffle.read_table`` (size-aware ``override_num_blocks``) — that plus
+chaining the minhash verify into two lookup exchanges (attach-a with fused
+distinct, then attach-b + inline verify) cut minhash from the round-2 9.6s
+to ~3.1s and simhash to ~1.6s with the identical scale-safe shapes. Result
+ordering uses ``shuffle.sort_output`` (one execution + driver sort of the
+output-sized frame; Ray's Dataset.sort costs ~2.6s regardless of size).
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from html_parser_ray.pipelines.shuffle import (
     distinct_rows,
     hash_partitioned,
     join_partitions,
+    read_table,
     sort_output,
 )
 
@@ -55,9 +58,7 @@ def exact_dedup(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
     hash-partition + sort pipeline would pay. One shuffle total, carrying
     only pre-aggregated (hash, min, count) partials.
     """
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         hashed = pd.DataFrame(
@@ -101,7 +102,7 @@ def dedup_keep_first(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset 
         .select_columns(["keeper_doc_id"])
         .repartition(join_partitions(num_partitions))
     )
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     joined = docs.join(
         keepers,
         join_type="inner",
@@ -118,9 +119,7 @@ def dedup_keep_first(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset 
 
 def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
     """Driver-side shingle dict — used ONLY by the quadratic baseline ops."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -209,9 +208,7 @@ def _shingle_sets(sf_dir: str, k: int) -> "ray.data.Dataset":
     Shingle sets serialize to one ``\\x1f``-joined string per doc: Arrow's
     acero join kernel cannot carry ``list<string>`` non-key columns, and a
     flat string shuffles/joins as a plain binary payload."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -237,21 +234,29 @@ def minhash_lsh_dupes(
     max_bucket: int = 256,
 ) -> "ray.data.Dataset | pd.DataFrame":
     """MinHash + LSH near-dup pairs, verified with true Jaccard — distributed
-    end-to-end:
+    end-to-end, THREE chained exchanges in one streaming plan:
 
-    signature map_batches -> (band, bucket, doc_id) triples
-      -> co-partitioned per-bucket pairing (hot-bucket cap)
-      -> co-partitioned distinct
-      -> pairs ⋈ shingles (doc_a) ⋈ shingles (doc_b)   [hash joins]
-      -> per-batch vectorized Jaccard filter.
+    shingle table (computed once, materialized — reused by the signature
+    stage and both verify sides)
+      -> signature map_batches -> (band, bucket, doc_id) triples
+      -> exchange 1 (band, bucket): co-partitioned per-bucket pairing
+         (hot-bucket star cap)
+      -> exchange 2 (doc_a): attach doc_a's shingles AND fuse the cross-band
+         DISTINCT (every band-copy of a pair shares doc_a, so all copies
+         co-locate here — the distinct costs no extra shuffle)
+      -> exchange 3 (doc_b): attach doc_b's shingles and verify true Jaccard
+         inside the partition.
 
-    Shuffles carry triples, pairs and the pair-aligned shingle lists — never
-    the corpus, and nothing lands on the driver.
+    Shuffles carry triples, pairs and pair-aligned shingle strings — never
+    the corpus, and nothing lands on the driver until the output-sized
+    result. The round-2 form paid five dataset executions (separate attach /
+    zip exchanges plus a materialized candidate list consumed twice); the
+    chained form pays two (the shingle table + the streaming plan), which is
+    where the wall time went at verification scale.
     """
     rows_per_band = num_hashes // bands
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # one shingle pass, three consumers (sig + both feature sides)
+    sh = _shingle_sets(sf_dir, k).materialize()
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:  # np.stack rejects empty input (empty row groups)
@@ -271,9 +276,10 @@ def minhash_lsh_dupes(
         sigs = np.stack(
             [
                 textfns.minhash_signature(
-                    textfns.word_shingles(t, k), num_hashes=num_hashes
+                    set(s.split(_SHINGLE_SEP)) if s else set(),
+                    num_hashes=num_hashes,
                 )
-                for t in df["text"]
+                for s in df["shingles"]
             ]
         ).astype(np.uint64)
         chunks = sigs.reshape(len(ids), bands, rows_per_band)
@@ -290,26 +296,15 @@ def minhash_lsh_dupes(
             }
         )
 
-    triples = ds.map_batches(sig, batch_format="pandas")
+    triples = sh.map_batches(sig, batch_format="pandas")
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    # materialize: the candidate list is consumed twice below (one copy per
-    # pair side); without pinning, the whole signature chain re-executes
     cand = hash_partitioned(
         triples,
         ["band", "bucket"],
         lambda g: _bucket_pairs(g, max_bucket),
         num_partitions,
         out_schema=pair_schema,
-    ).materialize()
-    # distributed verify, single pass over the feature table: both pair
-    # copies (keyed by doc_a and doc_b) union with the shingle table; ONE
-    # co-partitioned shuffle attaches each side's shingles (and fuses the
-    # cross-band DISTINCT — all copies of a pair share each key), then a
-    # second, pair-sized shuffle zips the two halves and verifies true
-    # Jaccard. The pairwise-lookup form would shuffle the corpus-sized
-    # shingle table twice; Dataset.join's aggregator actors cost 5-7s per
-    # join at this result size.
-    sh = _shingle_sets(sf_dir, k)
+    )
 
     def key_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -318,16 +313,6 @@ def minhash_lsh_dupes(
                 "doc_b": df["doc_b"].astype("int64"),
                 "__key": df["doc_a"].astype("int64"),
                 "__side": np.uint8(0),
-            }
-        )
-
-    def key_b(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_a": df["doc_a"].astype("int64"),
-                "doc_b": df["doc_b"].astype("int64"),
-                "__key": df["doc_b"].astype("int64"),
-                "__side": np.uint8(1),
             }
         )
 
@@ -342,42 +327,77 @@ def minhash_lsh_dupes(
             }
         )
 
-    u = (
-        cand.map_batches(key_a, batch_format="pandas")
-        .union(cand.map_batches(key_b, batch_format="pandas"))
-        .union(sh.map_batches(key_feat, batch_format="pandas"))
+    u_a = cand.map_batches(key_a, batch_format="pandas").union(
+        sh.map_batches(key_feat, batch_format="pandas")
     )
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
         if "sh" not in g.columns:
             g = g.assign(sh=None)
         fm = g["__side"] == 2
         feats = g[fm]
         mapping = dict(zip(feats["__key"], feats["sh"]))
-        lhs = g[~fm].drop_duplicates(subset=["doc_a", "doc_b", "__side"])
-        lhs = lhs.assign(sh=lhs["__key"].map(mapping))
-        lhs = lhs[lhs["sh"].notna()]
-        return lhs.drop(columns=["__key"])
+        # cross-band distinct fused here: all copies of (a, b) share doc_a
+        lhs = g[~fm].drop_duplicates(subset=["doc_a", "doc_b"])
+        lhs = lhs.assign(sh_a=lhs["__key"].map(mapping))
+        lhs = lhs[lhs["sh_a"].notna()]
+        return lhs[["doc_a", "doc_b", "sh_a"]]
 
-    half = hash_partitioned(u, ["__key"], attach, num_partitions)
+    half_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sh_a", pa.string())]
+    )
+    half = hash_partitioned(u_a, ["__key"], attach_a, num_partitions, out_schema=half_schema)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        a_rows = g[g["__side"] == 0][["doc_a", "doc_b", "sh"]]
-        b_rows = g[g["__side"] == 1][["doc_a", "doc_b", "sh"]]
-        merged = a_rows.merge(b_rows, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+    def key_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].astype("int64"),
+                "doc_b": df["doc_b"].astype("int64"),
+                "sh_a": df["sh_a"],
+                "__key": df["doc_b"].astype("int64"),
+                "__side": np.uint8(0),
+            }
+        )
+
+    def key_feat_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": np.int64(-1),
+                "doc_b": np.int64(-1),
+                "sh_a": "",
+                "__key": df["doc_id"].astype("int64"),
+                "__side": np.uint8(2),
+                "sh": df["shingles"],
+            }
+        )
+
+    u_b = half.map_batches(key_b, batch_format="pandas").union(
+        sh.map_batches(key_feat_b, batch_format="pandas")
+    )
+
+    def attach_b_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if "sh" not in g.columns:
+            g = g.assign(sh=None)
+        fm = g["__side"] == 2
+        feats = g[fm]
+        mapping = dict(zip(feats["__key"], feats["sh"]))
+        lhs = g[~fm]
+        sh_b = lhs["__key"].map(mapping)
+        ok = sh_b.notna()
+        lhs, sh_b = lhs[ok], sh_b[ok]
         keep = [
             textfns.jaccard(
                 set(sa.split(_SHINGLE_SEP)) if sa else set(),
                 set(sb.split(_SHINGLE_SEP)) if sb else set(),
             )
             >= threshold
-            for sa, sb in zip(merged["sh_a"], merged["sh_b"])
+            for sa, sb in zip(lhs["sh_a"], sh_b)
         ]
-        out = merged.loc[keep, ["doc_a", "doc_b"]]
+        out = lhs.loc[keep, ["doc_a", "doc_b"]]
         return out.astype({"doc_a": "int64", "doc_b": "int64"})
 
     verified = hash_partitioned(
-        half, ["doc_a", "doc_b"], verify, num_partitions, out_schema=pair_schema
+        u_b, ["__key"], attach_b_verify, num_partitions, out_schema=pair_schema
     )
     return sort_output(verified, ["doc_a", "doc_b"], pair_schema)
 
@@ -391,9 +411,7 @@ def simhash_dupes(
     """SimHash near-dup pairs: 4x16-bit band buckets -> co-partitioned hamming
     verify (the signatures travel with the triples, so verification happens
     inside the bucket partition — no joins, no driver)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -470,9 +488,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
     unit = mat / np.where(norms == 0, 1, norms)
     unit_ref = ray.put((ids, unit))
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         all_ids, all_unit = ray.get(unit_ref)
@@ -542,9 +558,7 @@ def embedding_neardup_lsh(
             {"bucket": out_bucket, "vec_id": out_id.astype("int64"), "vec": vecs}
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     coded = ds.map_batches(code_batch, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -619,17 +633,30 @@ def label_propagation_clusters(
     max_rounds: int = 50,
     num_partitions: int = 8,
 ) -> "ray.data.Dataset":
-    """Distributed min-label propagation over the dup-pair graph — the
-    100 TB-scale connected components: labels live in a Dataset keyed by
-    doc_id; each round is edges ⋈ labels -> per-dst min -> labels ⋈ update.
-    Converges in O(component diameter) rounds; convergence is detected by the
-    (monotonically decreasing) global label sum, a cheap aggregate.
+    """Distributed min-label propagation WITH POINTER JUMPING over the
+    dup-pair graph — the 100 TB-scale connected components. Labels live in a
+    Dataset keyed by doc_id; each round costs TWO task-based hash-partitioned
+    exchanges (no ``Dataset.join`` — its per-round aggregator-actor pools
+    cost 5-7s each at verification scale, the round-2 bottleneck):
 
-    Partitioning assumption: edges and labels hash-partition by node id; no
-    driver state beyond the scalar sum.
+    - exchange 1 (key = node id): the label table is the lookup side. Edge
+      rows keyed by ``src`` pick up ``label[src]`` and address it to ``dst``;
+      pointer rows keyed by ``label[v]`` pick up ``label[label[v]]`` and
+      address it to ``v`` (pointer jumping / path halving — labels chase
+      their grandparent each round, so convergence needs ~log(diameter)
+      rounds instead of diameter).
+    - exchange 2 (key = node id): min over {current label, neighbor
+      contributions, grandparent contribution} per node -> new label table.
+
+    Convergence is detected by the monotonically decreasing global label sum
+    (one cheap aggregate per round). Partitioning assumption: edges and
+    labels hash-partition by node id; no driver state beyond the scalar sum.
     """
     if isinstance(pairs, pd.DataFrame):
         pairs = ray.data.from_pandas(pairs) if len(pairs) else None
+
+    label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+    contrib_schema = pa.schema([("node", pa.int64()), ("cand", pa.int64())])
 
     labels = docs.map_batches(
         lambda df: pd.DataFrame(
@@ -645,68 +672,91 @@ def label_propagation_clusters(
             batch_format="pandas",
         ).sort("doc_id")
 
-    # undirected edge list (both directions); repartition rebuilds clean
-    # uniform blocks — upstream map_groups datasets can carry 0-column empty
-    # blocks that crash the join aggregator's unify
-    edges = (
-        pairs.map_batches(
-            lambda df: pd.concat(
-                [
-                    pd.DataFrame(
-                        {"src": df["doc_a"].astype("int64"), "dst": df["doc_b"].astype("int64")}
-                    ),
-                    pd.DataFrame(
-                        {"src": df["doc_b"].astype("int64"), "dst": df["doc_a"].astype("int64")}
-                    ),
-                ],
-                ignore_index=True,
-            ),
-            batch_format="pandas",
+    # undirected edge list (both directions)
+    edges = pairs.map_batches(
+        lambda df: pd.concat(
+            [
+                pd.DataFrame(
+                    {"src": df["doc_a"].astype("int64"), "dst": df["doc_b"].astype("int64")}
+                ),
+                pd.DataFrame(
+                    {"src": df["doc_b"].astype("int64"), "dst": df["doc_a"].astype("int64")}
+                ),
+            ],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__key": df["src"].astype("int64"),
+                "node": df["dst"].astype("int64"),
+                "label": np.int64(0),
+                "__side": np.uint8(0),
+            }
         )
-        .repartition(join_partitions(num_partitions))
-        .materialize()
-    )
+
+    def tag_pointer(df: pd.DataFrame) -> pd.DataFrame:
+        # ask for label[label[v]], addressed back to v
+        return pd.DataFrame(
+            {
+                "__key": df["label"].astype("int64"),
+                "node": df["doc_id"].astype("int64"),
+                "label": np.int64(0),
+                "__side": np.uint8(0),
+            }
+        )
+
+    def tag_feat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "__key": df["doc_id"].astype("int64"),
+                "node": np.int64(-1),
+                "label": df["label"].astype("int64"),
+                "__side": np.uint8(2),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        fm = g["__side"] == 2
+        feats = g[fm]
+        mapping = pd.Series(
+            feats["label"].to_numpy(), index=feats["__key"].to_numpy()
+        )
+        lhs = g[~fm]
+        cand = lhs["__key"].map(mapping)
+        out = pd.DataFrame({"node": lhs["node"].to_numpy(), "cand": cand.to_numpy()})
+        out = out.dropna()
+        return out.astype({"node": "int64", "cand": "int64"})
+
+    def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["cand"].min()
+        return out.rename(columns={"node": "doc_id", "cand": "label"})
 
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
-        prop = edges.join(
-            labels,
-            join_type="inner",
-            num_partitions=join_partitions(num_partitions),
-            on=("src",),
-            right_on=("doc_id",),
+        requests = edges.map_batches(tag_edge, batch_format="pandas").union(
+            labels.map_batches(tag_pointer, batch_format="pandas"),
+            labels.map_batches(tag_feat, batch_format="pandas"),
         )
-        prop_min = hash_partitioned(
-            prop.select_columns(["dst", "label"]),
-            ["dst"],
-            lambda g: g.groupby("dst", as_index=False).agg(in_label=("label", "min")),
+        contrib = hash_partitioned(
+            requests, ["__key"], attach, num_partitions, out_schema=contrib_schema
+        )
+        cur = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["doc_id"].astype("int64"), "cand": df["label"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        labels = hash_partitioned(
+            contrib.union(cur),
+            ["node"],
+            min_combine,
             num_partitions,
-            out_schema=pa.schema([("dst", pa.int64()), ("in_label", pa.int64())]),
-        ).repartition(join_partitions(num_partitions))
-        merged = labels.join(
-            prop_min,
-            join_type="left_outer",
-            num_partitions=join_partitions(num_partitions),
-            on=("doc_id",),
-            right_on=("dst",),
-        )
-
-        def take_min(df: pd.DataFrame) -> pd.DataFrame:
-            lab = df["label"].to_numpy()
-            incoming = df["in_label"].to_numpy()
-            incoming = np.where(pd.isna(incoming), lab, incoming).astype("int64")
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"].astype("int64"),
-                    "label": np.minimum(lab, incoming),
-                }
-            )
-
-        labels = (
-            merged.map_batches(take_min, batch_format="pandas")
-            .repartition(join_partitions(num_partitions))
-            .materialize()
-        )
+            out_schema=label_schema,
+        ).materialize()
         s = labels.sum("label")
         if s == prev_sum:
             break
@@ -732,7 +782,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data
     Output: (doc_id, cluster_id) with cluster_id = min doc_id in the
     component."""
     pairs = ngram_jaccard_dupes(sf_dir, threshold=threshold, k=k)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return label_propagation_clusters(pairs, docs)
 
 
@@ -751,7 +801,7 @@ def dedup_clusters_lsh(
         pairs_df = pairs
     else:
         pairs_df = None
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return label_propagation_clusters(
         pairs_df if pairs_df is not None else pairs, docs
     )

@@ -245,15 +245,13 @@ def revenue_by_nation_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFra
     round-2 replacement for the round-1 variant that broadcast the entire
     orders table (VERDICT.md §wrong item 1).
     """
-    from html_parser_ray.pipelines.shuffle import hash_partitioned
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, read_table
 
-    lineitem = ray.data.read_parquet(
+    lineitem = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
 
     # small sides: broadcast once via ray.put (dimension tables)
     cust = pd.read_parquet(

@@ -19,14 +19,14 @@ import ray.data
 
 import pyarrow as pa
 
-from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+from html_parser_ray.pipelines.shuffle import hash_partitioned, read_table, sort_output
 
 
 def events_sessionize(
     sf_dir: str, gap_minutes: int = 30, num_partitions: int = 16
 ) -> "ray.data.Dataset | pd.DataFrame":
     """Per-user session stats: (user_id, n_events, n_sessions)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     gap = np.timedelta64(gap_minutes * 60, "s")
 

@@ -29,6 +29,45 @@ import ray.data
 DEFAULT_PARTITIONS = 16
 
 
+def read_blocks(
+    path: str, min_blocks: int = 16, target_block_bytes: int = 64 << 20
+) -> int:
+    """Size-aware read parallelism (``override_num_blocks`` for the read).
+
+    Ray's groupby/sort exchange cost scales with the INPUT BLOCK COUNT, not
+    the data size (measured: 64 blocks -> 1.2-1.6s per exchange, 16 blocks ->
+    0.3-0.5s, for the same 160k tiny rows) — the default reader splits small
+    parquet files into ~64 blocks and every downstream exchange pays per-block
+    sampling/sort/scheduling overhead. Pick the block count from the actual
+    file bytes instead: one block per ``target_block_bytes`` (64 MB of
+    parquet ≈ a few hundred MB in memory), floored at ``min_blocks`` so small
+    inputs still use the pool. At 100 TB this returns the same many-blocks
+    answer as the default; at verification scale it cuts the fixed exchange
+    cost ~4x.
+    """
+    import glob
+    import os
+
+    paths = (
+        glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+    )
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return min_blocks
+    return int(max(min_blocks, -(-total // target_block_bytes)))
+
+
+def read_table(
+    path: str, columns: list[str] | None = None, min_blocks: int = 16
+) -> "ray.data.Dataset":
+    """``read_parquet`` with size-aware block count (see ``read_blocks``) —
+    use for any read that feeds a hash-partitioned exchange."""
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=read_blocks(path, min_blocks)
+    )
+
+
 def join_partitions(requested: int | None = None) -> int:
     """Partition count for ``Dataset.join``: the hash-shuffle aggregator pool
     holds one actor per partition, so a count above the session's CPUs
@@ -180,23 +219,18 @@ def sort_output(
     zero-row pandas frame (``Dataset.to_pandas()`` of ANY empty dataset
     yields a 0-column frame, so a Dataset cannot represent the empty result
     faithfully — callers must accept ``Dataset | DataFrame``); small ->
-    coalesce to one block and sort it in a single distributed task;
-    genuinely large -> the real distributed sort."""
+    pull the output-sized frame and sort it driver-side (ONE dataset
+    execution; the former repartition(1)+map_batches form paid a second
+    full execution, ~1s of fixed cost per query); genuinely large -> the
+    real distributed sort."""
     m = ds.materialize()
     n = m.count()
     if n == 0:
         return out_schema.empty_table().to_pandas()
     if n <= small_limit:
-        normalizer = _schema_normalizer(out_schema)
-
-        def sort_block(df: pd.DataFrame) -> pd.DataFrame:
-            return df.sort_values(keys).reset_index(drop=True)
-
-        return (
-            m.repartition(1)
-            .map_batches(sort_block, batch_format="pandas")
-            .map_batches(normalizer, batch_format="pyarrow")
-        )
+        tbl = pa.Table.from_pandas(m.to_pandas(), preserve_index=False)
+        tbl = tbl.select(out_schema.names).cast(out_schema)
+        return tbl.to_pandas().sort_values(keys).reset_index(drop=True)
     return m.sort(keys)
 
 

@@ -153,81 +153,163 @@ class ExtractSpansBatch:
             doc_nblocks = np.zeros(0, dtype=np.int64)
             html_bytes = 0
 
-        html_rank = np.cumsum(html_np) - 1
-        text_rank = np.cumsum(text_np) - 1
-        media_rank = np.cumsum(media_np) - 1
-        text_texts = text_arr.filter(is_text).cast(pa.binary()).to_pylist()
-        media_refs = media_arr.filter(is_media).to_pylist()
-
-        from html_parser_ray.html.text import normalize_bytes
-
-        values = bytearray()
-        val_offs = [0]
-        o_kind: list[str] = []
-        o_media: list[str] = []
-        o_off: list[int] = []
-        out_offsets = [0]
-        media_json = self._media_json
+        # ---- fully vectorized span emission (no per-span Python) ----------
+        # Every output span is a (source_start, length) range into ONE
+        # concatenated source buffer: [native html blocks | normalized text
+        # spans | media JSON blob]. Output positions, offsets and the final
+        # values buffer are all numpy offset arithmetic; the byte movement is
+        # a single multi-range gather.
         n_rows = len(spans_col)
-        for ri in range(n_rows):
-            lo, hi = row_offs[ri] - base, row_offs[ri + 1] - base
-            k_off = 0
-            for i in range(lo, hi):
-                if html_np[i]:
-                    hr = html_rank[i]
-                    for b_ in range(first_block[hr], first_block[hr + 1]):
-                        values += mv[block_bounds[b_] : block_bounds[b_ + 1]]
-                        val_offs.append(len(values))
-                        o_kind.append("text")
-                        o_media.append("")
-                        o_off.append(k_off)
-                        k_off += 1
-                elif text_np[i]:
-                    norm = normalize_bytes(text_texts[text_rank[i]] or b"")
-                    if norm:
-                        values += norm
-                        val_offs.append(len(values))
-                        o_kind.append("text")
-                        o_media.append("")
-                        o_off.append(k_off)
-                        k_off += 1
-                elif media_np[i]:
-                    ref = media_refs[media_rank[i]] or ""
-                    values += media_json(ref)
-                    val_offs.append(len(values))
-                    o_kind.append("media")
-                    o_media.append(ref)
-                    o_off.append(k_off)
-                    k_off += 1
-                # unknown kinds dropped deterministically
-            out_offsets.append(len(o_kind))
+        flat_n = len(flat)
+        html_idx = np.flatnonzero(html_np)
+        text_idx = np.flatnonzero(text_np)
+        media_idx = np.flatnonzero(media_np)
+
+        # text spans: whitespace-normalize with Arrow kernels (identical
+        # semantics to html.text.normalize_bytes: collapse WHITESPACE runs to
+        # one space, drop leading/trailing — parity pinned by tests)
+        if len(text_idx):
+            texts_f = text_arr.filter(is_text)
+            if isinstance(texts_f, pa.ChunkedArray):
+                texts_f = texts_f.combine_chunks()
+            texts_f = pc.fill_null(texts_f, "")
+            norm = pc.utf8_trim(
+                pc.replace_substring_regex(texts_f, "[ \n\r\t\x0c]+", " "), " "
+            )
+            norm_bin = norm.cast(pa.binary())
+            if isinstance(norm_bin, pa.ChunkedArray):
+                norm_bin = norm_bin.combine_chunks()
+            nbufs = norm_bin.buffers()
+            noff = norm_bin.offset
+            norm_offs = np.frombuffer(nbufs[1], dtype=np.int32)[
+                noff : noff + len(norm_bin) + 1
+            ].astype(np.int64)
+            norm_data = np.frombuffer(nbufs[2], dtype=np.uint8)
+            norm_lens = np.diff(norm_offs)
+        else:
+            norm_offs = np.zeros(1, dtype=np.int64)
+            norm_data = np.zeros(0, dtype=np.uint8)
+            norm_lens = np.zeros(0, dtype=np.int64)
+
+        # media spans: JSON per UNIQUE ref only (refs repeat heavily)
+        if len(media_idx):
+            import pandas as pd
+
+            refs_py = [
+                "" if r is None else r for r in media_arr.filter(is_media).to_pylist()
+            ]
+            codes, uniques = pd.factorize(np.asarray(refs_py, dtype=object))
+            ujsons = [self._media_json(u) for u in uniques]
+            media_blob = np.frombuffer(b"".join(ujsons), dtype=np.uint8)
+            ulens = np.fromiter((len(j) for j in ujsons), dtype=np.int64, count=len(ujsons))
+            uoffs = np.zeros(len(ujsons) + 1, dtype=np.int64)
+            np.cumsum(ulens, out=uoffs[1:])
+        else:
+            refs_py = []
+            codes = np.zeros(0, dtype=np.int64)
+            uniques = np.zeros(0, dtype=object)
+            media_blob = np.zeros(0, dtype=np.uint8)
+            ulens = np.zeros(0, dtype=np.int64)
+            uoffs = np.zeros(1, dtype=np.int64)
+
+        # per-input-span output counts -> output positions
+        counts = np.zeros(flat_n, dtype=np.int64)
+        if len(html_idx):
+            counts[html_idx] = doc_nblocks
+        if len(text_idx):
+            counts[text_idx] = (norm_lens > 0).astype(np.int64)
+        if len(media_idx):
+            counts[media_idx] = 1
+        cum = np.zeros(flat_n + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        total_out = int(cum[-1])
+
+        # source buffer = html blocks | normalized text | media JSON
+        b1 = len(mv)
+        b2 = b1 + len(norm_data)
+        src = np.empty(b2 + len(media_blob), dtype=np.uint8)
+        src[:b1] = np.frombuffer(mv, dtype=np.uint8) if b1 else 0
+        src[b1:b2] = norm_data
+        src[b2:] = media_blob
+
+        starts_all = np.zeros(total_out, dtype=np.int64)
+        lens_all = np.zeros(total_out, dtype=np.int64)
+        is_media_out = np.zeros(total_out, dtype=bool)
+        media_code_out = np.zeros(total_out, dtype=np.int64)
+        if len(html_idx):
+            # html span -> its contiguous native block range, placed at the
+            # span's output slot run
+            pos_html = np.repeat(cum[html_idx], doc_nblocks) + (
+                np.arange(len(block_bounds) - 1, dtype=np.int64)
+                - np.repeat(first_block[:-1], doc_nblocks)
+            )
+            starts_all[pos_html] = block_bounds[:-1]
+            lens_all[pos_html] = np.diff(block_bounds)
+        if len(text_idx):
+            kept = norm_lens > 0
+            pos_text = cum[text_idx[kept]]
+            starts_all[pos_text] = b1 + norm_offs[:-1][kept]
+            lens_all[pos_text] = norm_lens[kept]
+        if len(media_idx):
+            pos_media = cum[media_idx]
+            starts_all[pos_media] = b2 + uoffs[codes]
+            lens_all[pos_media] = ulens[codes]
+            is_media_out[pos_media] = True
+            media_code_out[pos_media] = codes
+
+        total_bytes = int(lens_all.sum())
+        if total_bytes > (1 << 31) - 1 or len(src) > (1 << 31) - 1:
+            return None  # int32 Arrow offsets would overflow; Python fallback
+        # multi-range gather: out[k] = src[starts[j] + k - out_start[j]]
+        shift = np.zeros(total_out, dtype=np.int64)
+        np.cumsum(lens_all[:-1], out=shift[1:])
+        gather_idx = np.repeat(starts_all - shift, lens_all) + np.arange(
+            total_bytes, dtype=np.int64
+        )
+        values = src[gather_idx]
+        val_offs = np.zeros(total_out + 1, dtype=np.int64)
+        np.cumsum(lens_all, out=val_offs[1:])
+
+        # row list offsets + within-row span offsets
+        out_offsets = cum[np.asarray(row_offs) - base]
+        o_off = np.arange(total_out, dtype=np.int64) - np.repeat(
+            out_offsets[:-1], np.diff(out_offsets)
+        )
 
         st = self.extractor.stats
         st.docs += n_rows
-        st.spans_in += len(flat)
-        st.spans_out += len(o_kind)
+        st.spans_in += flat_n
+        st.spans_out += total_out
         st.html_bytes += html_bytes
 
         text_out = pa.Array.from_buffers(
             pa.binary(),
-            len(val_offs) - 1,
+            total_out,
             [
                 None,
-                pa.py_buffer(np.asarray(val_offs, dtype=np.int32).tobytes()),
-                pa.py_buffer(bytes(values)),
+                pa.py_buffer(val_offs.astype(np.int32).tobytes()),
+                pa.py_buffer(values.tobytes()),
             ],
         ).cast(pa.string())
+        kind_arr = pa.DictionaryArray.from_arrays(
+            pa.array(is_media_out.astype(np.int8), type=pa.int8()),
+            pa.array(["text", "media"], type=pa.string()),
+        ).cast(pa.string())
+        # media_ref: "" except media slots (pool lookup, no Python per span)
+        ref_pool = pa.array(list(uniques) + [""], type=pa.string())
+        ref_take = np.where(is_media_out, media_code_out, len(uniques))
+        media_out = pc.take(ref_pool, pa.array(ref_take, type=pa.int64()))
         struct_arr = pa.StructArray.from_arrays(
             [
-                pa.array(o_kind, type=pa.string()),
+                kind_arr,
                 text_out,
-                pa.array(o_media, type=pa.string()),
-                pa.array(o_off, type=pa.int32()),
+                media_out,
+                pa.array(o_off.astype(np.int32), type=pa.int32()),
             ],
             fields=list(SPAN_STRUCT),
         )
         spans_out = pa.ListArray.from_arrays(
-            pa.array(out_offsets, type=pa.int32()), struct_arr
+            pa.array(out_offsets.astype(np.int32), type=pa.int32()), struct_arr
         )
         return pa.table({"doc_id": doc_ids, "spans_out": spans_out})
 

@@ -12,6 +12,12 @@ import pytest
 from html_parser_ray.functions import textfns
 
 
+def _df(out):
+    """Pair pipelines return Dataset | DataFrame (sort_output pulls small
+    results driver-side in one execution)."""
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+
 def test_shingles_and_jaccard():
     a = textfns.word_shingles("a b c d e", 3)
     assert a == {"a b c", "b c d", "c d e"}
@@ -111,7 +117,7 @@ def test_lsh_recall_matches_exact_jaccard(dup_corpus):
     from html_parser_ray.pipelines.dedup import minhash_lsh_dupes, ngram_jaccard_dupes
 
     exact = ngram_jaccard_dupes(dup_corpus, threshold=0.8)
-    lsh = minhash_lsh_dupes(dup_corpus, threshold=0.8).to_pandas()
+    lsh = _df(minhash_lsh_dupes(dup_corpus, threshold=0.8))
     exact_pairs = set(map(tuple, exact.values.tolist()))
     lsh_pairs = set(map(tuple, lsh.values.tolist()))
     assert (100, 101) in exact_pairs
@@ -124,7 +130,7 @@ def test_lsh_recall_matches_exact_jaccard(dup_corpus):
 def test_simhash_finds_planted_dupes(dup_corpus):
     from html_parser_ray.pipelines.dedup import simhash_dupes
 
-    out = simhash_dupes(dup_corpus, max_hamming=6).to_pandas()
+    out = _df(simhash_dupes(dup_corpus, max_hamming=6))
     pairs = set(map(tuple, out.values.tolist()))
     assert (100, 102) in pairs  # identical text -> identical simhash
     assert (100, 101) in pairs  # near-identical
@@ -166,7 +172,7 @@ def test_embedding_neardup_lsh_recall(emb_dir):
     )
 
     exact = embedding_neardup_pairs(emb_dir, threshold=0.99)
-    lsh = embedding_neardup_lsh(emb_dir, threshold=0.99).to_pandas()
+    lsh = _df(embedding_neardup_lsh(emb_dir, threshold=0.99))
     exact_pairs = set(map(tuple, exact.values.tolist()))
     lsh_pairs = set(map(tuple, lsh.values.tolist()))
     assert (30, 31) in lsh_pairs
