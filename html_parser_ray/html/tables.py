@@ -70,6 +70,10 @@ def token_includes(value: bytes, token: bytes) -> bool:
     """
     if not token:
         return False
+    if token not in value:
+        # a token is always a substring: the C-speed scan short-circuits the
+        # regex split on the (common) miss
+        return False
     # Note: not bytes.split() — Python's default split also treats \x0b as
     # whitespace, HTML's five-char set does not.
     return token in RE_WS_RUN.split(value)

@@ -353,7 +353,16 @@ def _parse_signed(s: str) -> int | None:
 
 
 def compile_selector(source: str | bytes) -> Selector:
-    """Compile selector text; raises InvalidSelectorError on rejection."""
+    """Compile selector text; raises InvalidSelectorError on rejection.
+
+    Each compound additionally gets an exec-compiled flat predicate attached
+    (selector/codegen.py — the comptime-compile analog); pseudo-class
+    compounds keep the interpreted matcher."""
     if isinstance(source, bytes):
         source = source.decode("utf-8", errors="replace")
-    return _Parser(source).parse()
+    sel = _Parser(source).parse()
+
+    from html_parser_ray.selector.codegen import attach_predicates
+
+    attach_predicates(sel)
+    return sel

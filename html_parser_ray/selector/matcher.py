@@ -45,7 +45,14 @@ from html_parser_ray.selector.ast import (
 
 def _matches_attr(doc, index: int, sel: AttrSelector) -> bool:
     # ref: src/selector/matcher.zig:343-365
-    raw = doc.attrs(index).get(sel.name)
+    return _matches_attr_in(doc.attrs(index), sel)
+
+
+def _matches_attr_in(attrs: dict, sel: AttrSelector) -> bool:
+    """Attr-op semantics over an already-fetched attr dict (the compound
+    matcher fetches each node's attrs ONCE and threads the dict through —
+    the per-node attr memo lookup was ~30% of a cached query op)."""
+    raw = attrs.get(sel.name)
     if raw is None:
         return False
     v = sel.value
@@ -81,7 +88,14 @@ def _matches_pseudo(doc, index: int, pseudo) -> bool:
 
 
 def matches_compound(doc, comp: Compound, index: int) -> bool:
-    # ref: src/selector/matcher.zig:242-305
+    # ref: src/selector/matcher.zig:242-305; predicate order preserved, but
+    # the node's attr dict is fetched at most once per compound evaluation.
+    # Compiler-built compounds carry an exec-compiled flat predicate
+    # (selector/codegen.py, parity-pinned) — the interpreted chain below
+    # remains for pseudo-class compounds and hand-built test Compounds.
+    pred = getattr(comp, "_pred", None)
+    if pred is not None:
+        return pred(doc, index)
     if doc.kind[index] != KIND_ELEMENT:
         return False
     if comp.tag is not None and doc.name[index] != comp.tag:
@@ -104,15 +118,21 @@ def matches_compound(doc, comp: Compound, index: int) -> bool:
                 tokens = set(_split_ws(cls))
             if want not in tokens:
                 return False
-    for a in comp.attrs:
-        if not _matches_attr(doc, index, a):
-            return False
+    if comp.attrs:
+        if attrs is None:
+            attrs = doc.attrs(index)
+        for a in comp.attrs:
+            if not _matches_attr_in(attrs, a):
+                return False
     for p in comp.pseudos:
         if not _matches_pseudo(doc, index, p):
             return False
-    for item in comp.nots:
-        if _matches_not(doc, index, item):
-            return False
+    if comp.nots:
+        if attrs is None:
+            attrs = doc.attrs(index)
+        for item in comp.nots:
+            if _matches_not_in(doc, attrs, index, item):
+                return False
     return True
 
 
@@ -127,16 +147,20 @@ def _split_ws(value: bytes) -> list[bytes]:
 
 def _matches_not(doc, index: int, item) -> bool:
     # ref: src/selector/matcher.zig:307-325
+    return _matches_not_in(doc, doc.attrs(index), index, item)
+
+
+def _matches_not_in(doc, attrs: dict, index: int, item) -> bool:
     k = item.kind
     if k == "tag":
         # item.text is lowercased at compile time, node names at parse time
         return doc.name[index] == item.text
     if k == "id":
-        return doc.attrs(index).get(b"id") == item.text
+        return attrs.get(b"id") == item.text
     if k == "class":
-        cls = doc.attrs(index).get(b"class")
+        cls = attrs.get(b"class")
         return cls is not None and token_includes(cls, item.text)
-    return _matches_attr(doc, index, item.attr)
+    return _matches_attr_in(attrs, item.attr)
 
 
 def _matches_scope_anchor(doc, combinator: int, index: int, scope_root: int | None) -> bool:
@@ -177,6 +201,14 @@ def _match_from_right(
     # the reference spills its frames to the page allocator for the same
     # reason). Frame = [rel_index, node_index, phase, cursor]; phases:
     # 0 = enter, 1 = scan_descendant, 2 = scan_sibling.
+    if rel == 0:
+        # single-compound group (the common cached-query shape): no
+        # backtracking possible — skip the frame machinery entirely
+        comp = compounds[0]
+        return matches_compound(doc, comp, index) and (
+            comp.combinator == NONE
+            or _matches_scope_anchor(doc, comp.combinator, index, scope_root)
+        )
     frames = [[rel, index, 0, -1]]
     while frames:
         fr = frames[-1]
@@ -310,6 +342,13 @@ def _first_match_for_group(doc, group: tuple[Compound, ...], scope_root: int | N
                 if idx > scope_end:
                     break
                 if _match_from_right(doc, group, rightmost, idx, scope_root):
+                    return idx
+            return None
+        if rightmost == 0 and comp.combinator == NONE:
+            # cached-query hot shape: single compound, no scope anchoring —
+            # evaluate the compound directly on each tag-index candidate
+            for idx in candidates:
+                if matches_compound(doc, comp, idx):
                     return idx
             return None
         for idx in candidates:

@@ -28,12 +28,20 @@ def test_queries_and_oracles_consistent():
 @pytest.mark.usefixtures("ray_session")
 def test_entry_runs_and_returns_rows():
     result = entrymod.entry()
+    import pandas as pd
+
     import ray.data
 
-    assert isinstance(result, ray.data.Dataset)
-    rows = result.take(5)
-    assert len(rows) == 5
-    assert set(rows[0].keys()) == {"doc_id", "main_text"}
+    # driver contract: Dataset | pandas.DataFrame (sort_output pulls
+    # output-sized results driver-side in one execution)
+    assert isinstance(result, (ray.data.Dataset, pd.DataFrame))
+    if isinstance(result, pd.DataFrame):
+        assert len(result) >= 5
+        assert set(result.columns) == {"doc_id", "main_text"}
+    else:
+        rows = result.take(5)
+        assert len(rows) == 5
+        assert set(rows[0].keys()) == {"doc_id", "main_text"}
 
 
 @pytest.mark.usefixtures("ray_session")
