@@ -172,6 +172,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort("media_id")
         )
 
+    def media_layout_features(sf_dir: str):
+        """REAL byte-level PDF layout parse (object table, FlateDecode
+        streams, Td/Tf/Tj/TJ/re operator tokenizer) over the deterministic
+        media-ref space, as an actor-pool stage."""
+        import ray.data
+
+        from html_parser_ray.stages.layout_stage import (
+            build_layout_feature_pipeline,
+            synth_pdf_refs,
+        )
+
+        ds = ray.data.from_arrow(synth_pdf_refs(60))
+        return build_layout_feature_pipeline(ds, concurrency=2).sort("media_ref")
+
     return {
         # HTML engine pinned against SQL oracles
         "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
@@ -214,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (real PNG/WAV decode; golden-pinned)
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
+        # PDF layout branch (real byte-level parse; golden-pinned)
+        "media_layout_features": media_layout_features,
     }
 
 
@@ -453,5 +469,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, decoded, sample_rate, n_samples, feat_q FROM "
             f"read_parquet('{golden}/media_audio_features.parquet') "
             "ORDER BY media_id"
+        ),
+        # golden produced by the serial no-Ray twin (tools/gen_goldens.py
+        # gen_media_layout): same real PDF parse per ref, plain loop
+        "media_layout_features": (
+            "SELECT media_ref, num_pages, n_text_spans, n_rects, text_chars, "
+            "layout_fingerprint FROM "
+            f"read_parquet('{golden}/media_layout_features.parquet') "
+            "ORDER BY media_ref"
         ),
     }

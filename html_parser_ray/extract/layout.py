@@ -1,16 +1,21 @@
 """PDF / layout-parse branch for media spans.
 
-A real deployment loads a layout model (PDF parser, OCR, layout transformer)
-once per actor and runs it per media_ref. Those libraries are not in this
-container, so the decode step is STUBBED behind a deterministic fake; the
-Ray-side plumbing (actor state, batch signature, output schema) is real and
-tested. Swap ``LayoutParser.parse`` for a real implementation without touching
-the pipeline.
+Round 3: the DECODE is real — ``parse`` resolves the ref's payload and runs
+the byte-level PDF layout parser (``functions.pdfcodec.parse_pdf``: object
+table, FlateDecode streams, Td/Tf/Tj/TJ/re operator tokenizer), emitting page
+count, text-span/rect counts, character volume and a text fingerprint. What
+remains stubbed is only the blob FETCH: this container has no object store,
+so ``media://pdf/...`` refs resolve through the deterministic synthesizer
+(``pdfcodec.synth_pdf``) — swap ``_fetch`` for a real store client without
+touching the parse. Non-PDF refs keep the legacy keyed-hash metadata (stable
+output for corpora that predate the real branch).
 """
 
 from __future__ import annotations
 
 import hashlib
+
+PDF_REF_PREFIX = "media://pdf/"
 
 
 class LayoutParser:
@@ -22,14 +27,44 @@ class LayoutParser:
 
     def __init__(self, model_name: str = "layout-stub-v0") -> None:
         self.model_name = model_name
-        # deterministic stub "model": a keyed hash
         self._key = hashlib.sha256(model_name.encode()).digest()[:8]
 
-    def parse(self, media_ref: str) -> dict:
-        """STUB: returns deterministic fake layout metadata for ``media_ref``.
+    def _fetch(self, media_ref: str) -> bytes:
+        """Blob fetch — the only stubbed step (no object store in-sandbox):
+        deterministic synthetic PDF bytes per ref."""
+        from html_parser_ray.functions.pdfcodec import synth_pdf
 
-        A real implementation would fetch the blob and run PDF/layout parsing.
-        """
+        return synth_pdf(media_ref)
+
+    def parse(self, media_ref: str) -> dict:
+        """Layout metadata for ``media_ref``; REAL byte-level PDF parse for
+        PDF refs, legacy keyed-hash metadata otherwise."""
+        if media_ref.startswith(PDF_REF_PREFIX):
+            from html_parser_ray.functions.pdfcodec import PdfError, parse_pdf
+
+            payload = self._fetch(media_ref)
+            try:
+                doc = parse_pdf(payload)
+            except PdfError as e:
+                return {
+                    "media_ref": media_ref,
+                    "layout_model": self.model_name,
+                    "layout_error": str(e),
+                    "num_pages": 0,
+                }
+            texts = [t for pg in doc["pages"] for t in pg["texts"]]
+            all_text = "\n".join(t[3] for t in texts)
+            return {
+                "media_ref": media_ref,
+                "layout_model": self.model_name,
+                "layout_fingerprint": hashlib.md5(
+                    all_text.encode("utf-8")
+                ).hexdigest()[:16],
+                "num_pages": doc["num_pages"],
+                "n_text_spans": len(texts),
+                "n_rects": sum(len(pg["rects"]) for pg in doc["pages"]),
+                "text_chars": len(all_text),
+            }
         h = hashlib.sha256(self._key + media_ref.encode()).hexdigest()
         return {
             "media_ref": media_ref,

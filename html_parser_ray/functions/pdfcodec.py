@@ -1,0 +1,245 @@
+"""Minimal REAL PDF writer + layout parser (stdlib zlib + re only).
+
+The layout branch of the extraction pipeline (ref: north-star "PDF/layout
+parse for media_refs") needs an actual byte-level decode, like the PNG/WAV
+work in ``functions.codecs``. PDF libraries are not in this container, so
+this module implements the subset that matters for layout extraction over
+real PDF bytes:
+
+- ``encode_pdf``: serializes a correct PDF 1.4 file — catalog / page-tree /
+  page objects, per-page content streams (optionally FlateDecode-compressed),
+  a shared Type1 font resource, a byte-accurate xref table and trailer.
+- ``parse_pdf``: a REAL parser, not an inverse of the writer: scans the
+  object table, walks /Type /Page objects, locates their /Contents streams,
+  zlib-inflates FlateDecode streams, and tokenizes the content operators —
+  ``Td`` positioning, ``Tf`` font size, ``(…) Tj`` / ``[…] TJ`` text-show
+  (with escape and octal handling), and ``re`` rectangle ops — into an
+  ordered text + box layout.
+
+``synth_pdf`` generates deterministic multi-page documents (seeded text
+blocks and rectangles) standing in for a blob store: the FETCH is the
+sandbox fake, the DECODE path is real bytes all the way down.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# ---------------------------------------------------------------- writer ---
+
+
+def _esc(s: bytes) -> bytes:
+    return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def encode_pdf(pages: "list[dict]", compress: bool = True) -> bytes:
+    """Serialize a real PDF. Each page dict: ``{"texts": [(x, y, size, str)],
+    "rects": [(x, y, w, h)], "media_box": (w, h)}`` (rects/media_box
+    optional)."""
+    objs: list[bytes] = []  # bodies; object number = index + 1
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )  # 2
+    for i, pg in enumerate(pages):
+        mw, mh = pg.get("media_box", (612, 792))
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (mw, mh, content_num, font_num)
+        )
+        ops: list[bytes] = []
+        for x, y, size, txt in pg.get("texts", ()):
+            ops.append(
+                b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+                % (size, x, y, _esc(txt.encode("utf-8")))
+            )
+        for x, y, w, h in pg.get("rects", ()):
+            ops.append(b"%d %d %d %d re S" % (x, y, w, h))
+        content = b"\n".join(ops)
+        if compress:
+            data = zlib.compress(content)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+                + data
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # font
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # object 0 is the xref free head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- parser ---
+
+_RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
+_RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_RE_MEDIABOX = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_RE_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
+_RE_TEXTOP = re.compile(
+    rb"(?:([\d.+-]+)\s+([\d.+-]+)\s+Td)"
+    rb"|(?:([\d.+-]+)\s+Tf)"
+    rb"|(" + _PDF_STRING + rb")\s*Tj"
+    rb"|\[((?:" + _PDF_STRING + rb"|[^\]])*)\]\s*TJ"
+    rb"|(?:([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+re)"
+)
+_RE_STRING = re.compile(_PDF_STRING, re.S)
+_RE_UNESCAPE = re.compile(rb"\\([0-7]{1,3}|.)", re.S)
+
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
+
+
+def _unescape(raw: bytes) -> bytes:
+    def sub(m: "re.Match[bytes]") -> bytes:
+        g = m.group(1)
+        if g[:1] in b"01234567" and g.isdigit():
+            return bytes([int(g, 8) & 0xFF])
+        return _ESCAPES.get(g, g)
+
+    return _RE_UNESCAPE.sub(sub, raw)
+
+
+class PdfError(ValueError):
+    pass
+
+
+def parse_pdf(payload: bytes) -> dict:
+    """Parse layout from real PDF bytes: page count, media boxes, ordered
+    text spans (x, y, size, text) and rectangle ops per page."""
+    if not payload.startswith(b"%PDF-"):
+        raise PdfError("not a PDF (missing %PDF- header)")
+    objects: dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _RE_OBJ.finditer(payload)
+    }
+    if not objects:
+        raise PdfError("no objects")
+
+    pages = []
+    for num in sorted(objects):
+        body = objects[num]
+        # a page object, not the page TREE (/Type /Pages)
+        if re.search(rb"/Type\s*/Page\b(?!s)", body) is None:
+            continue
+        texts: list[tuple[float, float, float, str]] = []
+        rects: list[tuple[float, float, float, float]] = []
+        mb = _RE_MEDIABOX.search(body)
+        media_box = (
+            (float(mb.group(3)) - float(mb.group(1)), float(mb.group(4)) - float(mb.group(2)))
+            if mb
+            else (612.0, 792.0)
+        )
+        for cm in _RE_CONTENTS.finditer(body):
+            cobj = objects.get(int(cm.group(1)))
+            if cobj is None:
+                raise PdfError(f"missing content object {cm.group(1)!r}")
+            sm = _RE_STREAM.search(cobj)
+            if sm is None:
+                raise PdfError("content object without stream")
+            data = sm.group(1)
+            if b"/FlateDecode" in cobj[: sm.start()]:
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:  # corrupt stream
+                    raise PdfError(f"bad FlateDecode stream: {e}") from e
+            x = y = 0.0
+            size = 0.0
+            for m in _RE_TEXTOP.finditer(data):
+                if m.group(1) is not None:
+                    x, y = float(m.group(1)), float(m.group(2))
+                elif m.group(3) is not None:
+                    size = float(m.group(3))
+                elif m.group(4) is not None:
+                    texts.append(
+                        (x, y, size, _unescape(m.group(4)[1:-1]).decode("utf-8", "replace"))
+                    )
+                elif m.group(5) is not None:
+                    for s in _RE_STRING.finditer(m.group(5)):
+                        texts.append(
+                            (x, y, size, _unescape(s.group(0)[1:-1]).decode("utf-8", "replace"))
+                        )
+                else:
+                    rects.append(
+                        (
+                            float(m.group(6)),
+                            float(m.group(7)),
+                            float(m.group(8)),
+                            float(m.group(9)),
+                        )
+                    )
+        pages.append(
+            {"media_box": media_box, "texts": texts, "rects": rects}
+        )
+    if not pages:
+        raise PdfError("no /Type /Page objects")
+    return {
+        "version": payload[5:8].decode("ascii", "replace"),
+        "num_pages": len(pages),
+        "pages": pages,
+    }
+
+
+# ------------------------------------------------------------- synthesis ---
+
+_WORDS = (
+    "layout page block heading body figure caption table row cell margin "
+    "column footer header span text extract parse stream object"
+).split()
+
+
+def synth_pdf(ref: str) -> bytes:
+    """Deterministic PDF payload for a media ref — the blob-store stand-in.
+    Page count, text blocks and rectangles are all seeded by the ref."""
+    import random
+
+    rng = random.Random(ref)
+    n_pages = rng.randint(1, 4)
+    pages = []
+    for p in range(n_pages):
+        texts = []
+        y = 720
+        for _ in range(rng.randint(2, 6)):
+            words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(3, 9)))
+            texts.append((72, y, rng.choice([10, 12, 14, 18]), words))
+            y -= rng.randint(24, 48)
+        rects = [
+            (
+                rng.randint(40, 400),
+                rng.randint(40, 600),
+                rng.randint(20, 180),
+                rng.randint(10, 120),
+            )
+            for _ in range(rng.randint(0, 3))
+        ]
+        pages.append({"texts": texts, "rects": rects})
+    return encode_pdf(pages, compress=rng.random() < 0.7)

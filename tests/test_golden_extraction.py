@@ -25,7 +25,11 @@ import json
 from html_parser_ray.extract.extractor import SpanExtractor
 from html_parser_ray.sources.corpus import generate_documents
 
-GOLDEN = "ffd9af70964deaf03a26781556d5b129808250235474bb6beca3de2b97e5a9fa"
+# round 3: media spans now carry REAL PDF layout metadata (num_pages /
+# n_text_spans / n_rects / text_chars from the byte-level parse in
+# functions/pdfcodec.py) instead of the keyed-hash stub — deliberate
+# semantics change, hash recomputed with the docstring snippet
+GOLDEN = "ac6719dac917609af9b4b0236e52b8f37bb74aae5f8fc7bf3736f400098b54a7"
 
 
 def test_extraction_golden_hash():

@@ -164,6 +164,34 @@ def gen_simhash(max_hamming: int = 3) -> pd.DataFrame:
     return pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
 
 
+def gen_media_layout(n: int = 60) -> pd.DataFrame:
+    """Serial (no-Ray) twin of the media_layout_features pipeline: the same
+    REAL PDF byte parse per ref, run in a plain loop."""
+    from html_parser_ray.extract.layout import LayoutParser
+    from html_parser_ray.stages.layout_stage import synth_pdf_refs
+
+    parser = LayoutParser()
+    refs = synth_pdf_refs(n).column("media_ref").to_pylist()
+    rows = []
+    for r in refs:
+        m = parser.parse(r)
+        rows.append(
+            {
+                "media_ref": r,
+                "num_pages": m.get("num_pages", 0),
+                "n_text_spans": m.get("n_text_spans", 0),
+                "n_rects": m.get("n_rects", 0),
+                "text_chars": m.get("text_chars", 0),
+                "layout_fingerprint": m.get("layout_fingerprint", ""),
+            }
+        )
+    df = pd.DataFrame(rows).sort_values("media_ref").reset_index(drop=True)
+    return df.astype(
+        {"num_pages": "int32", "n_text_spans": "int32", "n_rects": "int32",
+         "text_chars": "int64"}
+    )
+
+
 def main() -> None:
     os.makedirs(GOLDEN, exist_ok=True)
 
@@ -177,6 +205,7 @@ def main() -> None:
         ("doc_fingerprints_sf001", gen_doc_fingerprints),
         ("minhash_lsh_dupes_sf001", gen_minhash_lsh),
         ("simhash_dupes_sf001", gen_simhash),
+        ("media_layout_features", gen_media_layout),
     ]:
         df = fn()
         pq.write_table(
