@@ -93,7 +93,11 @@ def detect_language(text: str) -> str:
 def fingerprint64(text: str) -> int:
     """Rolling 64-bit document fingerprint (polynomial rolling hash over
     bytes) — deterministic and order-sensitive."""
-    h = 1469598103934665603  # FNV-1a 64 offset
+    # FNV-1a 64 offset basis 0xcbf29ce484222325 (rounds 1-2 shipped a
+    # digit-dropped 1469598103934665603 — caught by the INDEPENDENT golden
+    # twin in tools/independent_twins.py, which re-derived the constant from
+    # the published FNV spec instead of importing this module)
+    h = 14695981039346656037
     for b in text.encode("utf-8"):
         h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
     return h

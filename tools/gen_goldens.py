@@ -200,9 +200,30 @@ def main() -> None:
         pq.write_table(tbl, os.path.join(GOLDEN, f"extract_corpus_n{n}.parquet"))
         print(f"extract_corpus_n{n}: {tbl.num_rows} rows")
 
+    # langid_counts / doc_fingerprints goldens come from the INDEPENDENT
+    # non-importing twin (tools/independent_twins.py — re-derives FNV-1a,
+    # the BPE-ish regex and the marker-word langid from their specs without
+    # importing html_parser_ray); the importing twins below remain only as
+    # an in-process cross-check that both implementations agree.
+    import subprocess
+    import sys as _sys
+
+    subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "independent_twins.py")],
+        check=True,
+    )
+    import pyarrow.parquet as _pq
+
     for name, fn in [
         ("langid_counts_sf001", gen_langid_counts),
         ("doc_fingerprints_sf001", gen_doc_fingerprints),
+    ]:
+        mine = fn().reset_index(drop=True)
+        golden = _pq.read_table(os.path.join(GOLDEN, f"{name}.parquet")).to_pandas()
+        assert mine.equals(golden), f"{name}: importing twin disagrees with independent twin"
+        print(f"{name}: independent twin == importing twin ({len(mine)} rows)")
+
+    for name, fn in [
         ("minhash_lsh_dupes_sf001", gen_minhash_lsh),
         ("simhash_dupes_sf001", gen_simhash),
         ("media_layout_features", gen_media_layout),

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""INDEPENDENT golden twins for ``doc_fingerprints`` and ``langid_counts`` —
+this script deliberately does NOT import ``html_parser_ray`` (VERDICT round-2
+directive 8): the two functions are re-derived here from their published
+definitions so the committed goldens come from a second implementation, not a
+re-run of the code under test.
+
+Specs being twinned (must match the engine's documented semantics):
+- fingerprint: FNV-1a 64-bit over the UTF-8 bytes of the text
+  (offset basis 14695981039346656037 = 0xcbf29ce484222325,
+  prime 1099511628211 = 0x100000001b3), rendered as 16 hex chars.
+- bpe_tokens: count of matches of ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]``
+  (letter runs, digit runs, single non-alnum punctuation).
+- language ID: CJK if >20% of the first 400 chars are in U+4E00..U+9FFF;
+  otherwise the language whose marker-word set hits the most of the first
+  200 whitespace tokens (lowercased), strictly more than zero and than all
+  earlier languages in (en, fr, de, es) order; else "unknown".
+
+Usage: python tools/independent_twins.py  (writes the two goldens)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "golden")
+SF001 = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+_RE_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_RE_TOKEN = re.compile(r"\S+")
+
+_LANG_MARKERS = [
+    ("en", frozenset("the and of to is in that it was for with as his".split())),
+    ("fr", frozenset("le la les de et un une est dans que pour sur avec".split())),
+    ("de", frozenset("der die das und ist ein eine nicht mit von zu für".split())),
+    ("es", frozenset("el la los las de y un una es en que por con para".split())),
+]
+
+
+def fnv1a64(text: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in text.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def detect_language(text: str) -> str:
+    head = text[:400]
+    cjk = sum(1 for c in head if "一" <= c <= "鿿")
+    if cjk > len(head) * 0.2:
+        return "zh"
+    toks = [t.lower() for t in _RE_TOKEN.findall(text)[:200]]
+    if not toks:
+        return "unknown"
+    best, best_score = "unknown", 0
+    for lang, markers in _LANG_MARKERS:
+        score = sum(1 for t in toks if t in markers)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def main() -> None:
+    docs = pq.read_table(
+        os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+
+    fp = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "fingerprint": [format(fnv1a64(t), "016x") for t in docs["text"]],
+            "bpe_tokens": [len(_RE_BPE.findall(t)) for t in docs["text"]],
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(fp, preserve_index=False),
+        os.path.join(GOLDEN, "doc_fingerprints_sf001.parquet"),
+    )
+    print(f"doc_fingerprints_sf001: {len(fp)} rows (independent twin)")
+
+    pred = pd.Series([detect_language(t) for t in docs["text"]])
+    lc = (
+        pred.value_counts()
+        .rename_axis("predicted_lang")
+        .reset_index(name="n")
+        .sort_values("predicted_lang")
+        .reset_index(drop=True)
+    )
+    pq.write_table(
+        pa.Table.from_pandas(lc, preserve_index=False),
+        os.path.join(GOLDEN, "langid_counts_sf001.parquet"),
+    )
+    print(f"langid_counts_sf001: {len(lc)} rows (independent twin)")
+
+
+if __name__ == "__main__":
+    assert "html_parser_ray" not in sys.modules, "twin must stay independent"
+    main()
+    assert "html_parser_ray" not in sys.modules, "twin must stay independent"
