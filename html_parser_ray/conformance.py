@@ -34,7 +34,13 @@ class DatCase:
 def _tree_line_tag(payload: str) -> str | None:
     """Tag from a ``| <...>`` tree-line payload (ref: scripts.zig:1791-1801):
     first whitespace token, except foreign content where ``svg``/``math`` is a
-    namespace prefix and the element name is the second token."""
+    namespace prefix and the element name is the second token. Comment /
+    doctype / bogus lines (``!``, ``?``, ``/`` payloads) are NOT elements
+    (scripts.zig:1794 — round 3 fixed a criterion divergence here: the round-2
+    harness counted them, the reference's does not)."""
+    payload = payload.strip(" \t\r\n")
+    if not payload or payload[0] in "!?/":
+        return None
     parts = payload.split()
     if not parts:
         return None

@@ -1,18 +1,31 @@
 """Tree-construction conformance (html5lib .dat format, reference criterion).
 
-Criterion = element-tag preorder sequence equality with wrapper filtering
-(ref: tools/scripts.zig:1994-2062) over the hand-authored spec-tree corpora
-under tests/data/ (authored from published html5lib-tests/WHATWG semantics;
-upstream suites are unreachable in this sandbox — no network, no cache).
+Criterion = element-tag preorder sequence equality with wrapper filtering and
+comment/doctype/bogus tree-lines skipped (exact parity with the reference's
+``parseTreeTag``, ref: tools/scripts.zig:1791-1810 — round 3 fixed a round-2
+divergence where ``<!-- -->`` / ``<!DOCTYPE>`` expected lines were counted as
+elements).
 
-Measured round-2 rates: tree_construction 75/94, whatwg_extra 95/100
-(combined 170/194 = 87.6%, vs the reference's 524/600 = 87.3% and
-440/500 = 88% on the upstream corpora). Failures are exclusively the expected permissive-
-parser divergences: adoption agency (no formatting-element reconstruction),
-table foster parenting (no reordering), spec token rewrites (</br>, <image>,
-lone </p>), opaque svg subtrees, <xmp> rawtext, loose td/tr outside tables,
-and the harness's own comment/doctype expected-line quirk (shared with the
-reference harness).
+Corpora under tests/data/ (full provenance + adjudication in CONFORMANCE.md):
+- tree_construction.dat / whatwg_extra.dat — round-2 hand-authored spec-tree
+  cases;
+- html5lib_reconstructed.dat / wpt_reconstructed.dat — round 3: cases
+  RECONSTRUCTED from the published upstream html5lib-tests / WPT suites
+  (public test data; the upstream files themselves are unreachable — no
+  network, no on-disk copy; the recorded fetch-impossibility evidence is in
+  CONFORMANCE.md). Expected trees are the SPEC parser's trees, so cases this
+  permissive engine cannot reproduce fail honestly.
+
+Measured round-3 rates: 77/94 + 95/100 + 52/74 + 49/55 = 273/323 (84.5%),
+vs the reference's 524/600 (87.3%) and 440/500 (88%) on the upstream files.
+Every failure is in a divergence class the REFERENCE engine shares (verified
+against its tag tables in src/html/tags.zig): adoption agency / formatting
+reconstruction, table normalization (implied colgroup, foster reordering),
+spec token rewrites (</br>, <image>, lone </p>), start tags ignored in body
+(td/tr/caption/frame/form pointer), opaque svg subtrees (scanner.zig:62-123
+skips them by design), and xmp/iframe/noembed/noframes rawtext (the
+reference's rawtext set is script/style/title/textarea/plaintext only,
+tags.zig:43-47).
 """
 
 from __future__ import annotations
@@ -26,9 +39,12 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # floors sit just under the measured pass counts so a tokenizer regression
 # (any previously-passing case breaking) fails the suite
 FLOORS = {
-    "tree_construction.dat": (94, 75),
-    "whatwg_extra.dat": (100, 94),
+    "tree_construction.dat": (94, 77),
+    "whatwg_extra.dat": (100, 95),
+    "html5lib_reconstructed.dat": (74, 52),
+    "wpt_reconstructed.dat": (55, 49),
 }
+
 
 def test_dat_parser_shape():
     with open(os.path.join(DATA, "tree_construction.dat"), encoding="utf-8") as f:
@@ -62,13 +78,18 @@ def test_combined_rate_at_least_80pct():
 
 def test_wrapper_filter_and_foreign_content():
     """The criterion internals: wrappers dropped, svg/math payloads take the
-    element token (ref: scripts.zig:1791-1809)."""
+    element token, comment/doctype/bogus lines skipped
+    (ref: scripts.zig:1791-1810)."""
     from html_parser_ray.conformance import _tree_line_tag
 
     assert _tree_line_tag("svg circle") == "circle"
     assert _tree_line_tag("math mi") == "mi"
     assert _tree_line_tag("div") == "div"
     assert _tree_line_tag("svg") == "svg"
+    assert _tree_line_tag("!-- comment --") is None
+    assert _tree_line_tag("!DOCTYPE html") is None
+    assert _tree_line_tag("?xml") is None
+    assert _tree_line_tag("") is None
 
     from html_parser_ray.conformance import engine_tag_sequence
 
