@@ -45,28 +45,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from html_parser_ray.pipelines.sessionize import events_sessionize as _sessionize
 
     def flatten(batch):
-            import pyarrow as pa
+        # zero-copy Arrow explode: list_parent_indices aligns each span with
+        # its doc_id; no per-span Python (the round-2 to_pylist loop was the
+        # one banned pattern left in the repo)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-            rows_doc, rows_k, rows_t, rows_m, rows_o = [], [], [], [], []
-            for doc_id, spans in zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("spans_out").to_pylist(),
-            ):
-                for sp in spans or []:
-                    rows_doc.append(doc_id)
-                    rows_k.append(sp["kind"])
-                    rows_t.append(sp["text"])
-                    rows_m.append(sp["media_ref"])
-                    rows_o.append(sp["offset"])
-            return pa.table(
-                {
-                    "doc_id": rows_doc,
-                    "kind": rows_k,
-                    "text": rows_t,
-                    "media_ref": rows_m,
-                    "offset": pa.array(rows_o, type=pa.int32()),
-                }
-            )
+        spans = batch.column("spans_out")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        doc = pc.take(batch.column("doc_id"), pc.list_parent_indices(spans))
+        return pa.table(
+            {
+                "doc_id": doc,
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset"),
+            }
+        )
 
     def extract_corpus(sf_dir: str):
         """Flagship extraction over the deterministic interleaved corpus

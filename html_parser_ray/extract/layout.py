@@ -25,9 +25,27 @@ class LayoutParser:
     expensive step a map_batches actor performs once.
     """
 
-    def __init__(self, model_name: str = "layout-stub-v0") -> None:
+    def __init__(
+        self,
+        model_name: str = "layout-stub-v0",
+        pdf_decode: bool = True,
+        memo: bool = True,
+    ) -> None:
         self.model_name = model_name
+        # pdf_decode=False forces the legacy keyed-hash metadata for ALL
+        # refs — the bench's r2-comparable html-only extraction mode
+        self.pdf_decode = pdf_decode
         self._key = hashlib.sha256(model_name.encode()).digest()[:8]
+        # refs repeat across a corpus (bounded id space) and the real PDF
+        # parse costs ~0.15 ms — memoize per actor lifetime. memo=False is
+        # for the SCALING bench: a per-actor memo's hit rate depends on the
+        # worker count (1 worker sees every repeat, N workers split them),
+        # so total work would vary with parallelism — a single-node artifact;
+        # on a 256-node cluster the per-actor hit rate is ~0 regardless.
+        if memo:
+            from functools import lru_cache
+
+            self.parse = lru_cache(maxsize=1 << 16)(self.parse)
 
     def _fetch(self, media_ref: str) -> bytes:
         """Blob fetch — the only stubbed step (no object store in-sandbox):
@@ -39,7 +57,7 @@ class LayoutParser:
     def parse(self, media_ref: str) -> dict:
         """Layout metadata for ``media_ref``; REAL byte-level PDF parse for
         PDF refs, legacy keyed-hash metadata otherwise."""
-        if media_ref.startswith(PDF_REF_PREFIX):
+        if self.pdf_decode and media_ref.startswith(PDF_REF_PREFIX):
             from html_parser_ray.functions.pdfcodec import PdfError, parse_pdf
 
             payload = self._fetch(media_ref)

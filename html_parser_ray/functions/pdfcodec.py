@@ -55,17 +55,22 @@ def encode_pdf(pages: "list[dict]", compress: bool = True) -> bytes:
             b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
             % (mw, mh, content_num, font_num)
         )
-        ops: list[bytes] = []
-        for x, y, size, txt in pg.get("texts", ()):
-            ops.append(
-                b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
-                % (size, x, y, _esc(txt.encode("utf-8")))
-            )
-        for x, y, w, h in pg.get("rects", ()):
-            ops.append(b"%d %d %d %d re S" % (x, y, w, h))
-        content = b"\n".join(ops)
-        if compress:
-            data = zlib.compress(content)
+        if "raw_stream" in pg:
+            # pre-serialized content stream (bytes, is_flate) — the synth
+            # blob store assembles documents from a cached template pool
+            data, flate = pg["raw_stream"]
+        else:
+            ops: list[bytes] = []
+            for x, y, size, txt in pg.get("texts", ()):
+                ops.append(
+                    b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+                    % (size, x, y, _esc(txt.encode("utf-8")))
+                )
+            for x, y, w, h in pg.get("rects", ()):
+                ops.append(b"%d %d %d %d re S" % (x, y, w, h))
+            content = b"\n".join(ops)
+            data, flate = (zlib.compress(content), True) if compress else (content, False)
+        if flate:
             objs.append(
                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
                 + data
@@ -73,8 +78,8 @@ def encode_pdf(pages: "list[dict]", compress: bool = True) -> bytes:
             )
         else:
             objs.append(
-                b"<< /Length %d >>\nstream\n" % len(content)
-                + content
+                b"<< /Length %d >>\nstream\n" % len(data)
+                + data
                 + b"\nendstream"
             )
     objs.append(
@@ -106,6 +111,8 @@ _RE_MEDIABOX = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
 _RE_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_RE_STREAM_START = re.compile(rb"\bstream\r?\n")
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)\b")
 _PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
 _RE_TEXTOP = re.compile(
     rb"(?:([\d.+-]+)\s+([\d.+-]+)\s+Td)"
@@ -163,10 +170,20 @@ def parse_pdf(payload: bytes) -> dict:
             cobj = objects.get(int(cm.group(1)))
             if cobj is None:
                 raise PdfError(f"missing content object {cm.group(1)!r}")
-            sm = _RE_STREAM.search(cobj)
+            # slice the stream by /Length, the way real PDF readers do —
+            # binary stream data may END in 0x0D, which a `\r?\nendstream`
+            # regex would wrongly eat (1/256 of Flate streams truncate)
+            sm = _RE_STREAM_START.search(cobj)
             if sm is None:
                 raise PdfError("content object without stream")
-            data = sm.group(1)
+            lm = _RE_LENGTH.search(cobj[: sm.start()])
+            if lm is not None:
+                data = cobj[sm.end() : sm.end() + int(lm.group(1))]
+            else:
+                tail = _RE_STREAM.search(cobj, sm.start())
+                if tail is None:
+                    raise PdfError("unterminated stream")
+                data = tail.group(1)
             if b"/FlateDecode" in cobj[: sm.start()]:
                 try:
                     data = zlib.decompress(data)
@@ -217,29 +234,62 @@ _WORDS = (
 ).split()
 
 
-def synth_pdf(ref: str) -> bytes:
-    """Deterministic PDF payload for a media ref — the blob-store stand-in.
-    Page count, text blocks and rectangles are all seeded by the ref."""
-    import random
+_POOL: "list[tuple[bytes, bool]] | None" = None
 
-    rng = random.Random(ref)
-    n_pages = rng.randint(1, 4)
-    pages = []
-    for p in range(n_pages):
-        texts = []
-        y = 720
-        for _ in range(rng.randint(2, 6)):
-            words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(3, 9)))
-            texts.append((72, y, rng.choice([10, 12, 14, 18]), words))
-            y -= rng.randint(24, 48)
-        rects = [
-            (
-                rng.randint(40, 400),
-                rng.randint(40, 600),
-                rng.randint(20, 180),
-                rng.randint(10, 120),
-            )
-            for _ in range(rng.randint(0, 3))
-        ]
-        pages.append({"texts": texts, "rects": rects})
-    return encode_pdf(pages, compress=rng.random() < 0.7)
+
+def _content_pool() -> "list[tuple[bytes, bool]]":
+    """256 deterministic content-stream templates (built once per process):
+    seeded text blocks + rectangles, 70% FlateDecode / 30% raw so both parser
+    paths stay exercised."""
+    global _POOL
+    if _POOL is None:
+        import random
+
+        pool: list[tuple[bytes, bool]] = []
+        for t in range(256):
+            rng = random.Random(f"pool-{t}")
+            ops: list[bytes] = []
+            y = 720
+            for _ in range(rng.randint(2, 6)):
+                words = " ".join(
+                    rng.choice(_WORDS) for _ in range(rng.randint(3, 9))
+                )
+                ops.append(
+                    b"BT /F1 %d Tf 72 %d Td (%s) Tj ET"
+                    % (rng.choice([10, 12, 14, 18]), y, _esc(words.encode()))
+                )
+                y -= rng.randint(24, 48)
+            for _ in range(rng.randint(0, 3)):
+                ops.append(
+                    b"%d %d %d %d re S"
+                    % (
+                        rng.randint(40, 400),
+                        rng.randint(40, 600),
+                        rng.randint(20, 180),
+                        rng.randint(10, 120),
+                    )
+                )
+            content = b"\n".join(ops)
+            flate = (t % 10) < 7
+            pool.append((zlib.compress(content) if flate else content, flate))
+        _POOL = pool
+    return _POOL
+
+
+def synth_pdf(ref: str) -> bytes:
+    """Deterministic PDF payload for a media ref — the blob-store stand-in
+    (in production this is an object-store FETCH, i.e. I/O that overlaps
+    compute under Ray's streaming executor, so the stand-in must be cheap:
+    ~20 us of assembly from the cached template pool, not a fresh ~120 us
+    zlib compression per ref). Page count and the per-page content templates
+    are all derived from md5(ref), so payloads stay deterministic and
+    distinct across refs while the DECODE path stays byte-real."""
+    import hashlib
+
+    d = hashlib.md5(ref.encode("utf-8")).digest()
+    pool = _content_pool()
+    n_pages = 1 + d[0] % 4
+    pages: list[dict] = [
+        {"raw_stream": pool[d[1 + i]]} for i in range(n_pages)
+    ]
+    return encode_pdf(pages)

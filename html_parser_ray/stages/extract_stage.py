@@ -48,6 +48,8 @@ class ExtractSpansBatch:
         layout_model: str = "layout-stub-v0",
         drop_whitespace_text: bool = False,
         emit_metrics: bool = False,
+        layout_pdf_decode: bool = True,
+        layout_memo: bool = True,
     ) -> None:
         cfg = ExtractConfig(
             max_link_density=max_link_density, min_text_len=min_text_len
@@ -56,6 +58,8 @@ class ExtractSpansBatch:
             config=cfg,
             layout_model=layout_model,
             drop_whitespace_text=drop_whitespace_text,
+            layout_pdf_decode=layout_pdf_decode,
+            layout_memo=layout_memo,
         )
         self.emit_metrics = emit_metrics
         # batched native path: one C call per batch over the Arrow values
@@ -74,7 +78,7 @@ class ExtractSpansBatch:
 
         layout = self.extractor.layout
 
-        @lru_cache(maxsize=1 << 16)
+        @lru_cache(maxsize=(1 << 16) if layout_memo else 0)
         def _media_json(ref: str) -> bytes:
             return json.dumps(layout.parse(ref), sort_keys=True).encode("utf-8")
 

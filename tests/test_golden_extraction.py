@@ -27,9 +27,11 @@ from html_parser_ray.sources.corpus import generate_documents
 
 # round 3: media spans now carry REAL PDF layout metadata (num_pages /
 # n_text_spans / n_rects / text_chars from the byte-level parse in
-# functions/pdfcodec.py) instead of the keyed-hash stub — deliberate
-# semantics change, hash recomputed with the docstring snippet
-GOLDEN = "ac6719dac917609af9b4b0236e52b8f37bb74aae5f8fc7bf3736f400098b54a7"
+# functions/pdfcodec.py) instead of the keyed-hash stub; the synth blob
+# store assembles from a cached template pool (fetch is I/O in production,
+# so the stand-in must be cheap) — deliberate semantics changes, hash
+# recomputed with the docstring snippet
+GOLDEN = "7a8fc0687749f51e88349983c1c47eeba4c0ef986999ed61b677b041fc96b309"
 
 
 def test_extraction_golden_hash():
