@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from html_parser_ray.pipelines.shuffle import read_table
+
 
 def _cents(x: np.ndarray) -> np.ndarray:
     """Exact integer cents from a 2-decimal double (values never land on .5)."""
@@ -40,7 +42,7 @@ def _final_groupby(partials: "ray.data.Dataset", keys: list[str], sums: list[str
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style pricing summary over lineitem (groupby + sums)."""
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -77,13 +79,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     """lineitem ⋈ orders (hash join) ⋈ customer ⋈ nation (broadcast lookups)
     -> revenue basis-point-cents per nation."""
-    lineitem = ray.data.read_parquet(
+    lineitem = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     # big-big: hash join on the order key
     joined = lineitem.join(
         orders,
@@ -128,9 +128,7 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
 
 
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"]
-    )
+    ds = read_table(f"{sf_dir}/part.parquet", columns=["p_type", "p_size", "p_retailprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("p_type")
@@ -160,9 +158,7 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
 def top_parts_by_price(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global top-k: per-batch top-k then a tiny driver-side final top-k
     (no global sort shuffle)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
-    )
+    ds = read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
 
     def batch_topk(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -184,9 +180,7 @@ def top_parts_by_price(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    )
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -208,9 +202,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 
 def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast-join supplier -> nation, grouped account balances."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
-    )
+    ds = read_table(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
     nation = pd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )

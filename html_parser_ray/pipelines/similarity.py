@@ -15,6 +15,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from html_parser_ray.pipelines.shuffle import read_table
+
 
 def _load_matrix(sf_dir: str):
     emb = pd.read_parquet(
@@ -39,9 +41,7 @@ def knn_topk(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFrame:
     q_mat = unit[qpos]
     q_ref = ray.put((q_ids, q_mat))
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids, qmat = ray.get(q_ref)
@@ -102,9 +102,7 @@ def lsh_knn_topk(
     ]
     bc_ref = ray.put((q_ids, q_mat, q_codes, probe_sets, planes))
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids, qmat, qcodes, probes, pl = ray.get(bc_ref)
@@ -146,9 +144,7 @@ def lsh_knn_topk(
 
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     """Groupby label: vector counts and dimensionality (integer-exact)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
-    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -210,9 +206,7 @@ def ivf_knn_topk(
     q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
     bc = ray.put((q_ids, q_mat, q_cells, cent))
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids, qmat, qcells, centroids = ray.get(bc)

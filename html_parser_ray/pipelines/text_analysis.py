@@ -8,7 +8,7 @@ import pyarrow as pa
 
 import ray.data
 
-from html_parser_ray.pipelines.shuffle import sort_output
+from html_parser_ray.pipelines.shuffle import read_table, sort_output
 from html_parser_ray.extract.boilerplate import extract_text_blocks
 from html_parser_ray.functions import textfns
 from html_parser_ray.html.document import parse_html
@@ -31,9 +31,7 @@ def _actor_slots(cap: int = 4) -> int:
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     """Per-language token/char totals (single-space token definition so the
     SQL oracle is exact: ``len(string_split(text, ' '))``)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].tolist()
@@ -54,9 +52,7 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
 
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     """Per-document quality counters (integer features, SQL-mirrorable)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def feats(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -82,7 +78,7 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
 def langid_counts(sf_dir: str) -> pd.DataFrame:
     """Predicted-language distribution (heuristic language ID — no SQL oracle,
     the classifier is ours)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def predict(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -98,9 +94,7 @@ def langid_counts(sf_dir: str) -> pd.DataFrame:
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Per-document rolling-hash fingerprint + BPE-ish token count (ours —
     rows-only check)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -149,9 +143,7 @@ class HtmlRoundtripExtract:
 
 
 def html_roundtrip_extract(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         HtmlRoundtripExtract, batch_format="pyarrow", concurrency=_actor_slots()
     )
@@ -184,7 +176,7 @@ class HtmlLiCount:
 
 
 def html_li_count(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = ds.map_batches(
         HtmlLiCount, batch_format="pyarrow", concurrency=_actor_slots()
     )
@@ -197,9 +189,7 @@ def html_li_count(sf_dir: str) -> "ray.data.Dataset":
 def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
     """Quality-threshold filtering (the Dataset.filter surface): keep docs
     with at least ``min_tokens`` single-space tokens."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -267,9 +257,7 @@ class HtmlLinkExtract:
 
 
 def html_link_extract(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
         HtmlLinkExtract, batch_format="pyarrow", concurrency=_actor_slots()
     )

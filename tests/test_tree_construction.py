@@ -16,7 +16,7 @@ Corpora under tests/data/ (full provenance + adjudication in CONFORMANCE.md):
   CONFORMANCE.md). Expected trees are the SPEC parser's trees, so cases this
   permissive engine cannot reproduce fail honestly.
 
-Measured round-3 rates: 77/94 + 95/100 + 52/74 + 49/55 = 273/323 (84.5%),
+Measured round-3 rates: 77/94 + 95/100 + 71/99 + 79/85 = 322/378 (85.2%),
 vs the reference's 524/600 (87.3%) and 440/500 (88%) on the upstream files.
 Every failure is in a divergence class the REFERENCE engine shares (verified
 against its tag tables in src/html/tags.zig): adoption agency / formatting
@@ -41,8 +41,8 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 FLOORS = {
     "tree_construction.dat": (94, 77),
     "whatwg_extra.dat": (100, 95),
-    "html5lib_reconstructed.dat": (74, 52),
-    "wpt_reconstructed.dat": (55, 49),
+    "html5lib_reconstructed.dat": (99, 71),
+    "wpt_reconstructed.dat": (85, 79),
 }
 
 
