@@ -170,6 +170,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort("media_id")
         )
 
+    def media_frame_samples(sf_dir: str):
+        """REAL video frame sampling: animated-GIF payloads decoded at the
+        byte level (container + LZW), sampled frames re-encoded as PNGs."""
+        import hashlib
+
+        import ray.data
+
+        from html_parser_ray.stages.multimodal import (
+            build_frame_sample_pipeline,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(60, seed=42))
+
+        def summarize(batch):
+            import pyarrow as pa
+
+            frames = batch.column("frame").to_pylist()
+            return pa.table(
+                {
+                    "media_id": batch.column("media_id"),
+                    "frame_ts_ms": batch.column("frame_ts_ms"),
+                    "decoded": batch.column("decoded"),
+                    "frame_bytes": pa.array(
+                        [len(f) for f in frames], type=pa.int64()
+                    ),
+                    "frame_md5": pa.array(
+                        [hashlib.md5(f).hexdigest() for f in frames],
+                        type=pa.string(),
+                    ),
+                }
+            )
+
+        return (
+            build_frame_sample_pipeline(ds, concurrency=2, num_frames=3)
+            .map_batches(summarize, batch_format="pyarrow")
+            .sort(["media_id", "frame_ts_ms"])
+        )
+
     def media_layout_features(sf_dir: str):
         """REAL byte-level PDF layout parse (object table, FlateDecode
         streams, Td/Tf/Tj/TJ/re operator tokenizer) over the deterministic
@@ -228,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": media_audio_features,
         # PDF layout branch (real byte-level parse; golden-pinned)
         "media_layout_features": media_layout_features,
+        # video frame sampling (real GIF decode -> PNG frames; golden-pinned)
+        "media_frame_samples": media_frame_samples,
     }
 
 
@@ -467,6 +508,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, decoded, sample_rate, n_samples, feat_q FROM "
             f"read_parquet('{golden}/media_audio_features.parquet') "
             "ORDER BY media_id"
+        ),
+        "media_frame_samples": (
+            "SELECT media_id, frame_ts_ms, decoded, frame_bytes, frame_md5 "
+            f"FROM read_parquet('{golden}/media_frame_samples.parquet') "
+            "ORDER BY media_id, frame_ts_ms"
         ),
         # golden produced by the serial no-Ray twin (tools/gen_goldens.py
         # gen_media_layout): same real PDF parse per ref, plain loop

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from html_parser_ray.functions import codecs
+from html_parser_ray.functions import gifcodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -42,7 +43,8 @@ MEDIA_SCHEMA = pa.schema(
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table with REAL payloads: images are valid PNGs
     (gradient + seeded noise), audio rows are valid PCM16 WAVs (seeded sine
-    mix); video payloads remain opaque seeded bytes (no codec available)."""
+    mix), and video rows are valid ANIMATED GIF89a clips (seeded palette,
+    moving gradient, real per-frame delays — functions/gifcodec.py)."""
     import random
 
     kinds = ["image", "audio", "video"]
@@ -75,10 +77,15 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             hs.append(0)
             durs.append(dur_ms)
         else:
-            payloads.append(rng.randbytes(rng.randint(256, 4096)))
-            ws.append(rng.choice([320, 640, 1280]))
-            hs.append(rng.choice([240, 480, 720]))
-            durs.append(rng.randint(1000, 60000))
+            n_frames = rng.randint(4, 9)
+            gif = gifcodec.synth_gif(
+                (seed << 8) ^ i, w=32, h=24, n_frames=n_frames
+            )
+            meta = gifcodec.decode_gif(gif)
+            payloads.append(gif)
+            ws.append(meta["width"])
+            hs.append(meta["height"])
+            durs.append(meta["frames"][-1]["ts_ms"])
     return pa.table(
         {
             "media_id": ids,
@@ -214,12 +221,15 @@ class AudioFeatureStage:
 
 
 class FrameSampleStage:
-    """Actor stage: sample N frame offsets per video.
+    """Actor stage: sample N frames per video — REAL decode since round 3.
 
-    Emits one row per sampled frame — a flat_map-shaped batch transform. The
-    frame-grab itself is a DECLARED STUB (payload-hash bytes): no video codec
-    library exists in this container; the offsets, row-explosion and binary
-    output plumbing are the real design.
+    Emits one row per sampled frame (a flat_map-shaped batch transform). GIF
+    payloads go through the real byte-level decoder (container + LZW,
+    functions/gifcodec.py): the frame whose timestamp covers each sample
+    offset is composited and re-encoded as a PNG (codec composition —
+    GIF in, PNG out), ``decoded=True``. Payloads in formats this container
+    has no codec for fall back to the DECLARED deterministic hash stub with
+    ``decoded=False`` — the row stays total either way.
     """
 
     def __init__(self, num_frames: int = 4):
@@ -230,24 +240,42 @@ class FrameSampleStage:
         types = batch.column("media_type").to_pylist()
         durs = batch.column("meta_duration_ms").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        out_id, out_ts, out_frame = [], [], []
+        out_id, out_ts, out_frame, out_dec = [], [], [], []
         for mid, t, dur, p in zip(ids, types, durs, payloads):
             if t != "video" or not dur:
                 continue
+            clip = None
+            if p is not None and gifcodec.is_gif(p):
+                try:
+                    clip = gifcodec.decode_gif(p)
+                except gifcodec.GifError:
+                    clip = None
             for k in range(self.num_frames):
                 ts = (dur * (k + 1)) // (self.num_frames + 1)
                 out_id.append(mid)
                 out_ts.append(ts)
-                out_frame.append(
-                    hashlib.blake2b(
-                        p + ts.to_bytes(8, "big"), digest_size=16
-                    ).digest()
-                )
+                if clip is not None:
+                    frame = clip["frames"][0]
+                    for f in clip["frames"]:
+                        if f["ts_ms"] <= ts:
+                            frame = f
+                        else:
+                            break
+                    out_frame.append(codecs.encode_png(frame["rgb"]))
+                    out_dec.append(True)
+                else:
+                    out_frame.append(
+                        hashlib.blake2b(
+                            (p or b"") + ts.to_bytes(8, "big"), digest_size=16
+                        ).digest()
+                    )
+                    out_dec.append(False)
         return pa.table(
             {
                 "media_id": out_id,
                 "frame_ts_ms": pa.array(out_ts, type=pa.int32()),
                 "frame": pa.array(out_frame, type=pa.binary()),
+                "decoded": pa.array(out_dec, type=pa.bool_()),
             }
         )
 

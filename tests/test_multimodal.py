@@ -1,5 +1,7 @@
 """Multimodal stage tests: REAL PNG/WAV decode through the Ray actor-pool
-batch transforms (video frame-grab remains a declared stub)."""
+batch transforms (video frame-grab is REAL since round 3: animated-GIF
+decode via functions/gifcodec.py; non-GIF payloads keep the declared hash
+fallback, flagged decoded=False)."""
 
 from __future__ import annotations
 
@@ -131,6 +133,32 @@ def test_frame_sample_stage_local():
     n_videos = t.column("media_type").to_pylist().count("video")
     assert out.num_rows == 3 * n_videos
     assert all(ts > 0 for ts in out.column("frame_ts_ms").to_pylist())
+    # round 3: video payloads are REAL animated GIFs, sampled frames come
+    # back as real PNG re-encodings (decoded=True, GIF in -> PNG out)
+    assert all(out.column("decoded").to_pylist())
+    from html_parser_ray.functions import codecs
+
+    for f in out.column("frame").to_pylist():
+        img = codecs.decode_png(f)
+        assert img.shape == (24, 32, 3)
+
+
+def test_frame_sample_stage_nongif_falls_back():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "media_id": ["v0"],
+            "media_type": ["video"],
+            "payload": [b"\x00\x01not-a-gif"],
+            "meta_width": pa.array([320], type=pa.int32()),
+            "meta_height": pa.array([240], type=pa.int32()),
+            "meta_duration_ms": pa.array([1000], type=pa.int32()),
+        }
+    )
+    out = FrameSampleStage(num_frames=2)(t)
+    assert out.num_rows == 2
+    assert not any(out.column("decoded").to_pylist())
     assert all(len(f) == 16 for f in out.column("frame").to_pylist())
 
 

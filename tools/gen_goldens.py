@@ -192,6 +192,27 @@ def gen_media_layout(n: int = 60) -> pd.DataFrame:
     )
 
 
+def gen_media_frames(n: int = 60) -> pd.DataFrame:
+    """Serial (no-Ray) twin of media_frame_samples: the same GIF decode +
+    frame sampling + PNG re-encode, plain loop over the synth table."""
+    import hashlib
+
+    from html_parser_ray.stages.multimodal import FrameSampleStage, synth_media_table
+
+    out = FrameSampleStage(num_frames=3)(synth_media_table(n, seed=42))
+    frames = out.column("frame").to_pylist()
+    df = pd.DataFrame(
+        {
+            "media_id": out.column("media_id").to_pylist(),
+            "frame_ts_ms": out.column("frame_ts_ms").to_pylist(),
+            "decoded": out.column("decoded").to_pylist(),
+            "frame_bytes": [len(f) for f in frames],
+            "frame_md5": [hashlib.md5(f).hexdigest() for f in frames],
+        }
+    ).sort_values(["media_id", "frame_ts_ms"]).reset_index(drop=True)
+    return df.astype({"frame_ts_ms": "int32", "frame_bytes": "int64"})
+
+
 def main() -> None:
     os.makedirs(GOLDEN, exist_ok=True)
 
@@ -227,6 +248,7 @@ def main() -> None:
         ("minhash_lsh_dupes_sf001", gen_minhash_lsh),
         ("simhash_dupes_sf001", gen_simhash),
         ("media_layout_features", gen_media_layout),
+        ("media_frame_samples", gen_media_frames),
     ]:
         df = fn()
         pq.write_table(
