@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(synth_pdf_refs(60))
         return build_layout_feature_pipeline(ds, concurrency=2).sort("media_ref")
 
+    from html_parser_ray.pipelines import temporal
+
     return {
         # HTML engine pinned against SQL oracles
         "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
@@ -260,6 +262,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_stats": similarity.embedding_label_stats,
         # windowed / filter / link ops
         "events_sessionize": _sessionize,
+        "events_asof_join": temporal.events_asof_join,
+        "events_hopping_counts": temporal.events_hopping_counts,
+        # verbatim-reuse dedup + range join + repetition quality scores
+        "shingle_dupes": dedup.shingle_dupes,
+        "part_price_band_stats": relational.part_price_band_stats,
+        "doc_repetition_stats": text_analysis.doc_repetition_stats,
         "quality_filter": text_analysis.quality_filter,
         "html_link_extract": text_analysis.html_link_extract,
         # multimodal (real PNG/WAV decode; golden-pinned)
@@ -441,6 +449,79 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND ts - prev > "
             "INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
             "FROM o GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_asof_join": (
+            "WITH r AS (SELECT user_id, ts, MAX(event_id) AS view_id "
+            "FROM events WHERE event_type = 'view' GROUP BY 1, 2), "
+            "l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT l.event_id AS click_id, l.user_id, "
+            "CAST(epoch_us(l.ts) AS BIGINT) AS click_ts_us, "
+            "CAST(COALESCE(r.view_id, -1) AS BIGINT) AS view_id, "
+            "CAST(CASE WHEN r.view_id IS NULL THEN -1 "
+            "ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS BIGINT) AS gap_us "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "ORDER BY click_id"
+        ),
+        "events_hopping_counts": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents, "
+            "(epoch_us(ts) // 900000000) * 900 AS base_s FROM events), "
+            "x AS (SELECT base_s - 900 * o AS win_start_s, event_type, cents "
+            "FROM e CROSS JOIN (SELECT unnest(range(4)) AS o)) "
+            "SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value_cents "
+            "FROM x GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "shingle_dupes": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "s AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || "
+            "words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] AS shingle "
+            "FROM w, unnest(range(1, len(words) - 3)) AS t(i) "
+            "WHERE len(words) >= 5) "
+            "SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY 1"
+        ),
+        "part_price_band_stats": (
+            "WITH b AS (SELECT * FROM (VALUES "
+            "(0, 0.0, 950.0), (1, 950.0, 1050.0), (2, 1050.0, 1250.0), "
+            "(3, 1250.0, 1600.0), (4, 1600.0, 100000.0)) "
+            "AS t(band_id, lo, hi)) "
+            "SELECT CAST(b.band_id AS BIGINT) AS band_id, b.lo, b.hi, "
+            "CAST(COUNT(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents "
+            "FROM part JOIN b "
+            "ON p_retailprice >= b.lo AND p_retailprice < b.hi "
+            "GROUP BY 1, 2, 3 ORDER BY 1"
+        ),
+        "doc_repetition_stats": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "u AS (SELECT doc_id, unnest(words) AS tok FROM w), "
+            "wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2), "
+            "uni AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, "
+            "MAX(c) AS top_word FROM wc GROUP BY 1), "
+            "bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS b "
+            "FROM w, unnest(range(1, len(words))) AS t(i) "
+            "WHERE len(words) >= 2), "
+            "bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+            "big AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram "
+            "FROM bgc GROUP BY 1) "
+            "SELECT uni.doc_id, CAST(uni.n_words AS BIGINT) AS n_words, "
+            "CAST(uni.n_distinct AS BIGINT) AS n_distinct, "
+            "CAST(uni.top_word AS BIGINT) AS top_word, "
+            "CAST(COALESCE(big.top_bigram, 0) AS BIGINT) AS top_bigram, "
+            "CAST(uni.n_distinct * 1000000 // uni.n_words AS BIGINT) AS distinct_ppm, "
+            "CAST(uni.top_word * 1000000 // uni.n_words AS BIGINT) AS top_word_ppm, "
+            "CAST(COALESCE(big.top_bigram, 0) * 1000000 // "
+            "GREATEST(COALESCE(big.n_bigrams, 0), 1) AS BIGINT) AS top_bigram_ppm "
+            "FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id "
+            "ORDER BY uni.doc_id"
         ),
         "quality_filter": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "

@@ -805,3 +805,93 @@ def dedup_clusters_lsh(
     return label_propagation_clusters(
         pairs_df if pairs_df is not None else pairs, docs
     )
+
+
+def _flatten_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Explode space-split words into one flat object array + parallel doc-id
+    array. ``str.split(" ")`` with the explicit separator (empty text -> one
+    empty word) so the SQL oracle's ``string_split(text, ' ')`` is bit-equal.
+    """
+    words_lists = [t.split(" ") for t in df["text"].to_numpy()]
+    lens = np.fromiter(
+        (len(ws) for ws in words_lists), dtype=np.int64, count=len(words_lists)
+    )
+    flat = np.array(
+        [w for ws in words_lists for w in ws], dtype=object
+    )
+    docs = np.repeat(df["doc_id"].to_numpy(), lens)
+    return flat, docs
+
+
+def shingle_dupes(
+    sf_dir: str, k: int = 5, min_docs: int = 2, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Verbatim word-``k``-gram overlap across documents — the exact-substring
+    flavor of dedup (near-verbatim reuse that MinHash's set view misses).
+
+    Map side: per batch, one flat object-array pass builds every consecutive
+    ``k``-word shingle (elementwise concat over shifted views, windows
+    crossing a doc boundary masked out), then pre-aggregates to
+    (shingle, doc_id, cnt) — complete per doc because a doc never spans
+    batches. One hash-partitioned exchange by ``shingle`` then counts global
+    occurrences and distinct docs per shingle and keeps those seen in
+    ``min_docs``+ documents. At 100 TB the exchange carries one row per
+    distinct (shingle, doc) pair — the same partial-shrink-then-shuffle shape
+    as ``exact_dedup``; hot shingles (boilerplate) concentrate but each
+    reduces to a single output row, so skew is count-sized, not row-sized.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "shingle": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        w, d = _flatten_words(df)
+        n = len(w)
+        if n < k:
+            return empty
+        m = n - k + 1
+        sh = w[:m]
+        for j in range(1, k):
+            sh = sh + (" " + w[j : m + j])  # elementwise object-str concat
+        ok = d[:m] == d[k - 1 :]
+        out = pd.DataFrame(
+            {"shingle": sh[ok], "doc_id": d[:m][ok].astype("int64")}
+        )
+        return (
+            out.groupby(["shingle", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # (shingle, doc_id) rows are globally unique -> n_docs is a row count
+        agg = g.groupby("shingle", as_index=False).agg(
+            n_occurrences=("cnt", "sum"), n_docs=("doc_id", "size")
+        )
+        agg = agg[agg["n_docs"] >= min_docs]
+        return agg.astype({"n_occurrences": "int64", "n_docs": "int64"})
+
+    out_schema = pa.schema(
+        [
+            ("shingle", pa.string()),
+            ("n_occurrences", pa.int64()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["shingle"],
+            per_partition,
+            num_partitions,
+        ),
+        ["shingle"],
+        out_schema,
+    )

@@ -307,3 +307,46 @@ def revenue_by_nation_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFra
     partials = hash_partitioned(both, ["key"], bucket_join_partial, num_buckets)
     result = _final_groupby(partials, ["n_name"], ["revenue_bp", "lines"])
     return result.sort_values("n_name").reset_index(drop=True)
+
+
+PRICE_BAND_EDGES = [0.0, 950.0, 1050.0, 1250.0, 1600.0, 100_000.0]
+
+
+def part_price_band_stats(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: parts bucketed into half-open price bands
+    ``lo <= p_retailprice < hi`` — the broadcast-interval form.
+
+    Ray Data has no inequality join; the scale shape for a small interval
+    table is a *broadcast range lookup*: the sorted band edges ship once per
+    task closure (bytes, not a shuffle), each batch does ONE vectorized
+    ``np.searchsorted`` over its price column, and only per-band partial
+    aggregates leave the map side. A big-big range join would instead
+    range-partition both sides on the interval axis; documented here as the
+    partitioning assumption this operator relies on.
+    """
+    edges = np.asarray(PRICE_BAND_EDGES, dtype=np.float64)
+    ds = read_table(f"{sf_dir}/part.parquet", columns=["p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["p_retailprice"].to_numpy(dtype=np.float64)
+        band = np.searchsorted(edges, price, side="right") - 1
+        ok = (band >= 0) & (band < len(edges) - 1)
+        out = pd.DataFrame(
+            {
+                "band_id": band[ok].astype(np.int64),
+                "n_parts": np.int64(1),
+                "sum_price_cents": _cents(price[ok]),
+            }
+        )
+        return out.groupby("band_id", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    result = _final_groupby(partials, ["band_id"], ["n_parts", "sum_price_cents"])
+    result["lo"] = edges[result["band_id"].to_numpy()]
+    result["hi"] = edges[result["band_id"].to_numpy() + 1]
+    return (
+        result[["band_id", "lo", "hi", "n_parts", "sum_price_cents"]]
+        .astype({"band_id": "int64", "n_parts": "int64", "sum_price_cents": "int64"})
+        .sort_values("band_id")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,177 @@
+"""Temporal operators Ray Data lacks natively: as-of join and hopping windows.
+
+These extend the windowed family beyond ``events_sessionize`` (session
+windows) and ``events_hourly`` (tumbling windows) with the two shapes the
+reference's event pipelines and any training-data telemetry stack need:
+
+- **as-of join** (``events_asof_join``): for each left event, the most
+  recent right event at-or-before it by the same key. Ray Data has no asof
+  join; the 100 TB shape is the standard co-partitioned one — hash-partition
+  BOTH streams by the equality key (one exchange, both sides share it via
+  union), then ONE vectorized ``pd.merge_asof`` per partition over the
+  time-sorted runs. No broadcast, no driver materialization; skew is bounded
+  by the per-key event cardinality, same as sessionize.
+- **hopping (sliding) windows** (``events_hopping_counts``): 1 h windows
+  every 15 min — each event belongs to exactly ``size/hop`` windows, so the
+  map side *explodes* each row into its window assignments with numpy repeat
+  and pre-aggregates inside the batch; only (window, type)-cardinality
+  partial rows ever reach the combine. At 100 TB the partial output is
+  bounded by distinct windows x types, not by events.
+
+All value columns are emitted as exact integers (cents / epoch seconds /
+microseconds) so the DuckDB oracle compare is bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from html_parser_ray.pipelines.shuffle import (
+    hash_partitioned,
+    read_table,
+    sort_output,
+)
+
+_US_PER_S = 1_000_000
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Exact int64 microseconds-since-epoch from a parquet timestamp[us]."""
+    return s.to_numpy().astype("datetime64[us]").view("int64")
+
+
+def events_asof_join(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset | pd.DataFrame":
+    """For every ``left_type`` event, the most recent ``right_type`` event by
+    the same user at-or-before its timestamp (ASOF LEFT JOIN semantics).
+
+    Right rows are first deduplicated to one row per (user_id, ts) keeping
+    the max event_id — the asof "pick latest at tied timestamps" case is
+    otherwise nondeterministic. Output: one row per left event with the
+    matched right event_id (-1 when none) and the exact gap in microseconds
+    (-1 when none).
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def keep_sides(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin([left_type, right_type])]
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["event_type"] == left_type]
+        rhs = g[g["event_type"] == right_type]
+        # deterministic tie policy: one right row per (user, ts), max id
+        rhs = (
+            rhs.groupby(["user_id", "ts"], as_index=False)
+            .agg(view_id=("event_id", "max"))
+            .sort_values("ts", kind="mergesort")
+        )
+        rhs["view_ts"] = rhs["ts"]  # carried through the asof as plain data
+        lhs = lhs.sort_values("ts", kind="mergesort")
+        if len(lhs) == 0:
+            return pd.DataFrame(
+                {
+                    "click_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_ts_us": pd.Series(dtype="int64"),
+                    "view_id": pd.Series(dtype="int64"),
+                    "gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            lhs, rhs, on="ts", by="user_id", direction="backward"
+        )
+        click_us = _ts_us(m["ts"])
+        view_id = m["view_id"].fillna(-1).astype("int64")
+        matched = view_id.to_numpy() >= 0
+        # NaT views as INT64_MIN: substitute click_us before subtracting so
+        # the unmatched lanes never overflow, then mask them to -1
+        view_us = m["view_ts"].to_numpy().astype("datetime64[us]").view("int64")
+        gap = np.where(matched, click_us - np.where(matched, view_us, click_us), -1)
+        return pd.DataFrame(
+            {
+                "click_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "click_ts_us": click_us,
+                "view_id": view_id,
+                "gap_us": gap.astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("click_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("click_ts_us", pa.int64()),
+            ("view_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(
+            ds.map_batches(keep_sides, batch_format="pandas"),
+            ["user_id"],
+            per_partition,
+            num_partitions,
+        ),
+        ["click_id"],
+        out_schema,
+    )
+
+
+def events_hopping_counts(
+    sf_dir: str, size_s: int = 3600, hop_s: int = 900
+) -> pd.DataFrame:
+    """Hopping-window counts: (win_start_s, event_type, n_events,
+    sum_value_cents) for ``size_s`` windows advancing every ``hop_s``.
+
+    ``size_s`` must be a multiple of ``hop_s``; each event lands in exactly
+    ``size_s // hop_s`` windows (the explode factor), assigned map-side with
+    numpy repeat and pre-aggregated per batch before the tiny global combine.
+    """
+    assert size_s % hop_s == 0, "window size must be a multiple of the hop"
+    k = size_s // hop_s
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    hop_us = hop_s * _US_PER_S
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(df["ts"])
+        base = (us // hop_us) * hop_s  # newest window start, epoch SECONDS
+        offs = np.arange(k, dtype=np.int64) * hop_s
+        win = np.repeat(base, k) - np.tile(offs, len(base))
+        cents = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        out = pd.DataFrame(
+            {
+                "win_start_s": win,
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "n_events": np.int64(1),
+                "sum_value_cents": np.repeat(cents, k),
+            }
+        )
+        return out.groupby(["win_start_s", "event_type"], as_index=False).sum()
+
+    # partials are bounded by distinct (window, type) — tiny driver combine,
+    # same pattern as events_hourly
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    result = df.groupby(["win_start_s", "event_type"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum")
+    )
+    return (
+        result.astype({"win_start_s": "int64", "n_events": "int64"})
+        .sort_values(["win_start_s", "event_type"])
+        .reset_index(drop=True)
+    )

@@ -271,3 +271,59 @@ def html_link_extract(sf_dir: str) -> "ray.data.Dataset":
             ]
         ),
     )
+
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition scores per document: word count, distinct-word
+    count, most-frequent-word count, most-frequent-bigram count, and the
+    corresponding ppm fractions (exact integer division — no float compare).
+
+    Map-only (zero shuffles): each batch flattens its docs' words once, two
+    pandas groupbys (unigram, bigram) produce the per-doc maxima, and every
+    row leaves as a finished result. High repetition fractions are the
+    classic crawl-quality reject signal (boilerplate, keyword stuffing); the
+    thresholds belong to the caller, this operator just scores.
+    """
+    import numpy as np
+
+    from html_parser_ray.pipelines.dedup import _flatten_words
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "doc_id", "n_words", "n_distinct", "top_word", "top_bigram",
+            "distinct_ppm", "top_word_ppm", "top_bigram_ppm",
+        ]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        w, d = _flatten_words(df)
+        wc = (
+            pd.DataFrame({"doc_id": d.astype("int64"), "w": w})
+            .groupby(["doc_id", "w"], as_index=False)
+            .size()
+        )
+        uni = wc.groupby("doc_id").agg(
+            n_words=("size", "sum"), n_distinct=("size", "count"),
+            top_word=("size", "max"),
+        )
+        big = w[:-1] + (" " + w[1:]) if len(w) > 1 else np.array([], dtype=object)
+        okb = d[:-1] == d[1:]
+        bgc = (
+            pd.DataFrame({"doc_id": d[:-1][okb].astype("int64"), "b": big[okb]})
+            .groupby(["doc_id", "b"], as_index=False)
+            .size()
+        )
+        bg = bgc.groupby("doc_id").agg(
+            n_bigrams=("size", "sum"), top_bigram=("size", "max")
+        )
+        out = uni.join(bg, how="left").fillna(0).astype("int64").reset_index()
+        out["distinct_ppm"] = (out["n_distinct"] * 1_000_000) // out["n_words"]
+        out["top_word_ppm"] = (out["top_word"] * 1_000_000) // out["n_words"]
+        out["top_bigram_ppm"] = (out["top_bigram"] * 1_000_000) // out[
+            "n_bigrams"
+        ].clip(lower=1)
+        return out[cols].astype({c: "int64" for c in cols})
+
+    result = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    return result.sort_values("doc_id").reset_index(drop=True)
