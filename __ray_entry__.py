@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return build_layout_feature_pipeline(ds, concurrency=2).sort("media_ref")
 
     from html_parser_ray.pipelines import temporal
+    from html_parser_ray.pipelines.curation import curated_corpus as _curated_corpus
 
     return {
         # HTML engine pinned against SQL oracles
@@ -268,6 +269,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_dupes": dedup.shingle_dupes,
         "part_price_band_stats": relational.part_price_band_stats,
         "doc_repetition_stats": text_analysis.doc_repetition_stats,
+        # JSON-column extraction, grouped top-k, TF-IDF, deterministic sampling
+        "events_props_key_stats": relational.events_props_key_stats,
+        "top_suppliers_per_nation": relational.top_suppliers_per_nation,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "doc_hash_sample": text_analysis.doc_hash_sample,
+        # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
+        "curated_corpus": _curated_corpus,
         "quality_filter": text_analysis.quality_filter,
         "html_link_extract": text_analysis.html_link_extract,
         # multimodal (real PNG/WAV decode; golden-pinned)
@@ -522,6 +530,61 @@ def oracle_sql() -> dict[str, str]:
             "GREATEST(COALESCE(big.n_bigrams, 0), 1) AS BIGINT) AS top_bigram_ppm "
             "FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id "
             "ORDER BY uni.doc_id"
+        ),
+        "events_props_key_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS min_k, "
+            "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS max_k "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "top_suppliers_per_nation": (
+            "WITH s AS (SELECT n_name, s_suppkey, "
+            "CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents, "
+            "row_number() OVER (PARTITION BY n_nationkey "
+            "ORDER BY CAST(round(s_acctbal*100) AS BIGINT) DESC, s_suppkey) "
+            "AS rank "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey) "
+            "SELECT n_name, s_suppkey, acctbal_cents, "
+            "CAST(rank AS BIGINT) AS rank "
+            "FROM s WHERE rank <= 3 ORDER BY n_name, rank"
+        ),
+        "tfidf_top_terms": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2), "
+            "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "tf.tf * 1000000 // df.df AS score_ppm "
+            "FROM tf JOIN df ON tf.term = df.term), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_ppm DESC, term) AS rank FROM s) "
+            "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, "
+            "CAST(df AS BIGINT) AS df, CAST(score_ppm AS BIGINT) AS score_ppm, "
+            "CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 3 ORDER BY doc_id, rank"
+        ),
+        "doc_hash_sample": (
+            "WITH b AS (SELECT doc_id, len(text) AS n_chars, "
+            "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) % 100 AS bucket FROM documents) "
+            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM b WHERE bucket < 10 ORDER BY doc_id"
+        ),
+        "curated_corpus": (
+            "WITH f AS (SELECT doc_id, md5(text) AS h, "
+            "len(string_split(text, ' ')) AS n_tokens, "
+            "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) % 100 AS bucket FROM documents), "
+            "k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY h) "
+            "SELECT f.doc_id, CAST(f.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(f.bucket AS BIGINT) AS bucket "
+            "FROM f JOIN k ON f.doc_id = k.doc_id "
+            "WHERE f.n_tokens >= 40 AND f.bucket < 50 ORDER BY f.doc_id"
         ),
         "quality_filter": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "

@@ -350,3 +350,91 @@ def part_price_band_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("band_id")
         .reset_index(drop=True)
     )
+
+
+def events_props_key_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured (JSON) column extraction + rollup: pull ``$.k`` out of
+    the ``props`` JSON string per event and aggregate per event type.
+
+    The extraction is one vectorized regex over the column (pandas
+    ``str.extract`` runs in C) — the narrow-schema fast path for typed JSON
+    fields; a general nested-JSON op would be an actor-pool stage holding a
+    compiled decoder the same way the HTML stage holds its parser. Map-side
+    partials carry (type, n, sum, min, max) only, so the combine is
+    event-type-sized regardless of input scale.
+    """
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        )
+        ok = k.notna()  # rows without the field are excluded from the rollup
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"][ok],
+                "k": k[ok].astype("int64"),
+            }
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        )
+
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    result = df.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"),
+    )
+    return (
+        result.astype({c: "int64" for c in ["n_events", "sum_k", "min_k", "max_k"]})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k: the ``k`` highest-balance suppliers per nation.
+
+    Top-k is a combiner-friendly aggregate: the global per-group top-k is the
+    top-k of the union of per-batch top-ks, so each batch forwards at most
+    k rows per nation it saw and the driver combine is nations x k sized.
+    Dimension names broadcast via ``ray.put`` once. Deterministic tiebreak:
+    higher balance first, then lower suppkey.
+    """
+    ds = read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "s_nationkey": df["s_nationkey"].astype("int64"),
+                "s_suppkey": df["s_suppkey"].astype("int64"),
+                "acctbal_cents": _cents(df["s_acctbal"].to_numpy()),
+            }
+        )
+        out = out.sort_values(
+            ["acctbal_cents", "s_suppkey"], ascending=[False, True]
+        )
+        return out.groupby("s_nationkey", as_index=False, sort=False).head(k)
+
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    nmap = ray.get(nmap_ref)
+    df = df.sort_values(["acctbal_cents", "s_suppkey"], ascending=[False, True])
+    top = df.groupby("s_nationkey", as_index=False, sort=False).head(k).copy()
+    top["n_name"] = top["s_nationkey"].map(nmap)
+    top["rank"] = top.groupby("s_nationkey").cumcount() + 1
+    return (
+        top[["n_name", "s_suppkey", "acctbal_cents", "rank"]]
+        .astype({"rank": "int64"})
+        .sort_values(["n_name", "rank"])
+        .reset_index(drop=True)
+    )

@@ -327,3 +327,123 @@ def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
 
     result = ds.map_batches(feats, batch_format="pandas").to_pandas()
     return result.sort_values("doc_id").reset_index(drop=True)
+
+
+def tfidf_top_terms(
+    sf_dir: str, top_k: int = 3, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Per-document top-``top_k`` TF-IDF terms with an exact-integer score
+    (``score_ppm = tf * 1_000_000 // df``, the rational idf variant — no
+    float log, so the SQL oracle compares bit-exact).
+
+    Two co-partitioned exchanges, the canonical TF-IDF dataflow:
+    1. map-side per-doc term counts (a doc never spans batches, so tf rows
+       are final) -> hash-partition by **term**: df per term is complete
+       within its partition, each (doc, term, tf) row leaves annotated with
+       its df — the join of tf against df costs no third exchange;
+    2. hash-partition by **doc_id**: one vectorized sort + groupby-head per
+       partition ranks each doc's terms (score desc, term asc).
+    The exchanges carry distinct (doc, term) pairs — the operator's inherent
+    output — never raw text. At 100 TB a stopword/df-cap filter between the
+    stages would bound the hot-term partitions; deliberately not applied
+    here so the oracle stays pure SQL.
+    """
+    import numpy as np
+
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    from html_parser_ray.pipelines.dedup import _flatten_words
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "tf": pd.Series(dtype="int64"),
+                }
+            )
+        w, d = _flatten_words(df)
+        out = (
+            pd.DataFrame({"doc_id": d.astype("int64"), "term": w})
+            .groupby(["doc_id", "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return out.astype({"tf": "int64"})
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a term are co-located: df = rows per term (doc_id is
+        # unique within a term after the per-doc groupby)
+        g = g.copy()
+        g["df"] = g.groupby("term")["tf"].transform("size").astype("int64")
+        g["score_ppm"] = (g["tf"] * 1_000_000) // g["df"]
+        return g
+
+    def rank_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score_ppm", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.groupby("doc_id", sort=False).head(top_k).copy()
+        top["rank"] = top.groupby("doc_id").cumcount() + 1
+        return top[["doc_id", "term", "tf", "df", "score_ppm", "rank"]].astype(
+            {"rank": "int64"}
+        )
+
+    with_df = hash_partitioned(
+        ds.map_batches(tf_partial, batch_format="pandas"),
+        ["term"],
+        annotate_df,
+        num_partitions,
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score_ppm", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(with_df, ["doc_id"], rank_per_doc, num_partitions),
+        ["doc_id", "rank"],
+        out_schema,
+    )
+
+
+def doc_hash_sample(sf_dir: str, rate_pct: int = 10) -> "ray.data.Dataset":
+    """Deterministic content-independent sampling: keep a document iff the
+    first 8 hex digits of ``md5(doc_id)`` land under ``rate_pct`` of the
+    bucket space. The standard reproducible train/eval-split primitive:
+    map-only, no RNG state, any worker anywhere picks the same rows, and
+    the same doc keeps its fate when the corpus is re-sharded.
+    """
+    import hashlib
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = pd.Series(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in df["doc_id"]
+            ],
+            index=df.index,
+            dtype="int64",
+        )
+        out = df.loc[buckets < rate_pct, ["doc_id"]].copy()
+        out["bucket"] = buckets[buckets < rate_pct]
+        out["n_chars"] = df.loc[buckets < rate_pct, "text"].str.len().astype("int64")
+        return out
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("bucket", pa.int64()), ("n_chars", pa.int64())]
+    )
+    return sort_output(
+        ds.map_batches(pick, batch_format="pandas"), ["doc_id"], out_schema
+    )

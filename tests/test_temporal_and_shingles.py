@@ -178,3 +178,136 @@ def test_doc_repetition_stats_exact(tmp_path_factory):
     # all-distinct doc
     assert out.loc[3, "distinct_ppm"] == 1_000_000
     assert out.loc[3, "top_bigram"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_props_key_stats(tmp_path_factory):
+    from html_parser_ray.pipelines.relational import events_props_key_stats
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": ["a", "a", "b", "b"],
+            "value": 1.0,
+            "props": ['{"k": 5}', '{"k": -2}', '{"k": 7}', "{}"],
+        }
+    )
+    d = tmp_path_factory.mktemp("props")
+    df.to_parquet(d / "events.parquet")
+    out = _df(events_props_key_stats(str(d))).set_index("event_type")
+    assert out.loc["a", "n_events"] == 2
+    assert out.loc["a", "sum_k"] == 3
+    assert out.loc["a", "min_k"] == -2 and out.loc["a", "max_k"] == 5
+    # the field-less row is excluded from the rollup
+    assert out.loc["b", "n_events"] == 1 and out.loc["b", "sum_k"] == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_suppliers_per_nation_ties(tmp_path_factory):
+    from html_parser_ray.pipelines.relational import top_suppliers_per_nation
+
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3, 4, 5],
+            "s_nationkey": np.int64([0, 0, 0, 0, 1]),
+            "s_acctbal": [50.0, 99.99, 99.99, 10.0, 7.5],
+        }
+    )
+    nat = pd.DataFrame({"n_nationkey": np.int64([0, 1]), "n_name": ["X", "Y"]})
+    d = tmp_path_factory.mktemp("sup")
+    sup.to_parquet(d / "supplier.parquet")
+    nat.to_parquet(d / "nation.parquet")
+    out = _df(top_suppliers_per_nation(str(d), k=3))
+    x = out[out["n_name"] == "X"].sort_values("rank")
+    # tie at 99.99: lower suppkey ranks first; k=3 cuts suppkey 4
+    assert list(x["s_suppkey"]) == [2, 3, 1]
+    assert list(x["acctbal_cents"]) == [9999, 9999, 5000]
+    y = out[out["n_name"] == "Y"]
+    assert list(y["s_suppkey"]) == [5] and list(y["rank"]) == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_planted(tmp_path_factory):
+    from html_parser_ray.pipelines.text_analysis import tfidf_top_terms
+
+    rows = [
+        {"doc_id": 1, "text": "common rare1 common common"},
+        {"doc_id": 2, "text": "common rare2"},
+        {"doc_id": 3, "text": "common common"},
+    ]
+    df = pd.DataFrame(rows)
+    df = df.assign(lang="en", source="syn", n_chars=df["text"].str.len())
+    d = tmp_path_factory.mktemp("tfidf")
+    df.to_parquet(d / "documents.parquet")
+    out = _df(tfidf_top_terms(str(d), top_k=2))
+    d1 = out[out["doc_id"] == 1].sort_values("rank")
+    # doc 1: common tf=3 df=3 -> 1M; rare1 tf=1 df=1 -> 1M; tie -> term asc
+    assert list(d1["term"]) == ["common", "rare1"]
+    assert list(d1["score_ppm"]) == [1_000_000, 1_000_000]
+    d2 = out[out["doc_id"] == 2].sort_values("rank")
+    # doc 2: rare2 1M beats common tf=1/df=3
+    assert list(d2["term"]) == ["rare2", "common"]
+    assert d2["score_ppm"].tolist() == [1_000_000, 333_333]
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_hash_sample_deterministic(tmp_path_factory):
+    import hashlib
+
+    from html_parser_ray.pipelines.text_analysis import doc_hash_sample
+
+    df = pd.DataFrame({"doc_id": range(200), "text": "word " * 5})
+    df = df.assign(lang="en", source="syn", n_chars=df["text"].str.len())
+    d = tmp_path_factory.mktemp("sample")
+    df.to_parquet(d / "documents.parquet")
+    out = _df(doc_hash_sample(str(d), rate_pct=10))
+    expect = {
+        i
+        for i in range(200)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 10
+    }
+    assert set(out["doc_id"]) == expect
+    assert (out["bucket"] < 10).all()
+    # repartitioning the corpus cannot change any doc's fate (recompute equal)
+    out2 = _df(doc_hash_sample(str(d), rate_pct=10))
+    assert out.equals(out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curated_corpus_composition(tmp_path_factory):
+    import hashlib
+
+    from html_parser_ray.pipelines.curation import curated_corpus
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    long = "tok " * 50  # 51 tokens (trailing empty token counts)
+    # pick ids with known sample fate under a 50% cut
+    under = [i for i in range(100) if bucket(i) < 50]
+    over = [i for i in range(100) if bucket(i) >= 50]
+    dup_a, dup_b = sorted([under[0], over[0]])
+    rows = [
+        # duplicate content: keeper is min(doc_id); the OTHER copy must not
+        # resurface even if its own bucket would pass the sample cut
+        {"doc_id": dup_a, "text": long},
+        {"doc_id": dup_b, "text": long},
+        # unique + long + in-sample -> kept
+        {"doc_id": under[1], "text": long + "x"},
+        # unique + long + out-of-sample -> cut
+        {"doc_id": over[1], "text": long + "y"},
+        # unique + short + in-sample -> cut by quality floor
+        {"doc_id": under[2], "text": "too short"},
+    ]
+    df = pd.DataFrame(rows)
+    df = df.assign(lang="en", source="syn", n_chars=df["text"].str.len())
+    d = tmp_path_factory.mktemp("curate")
+    df.to_parquet(d / "documents.parquet")
+    out = _df(curated_corpus(str(d), min_tokens=40, sample_pct=50))
+    expect = {dup_a} if bucket(dup_a) < 50 else set()
+    expect |= {under[1]}
+    assert set(out["doc_id"]) == expect
+    assert (out["n_tokens"] >= 40).all() and (out["bucket"] < 50).all()
