@@ -10,6 +10,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 from examples import (
+    curation_pipeline,
     dedup_pipeline,
     extraction_pipeline,
     media_features,
@@ -23,6 +24,7 @@ SCRIPTS = [
     similarity_search,
     media_features,
     resumable_job,
+    curation_pipeline,
 ]
 
 
