@@ -325,8 +325,16 @@ def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
         ].clip(lower=1)
         return out[cols].astype({c: "int64" for c in cols})
 
-    result = ds.map_batches(feats, batch_format="pandas").to_pandas()
-    return result.sort_values("doc_id").reset_index(drop=True)
+    # per-doc output is corpus-row-sized: stay a Dataset (sort_output pulls
+    # driver-side only under its small-result threshold, else sorts
+    # distributed) — never an unconditional corpus-sized to_pandas()
+    out_schema = pa.schema([(c, pa.int64()) for c in [
+        "doc_id", "n_words", "n_distinct", "top_word", "top_bigram",
+        "distinct_ppm", "top_word_ppm", "top_bigram_ppm",
+    ]])
+    return sort_output(
+        ds.map_batches(feats, batch_format="pandas"), ["doc_id"], out_schema
+    )
 
 
 def tfidf_top_terms(
