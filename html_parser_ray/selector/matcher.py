@@ -288,20 +288,53 @@ def matches_selector_at(doc, selector: Selector, index: int, scope_root: int | N
 
 def query_all(doc, selector: Selector, scope_root: int | None = None) -> list[int]:
     """All matching element indexes in preorder within scope
-    (ref: src/html/document.zig:226-248)."""
+    (ref: src/html/document.zig:226-248).
+
+    When every group's rightmost compound names a tag, candidates come from
+    the per-tag accel index instead of a full node scan — output equals the
+    scan's because a match requires the rightmost tag to equal the node's
+    tag, and per-tag lists (and their sorted union) are already preorder.
+    The reference reserves tag accel for queryOne (matcher.zig:181-234);
+    extending it to queryAll is observation-equivalent and pure win here.
+    """
     if scope_root is None:
         start, end_incl = 1, len(doc.kind) - 1
     else:
         start = scope_root + 1
         end_incl = doc.subtree_end[scope_root]
-    kinds = doc.kind
+    groups = [g for g in selector.groups if g]
+    if not groups:
+        return []
     out = []
-    groups = selector.groups
-    for i in range(start, end_incl + 1):
-        if kinds[i] != KIND_ELEMENT:
-            continue
+    tags = [g[-1].tag for g in groups]
+    if all(t is not None for t in tags):
+        if len(groups) == 1:
+            cand = doc.tag_index(tags[0])
+        else:
+            u: set[int] = set()
+            for t in tags:
+                u.update(doc.tag_index(t))
+            cand = sorted(u)
+        for i in cand:
+            if i < start:
+                continue
+            if i > end_incl:
+                break
+            for group in groups:
+                if _match_from_right(doc, group, len(group) - 1, i, scope_root):
+                    out.append(i)
+                    break
+        return out
+    # scan fallback: one vectorized element-kind mask instead of a Python
+    # test per node (text/doc nodes never match)
+    import numpy as np
+
+    kinds = np.asarray(doc.kind)
+    cand = np.flatnonzero(kinds[start : end_incl + 1] == KIND_ELEMENT) + start
+    for i in cand:
+        i = int(i)
         for group in groups:
-            if group and _match_from_right(doc, group, len(group) - 1, i, scope_root):
+            if _match_from_right(doc, group, len(group) - 1, i, scope_root):
                 out.append(i)
                 break
     return out
