@@ -35,7 +35,7 @@ class Document:
     __slots__ = (
         "source", "kind", "name", "name_start", "name_end", "attr_end",
         "parent", "prev_sibling", "last_child", "subtree_end",
-        "_attr_cache", "_id_index", "_tag_index",
+        "_attr_cache", "_id_index", "_tag_index", "_class_index",
     )
 
     def __init__(self, source: bytes, builder) -> None:
@@ -52,6 +52,7 @@ class Document:
         self._attr_cache: dict[int, dict[bytes, bytes]] = {}
         self._id_index: dict[bytes, int] | None = None
         self._tag_index: dict[bytes, list[int]] = {}
+        self._class_index: dict[bytes, list[int]] = {}
 
     def __len__(self) -> int:
         return len(self.kind)
@@ -197,6 +198,29 @@ class Document:
             names = self.name
             got = [i for i in range(1, len(self.kind)) if names[i] == tag]
             self._tag_index[tag] = got
+        return got
+
+    def class_index(self, cls: bytes) -> list[int]:
+        """Lazy per-class candidate list, preorder. BEYOND-reference accel
+        (the reference budgets only id/tag indexes): candidates still pass
+        the full matcher, and membership uses the same decoded-attr +
+        ws-token test the matcher applies, so output equals the scan's. The
+        build decodes each element's attrs once — exactly the work a single
+        scan-path query pays anyway — so it is free for one-shot queries and
+        amortized for repeats."""
+        got = self._class_index.get(cls)
+        if got is None:
+            from html_parser_ray.html.tables import token_includes
+
+            kind = self.kind
+            got = []
+            for i in range(1, len(kind)):
+                if kind[i] != KIND_ELEMENT:
+                    continue
+                c = self.attrs(i).get(b"class")
+                if c is not None and token_includes(c, cls):
+                    got.append(i)
+            self._class_index[cls] = got
         return got
 
     # ---- selector API (delegates to the matcher) -------------------------

@@ -290,12 +290,13 @@ def query_all(doc, selector: Selector, scope_root: int | None = None) -> list[in
     """All matching element indexes in preorder within scope
     (ref: src/html/document.zig:226-248).
 
-    When every group's rightmost compound names a tag, candidates come from
-    the per-tag accel index instead of a full node scan — output equals the
-    scan's because a match requires the rightmost tag to equal the node's
-    tag, and per-tag lists (and their sorted union) are already preorder.
-    The reference reserves tag accel for queryOne (matcher.zig:181-234);
-    extending it to queryAll is observation-equivalent and pure win here.
+    When every group's rightmost compound names a tag or a class, candidates
+    come from the per-tag / per-class accel indexes instead of a full node
+    scan — output equals the scan's because a match requires the rightmost
+    tag (resp. class token) to hold on the node, and candidate lists (and
+    their sorted union) are already preorder. The reference reserves accel
+    for queryOne (matcher.zig:181-234) and has no class index; extending
+    both to queryAll is observation-equivalent and pure win here.
     """
     if scope_root is None:
         start, end_incl = 1, len(doc.kind) - 1
@@ -306,14 +307,26 @@ def query_all(doc, selector: Selector, scope_root: int | None = None) -> list[in
     if not groups:
         return []
     out = []
-    tags = [g[-1].tag for g in groups]
-    if all(t is not None for t in tags):
-        if len(groups) == 1:
-            cand = doc.tag_index(tags[0])
+    # candidate list per group: tag accel, else class accel (beyond-reference,
+    # scan-equal: candidates still pass the full matcher) — None means the
+    # group needs the scan
+    cand_lists: list[list[int]] | None = []
+    for g in groups:
+        comp = g[-1]
+        if comp.tag is not None:
+            cand_lists.append(doc.tag_index(comp.tag))
+        elif comp.classes:
+            cand_lists.append(doc.class_index(comp.classes[0]))
+        else:
+            cand_lists = None
+            break
+    if cand_lists is not None:
+        if len(cand_lists) == 1:
+            cand = cand_lists[0]
         else:
             u: set[int] = set()
-            for t in tags:
-                u.update(doc.tag_index(t))
+            for lst in cand_lists:
+                u.update(lst)
             cand = sorted(u)
         for i in cand:
             if i < start:

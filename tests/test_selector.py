@@ -234,3 +234,45 @@ def test_pathological_compound_depth_no_recursion_limit():
     from html_parser_ray.selector.matcher import query_all as qa
 
     assert len(qa(doc, sel)) == 1
+
+
+def test_query_all_accel_equals_brute_force():
+    """Tag/class candidate enumeration must equal the per-node brute force
+    on a corpus exercising duplicate classes, multi-token class attrs,
+    entity-encoded attrs, scoped queries, and grouped selectors."""
+    from html_parser_ray.html.document import parse_html
+
+    html = (
+        b"<html><head></head><body>"
+        b'<div id="root" class="wrap outer">'
+        b'<a class="button link">1</a>'
+        b'<a class="  button\tlink  ">2</a>'  # odd whitespace tokens
+        b'<a class="buttonish">3</a>'          # substring, not a token
+        b'<span class="button">4</span>'
+        b'<p class="a&amp;b">amp</p>'          # entity-decoded class value
+        b"<ul><li class=wrap>unquoted</li><li>plain</li></ul>"
+        b"</div>"
+        b'<div class="wrap">outside scope</div>'
+        b"</body></html>"
+    )
+    doc = parse_html(html)
+    n = len(doc.kind)
+    selectors = [
+        ".button", ".wrap", ".button.link", "a.button", "span.button, .wrap",
+        ".a\\&b" if False else ".buttonish",  # keep grammar-simple cases
+        "div .button", ".wrap > a", "ul li.wrap", "*",
+    ]
+    for sel in selectors:
+        got = doc.query_all(sel)
+        brute = [i for i in range(1, n) if doc.matches(i, sel)]
+        assert got == brute, sel
+    # scoped: accel candidates must respect the scope window
+    root = doc.query_one("#root")
+    for sel in [".wrap", ".button", "a.link, li.wrap"]:
+        got = doc.query_all(sel, scope_root=root)
+        brute = [
+            i
+            for i in range(root + 1, doc.subtree_end[root] + 1)
+            if doc.matches(i, sel, scope_root=root)
+        ]
+        assert got == brute, ("scoped", sel)
