@@ -266,6 +266,7 @@ def test_query_all_accel_equals_brute_force():
         got = doc.query_all(sel)
         brute = [i for i in range(1, n) if doc.matches(i, sel)]
         assert got == brute, sel
+        assert doc.query_one(sel) == (brute[0] if brute else None), sel
     # scoped: accel candidates must respect the scope window
     root = doc.query_one("#root")
     for sel in [".wrap", ".button", "a.link, li.wrap"]:
