@@ -531,26 +531,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id "
             "ORDER BY uni.doc_id"
         ),
+        # rows without the $.k field are excluded from the rollup on BOTH
+        # sides (the impl's notna filter and this WHERE agree on any corpus,
+        # not just one where every row carries the field)
         "events_props_key_stats": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL) "
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
-            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
-            "AS BIGINT) AS sum_k, "
-            "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
-            "AS BIGINT) AS min_k, "
-            "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
-            "AS BIGINT) AS max_k "
-            "FROM events GROUP BY 1 ORDER BY 1"
+            "CAST(SUM(k) AS BIGINT) AS sum_k, "
+            "CAST(MIN(k) AS BIGINT) AS min_k, "
+            "CAST(MAX(k) AS BIGINT) AS max_k "
+            "FROM e GROUP BY 1 ORDER BY 1"
         ),
         "top_suppliers_per_nation": (
             "WITH s AS (SELECT n_name, s_suppkey, "
             "CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents, "
             "row_number() OVER (PARTITION BY n_nationkey "
             "ORDER BY CAST(round(s_acctbal*100) AS BIGINT) DESC, s_suppkey) "
-            "AS rank "
+            "AS \"rank\" "
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey) "
             "SELECT n_name, s_suppkey, acctbal_cents, "
-            "CAST(rank AS BIGINT) AS rank "
-            "FROM s WHERE rank <= 3 ORDER BY n_name, rank"
+            "CAST(\"rank\" AS BIGINT) AS \"rank\" "
+            "FROM s WHERE \"rank\" <= 3 ORDER BY n_name, \"rank\""
         ),
         "tfidf_top_terms": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
@@ -561,11 +564,11 @@ def oracle_sql() -> dict[str, str]:
             "tf.tf * 1000000 // df.df AS score_ppm "
             "FROM tf JOIN df ON tf.term = df.term), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
-            "ORDER BY score_ppm DESC, term) AS rank FROM s) "
+            "ORDER BY score_ppm DESC, term) AS \"rank\" FROM s) "
             "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, "
             "CAST(df AS BIGINT) AS df, CAST(score_ppm AS BIGINT) AS score_ppm, "
-            "CAST(rank AS BIGINT) AS rank "
-            "FROM r WHERE rank <= 3 ORDER BY doc_id, rank"
+            "CAST(\"rank\" AS BIGINT) AS \"rank\" "
+            "FROM r WHERE \"rank\" <= 3 ORDER BY doc_id, \"rank\""
         ),
         "doc_hash_sample": (
             "WITH b AS (SELECT doc_id, len(text) AS n_chars, "

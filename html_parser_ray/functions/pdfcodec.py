@@ -180,10 +180,13 @@ def parse_pdf(payload: bytes) -> dict:
 
     pages = []
     for num in sorted(spans):
-        body = objects[num]
-        # a page object, not the page TREE (/Type /Pages)
-        if _RE_PAGE.search(body) is None:
+        # probe for a page object (not the page TREE /Type /Pages) against
+        # the payload with pos/endpos — no slice for non-page objects; only
+        # pages and their /Contents are ever copied out
+        s, e = spans[num]
+        if _RE_PAGE.search(payload, s, e) is None:
             continue
+        body = objects[num]
         texts: list[tuple[float, float, float, str]] = []
         rects: list[tuple[float, float, float, float]] = []
         mb = _RE_MEDIABOX.search(body)

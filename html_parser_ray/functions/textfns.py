@@ -181,3 +181,14 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def doc_sample_bucket(doc_id: "int | str") -> int:
+    """Deterministic 0-99 sample bucket from md5 of the stringified id —
+    THE shared split primitive: ``doc_hash_sample`` and ``curated_corpus``
+    must agree bit-for-bit on every document's fate, so both call this
+    (oracle form: ``CAST(('0x' || substring(md5(id), 1, 8)) AS UBIGINT) % 100``).
+    """
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100

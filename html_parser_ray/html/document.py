@@ -223,6 +223,12 @@ class Document:
             self._class_index[cls] = got
         return got
 
+    def class_index_if_built(self, cls: bytes) -> "list[int] | None":
+        """The class index only if a prior query already built it — lets
+        early-exit paths (query_one) use the accel on repeat queries without
+        paying the full O(doc) build on a one-shot lookup."""
+        return self._class_index.get(cls)
+
     # ---- selector API (delegates to the matcher) -------------------------
 
     def query_all(self, selector: str, scope_root: int | None = None) -> list[int]:

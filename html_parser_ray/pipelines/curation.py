@@ -47,8 +47,6 @@ def curated_corpus(
     """Documents that survive exact dedup (min-doc_id keeper per content
     hash), have >= ``min_tokens`` single-space tokens, and land under
     ``sample_pct`` in the deterministic md5(doc_id) bucket space."""
-    import hashlib
-
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def featurize(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,11 +60,7 @@ def curated_corpus(
                     dtype="int64",
                 ),
                 "bucket": pd.Series(
-                    [
-                        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                        % 100
-                        for i in df["doc_id"]
-                    ],
+                    [textfns.doc_sample_bucket(i) for i in df["doc_id"]],
                     index=df.index,
                     dtype="int64",
                 ),

@@ -399,8 +399,9 @@ def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
     Top-k is a combiner-friendly aggregate: the global per-group top-k is the
     top-k of the union of per-batch top-ks, so each batch forwards at most
     k rows per nation it saw and the driver combine is nations x k sized.
-    Dimension names broadcast via ``ray.put`` once. Deterministic tiebreak:
-    higher balance first, then lower suppkey.
+    The dimension names are attached in the driver combine (nations x k
+    rows), so no broadcast is needed at all. Deterministic tiebreak: higher
+    balance first, then lower suppkey.
     """
     ds = read_table(
         f"{sf_dir}/supplier.parquet",
@@ -409,9 +410,7 @@ def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
     nation = pd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap_ref = ray.put(
-        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
-    )
+    nmap = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -427,7 +426,6 @@ def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
         return out.groupby("s_nationkey", as_index=False, sort=False).head(k)
 
     df = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    nmap = ray.get(nmap_ref)
     df = df.sort_values(["acctbal_cents", "s_suppkey"], ascending=[False, True])
     top = df.groupby("s_nationkey", as_index=False, sort=False).head(k).copy()
     top["n_name"] = top["s_nationkey"].map(nmap)

@@ -273,7 +273,7 @@ def html_link_extract(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+def doc_repetition_stats(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     """Gopher-style repetition scores per document: word count, distinct-word
     count, most-frequent-word count, most-frequent-bigram count, and the
     corresponding ppm fractions (exact integer division — no float compare).
@@ -424,23 +424,22 @@ def tfidf_top_terms(
     )
 
 
-def doc_hash_sample(sf_dir: str, rate_pct: int = 10) -> "ray.data.Dataset":
+def doc_hash_sample(
+    sf_dir: str, rate_pct: int = 10
+) -> "ray.data.Dataset | pd.DataFrame":
     """Deterministic content-independent sampling: keep a document iff the
     first 8 hex digits of ``md5(doc_id)`` land under ``rate_pct`` of the
     bucket space. The standard reproducible train/eval-split primitive:
     map-only, no RNG state, any worker anywhere picks the same rows, and
-    the same doc keeps its fate when the corpus is re-sharded.
+    the same doc keeps its fate when the corpus is re-sharded. The bucket
+    comes from the shared ``textfns.doc_sample_bucket`` primitive so this
+    split and ``curated_corpus``'s sample cut agree bit-for-bit.
     """
-    import hashlib
-
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         buckets = pd.Series(
-            [
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-                for i in df["doc_id"]
-            ],
+            [textfns.doc_sample_bucket(i) for i in df["doc_id"]],
             index=df.index,
             dtype="int64",
         )

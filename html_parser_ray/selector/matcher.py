@@ -403,14 +403,19 @@ def _first_match_for_group(doc, group: tuple[Compound, ...], scope_root: int | N
         return None
     elif comp.classes:
         # per-class accel (beyond-reference; scan-equal — see class_index)
-        for idx in doc.class_index(comp.classes[0]):
-            if idx <= (scope_root if scope_root is not None else 0):
-                continue
-            if scope_root is not None and idx > doc.subtree_end[scope_root]:
-                break
-            if _match_from_right(doc, group, rightmost, idx, scope_root):
-                return idx
-        return None
+        # ONLY when a prior query already built the index: query_one's value
+        # is the early exit, and an eager O(doc) index build on a one-shot
+        # lookup would decode every element's attrs before the first hit
+        candidates = doc.class_index_if_built(comp.classes[0])
+        if candidates is not None:
+            for idx in candidates:
+                if idx <= (scope_root if scope_root is not None else 0):
+                    continue
+                if scope_root is not None and idx > doc.subtree_end[scope_root]:
+                    break
+                if _match_from_right(doc, group, rightmost, idx, scope_root):
+                    return idx
+            return None
 
     if scope_root is None:
         start, end_incl = 1, len(doc.kind) - 1
