@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _sessionize,
         "events_asof_join": temporal.events_asof_join,
         "events_hopping_counts": temporal.events_hopping_counts,
+        "events_funnel_counts": temporal.events_funnel_counts,
         # verbatim-reuse dedup + range join + repetition quality scores
         "shingle_dupes": dedup.shingle_dupes,
         "part_price_band_stats": relational.part_price_band_stats,
@@ -482,6 +483,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_value_cents "
             "FROM x GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_funnel_counts": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS first_ts FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT DISTINCT e.user_id FROM events e "
+            "JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'click' AND e.ts >= v.first_ts "
+            "AND epoch_us(e.ts) - epoch_us(v.first_ts) <= 3600000000) "
+            "SELECT * FROM (SELECT 'view' AS step, "
+            "CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users "
+            "UNION ALL SELECT 'click' AS step, "
+            "CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_users) "
+            "ORDER BY step = 'click', step"
         ),
         "shingle_dupes": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "

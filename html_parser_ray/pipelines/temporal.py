@@ -175,3 +175,61 @@ def events_hopping_counts(
         .sort_values(["win_start_s", "event_type"])
         .reset_index(drop=True)
     )
+
+
+def events_funnel_counts(
+    sf_dir: str,
+    first_type: str = "view",
+    then_type: str = "click",
+    within_s: int = 3600,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Two-step funnel: users with a ``first_type`` event, and of those, the
+    ones with a ``then_type`` event at-or-after their FIRST ``first_type``
+    and within ``within_s`` seconds of it.
+
+    Sequence analytics over a keyed stream: ONE hash exchange by user (both
+    event types travel together), then a vectorized per-partition pass —
+    min-ts per user for the entry step, then a boolean any() join against
+    the follow-up events. The exchange carries only (user_id, ts) pairs of
+    the two relevant types; the combine is two rows.
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin([first_type, then_type])][
+            ["user_id", "ts", "event_type"]
+        ]
+
+    win_us = within_s * _US_PER_S
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        firsts = g[g["event_type"] == first_type]
+        if len(firsts) == 0:
+            return pd.DataFrame(
+                {"entered": pd.Series(dtype="int64"),
+                 "converted": pd.Series(dtype="int64")}
+            )
+        entry = firsts.groupby("user_id")["ts"].min()
+        f = g[g["event_type"] == then_type].merge(
+            entry.rename("first_ts"), left_on="user_id", right_index=True
+        )
+        gap = _ts_us(f["ts"]) - _ts_us(f["first_ts"])
+        converted = f.loc[(gap >= 0) & (gap <= win_us), "user_id"].nunique()
+        return pd.DataFrame(
+            {"entered": [int(len(entry))], "converted": [int(converted)]}
+        )
+
+    parts = hash_partitioned(
+        ds.map_batches(keep, batch_format="pandas"),
+        ["user_id"],
+        per_partition,
+        num_partitions,
+    ).to_pandas()  # partials: <= 1 row per partition
+    entered = int(parts["entered"].sum()) if len(parts) else 0
+    converted = int(parts["converted"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {"step": [first_type, then_type], "n_users": [entered, converted]}
+    ).astype({"n_users": "int64"})

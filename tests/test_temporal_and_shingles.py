@@ -311,3 +311,21 @@ def test_curated_corpus_composition(tmp_path_factory):
     expect |= {under[1]}
     assert set(out["doc_id"]) == expect
     assert (out["n_tokens"] >= 40).all() and (out["bucket"] < 50).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_funnel_counts(events_dir):
+    from html_parser_ray.pipelines.temporal import events_funnel_counts
+
+    out = _df(events_funnel_counts(events_dir)).set_index("step")
+    # only user 1 has views; their first view is 10:00 and they click at
+    # 10:15 and 10:30 (within the hour) -> converted. The 09:00 click
+    # precedes the first view and must not count; user 2 never entered.
+    assert out.loc["view", "n_users"] == 1
+    assert out.loc["click", "n_users"] == 1
+    # shrinking the window below 15 min drops the conversion
+    tight = _df(
+        events_funnel_counts(events_dir, within_s=600)
+    ).set_index("step")
+    assert tight.loc["view", "n_users"] == 1
+    assert tight.loc["click", "n_users"] == 0
