@@ -223,7 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(synth_pdf_refs(60))
         return build_layout_feature_pipeline(ds, concurrency=2).sort("media_ref")
 
-    from html_parser_ray.pipelines import temporal
+    from html_parser_ray.pipelines import hygiene, temporal
     from html_parser_ray.pipelines.curation import curated_corpus as _curated_corpus
 
     return {
@@ -275,6 +275,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_hash_sample": text_analysis.doc_hash_sample,
+        # training-data hygiene: PII scrub, decontamination, n-gram census,
+        # length quantiles
+        "pii_scrub": hygiene.pii_scrub,
+        "decontaminate": hygiene.decontaminate,
+        "ngram_topk": hygiene.ngram_topk,
+        "doc_length_quantiles": hygiene.doc_length_quantiles,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
         "quality_filter": text_analysis.quality_filter,
@@ -291,6 +297,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     import os
+
+    # single source of truth for the PII patterns (RE2-safe, no quotes)
+    from html_parser_ray.pipelines.hygiene import (
+        PII_EMAIL as _pii_email,
+        PII_IPV4 as _pii_ipv4,
+        PII_PHONE as _pii_phone,
+    )
 
     # golden parquets resolve relative to this file, not a hard-coded checkout
     # location — the oracle must work from any repo path
@@ -591,6 +604,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
             "CAST(n_chars AS BIGINT) AS n_chars "
             "FROM b WHERE bucket < 10 ORDER BY doc_id"
+        ),
+        "pii_scrub": (
+            # identical enrichment + identical RE2-safe patterns as
+            # html_parser_ray/pipelines/hygiene.py (pii_enrich / scrub_text);
+            # redaction order email -> ipv4 -> phone is part of the contract
+            "WITH e AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.org from 10.' || (doc_id % 200) || '.0.' || "
+            "(doc_id % 250) || ' call 555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || doc_id || "
+            "'@corp.example.com' ELSE '' END AS t FROM documents), "
+            "r AS (SELECT doc_id, t, "
+            f"regexp_replace(t, '{_pii_email}', '<EMAIL>', 'g') AS t1 FROM e), "
+            "r2 AS (SELECT doc_id, t, t1, "
+            f"regexp_replace(t1, '{_pii_ipv4}', '<IP>', 'g') AS t2 FROM r) "
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(t, '{_pii_email}')) AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(t1, '{_pii_ipv4}')) AS BIGINT) AS n_ipv4, "
+            f"CAST(len(regexp_extract_all(t2, '{_pii_phone}')) AS BIGINT) AS n_phones, "
+            f"md5(regexp_replace(t2, '{_pii_phone}', '<PHONE>', 'g')) AS redacted_md5 "
+            "FROM r2 ORDER BY doc_id"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(words) < 8 THEN "
+            "[array_to_string(words, ' ')] ELSE "
+            "list_distinct(list_transform(range(1, len(words) - 6), "
+            "i -> array_to_string(words[i:i+7], ' '))) END AS sh FROM w), "
+            "ev AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % 20 = 0), "
+            "tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % 20 <> 0) "
+            "SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit "
+            "FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1 ORDER BY 1"
+        ),
+        "ngram_topk": (
+            "WITH w AS (SELECT string_split(text, ' ') AS words FROM documents), "
+            "g AS (SELECT unnest(CASE WHEN len(words) < 3 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(words) - 1), "
+            "i -> array_to_string(words[i:i+2], ' ')) END) AS gram FROM w) "
+            "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g "
+            "GROUP BY 1 ORDER BY n DESC, gram LIMIT 50"
+        ),
+        "doc_length_quantiles": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25, "
+            "CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50, "
+            "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75, "
+            "CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS q95, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "curated_corpus": (
             "WITH f AS (SELECT doc_id, md5(text) AS h, "

@@ -1,0 +1,289 @@
+"""Training-data hygiene operators: PII scrubbing, train/eval
+decontamination, corpus n-gram frequency, and length-distribution quantiles.
+
+These are the curation steps a 100 TB pretraining pipeline runs between raw
+extraction and tokenization (complementing the dedup family in ``dedup.py``
+and the quality/repetition scores in ``text_analysis.py``). Every operator
+here is either map-only or uses the map-side-partial → one-exchange combine
+pattern from ``shuffle.py`` — no corpus-sized driver pulls, no corpus-sized
+broadcasts (the decontamination broadcast is the *eval benchmark* side, which
+is fixed-size by construction).
+
+All four carry exact DuckDB SQL oracles (integer/md5 features, discrete
+quantiles) wired in ``__ray_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from html_parser_ray.pipelines.shuffle import (
+    hash_partitioned,
+    read_table,
+    sort_output,
+)
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround/backreference) so the DuckDB oracle runs the
+# IDENTICAL pattern strings; text is ASCII so Python's unicode \b agrees with
+# RE2's ASCII \b.
+PII_EMAIL = r"[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+_RE_EMAIL = re.compile(PII_EMAIL)
+_RE_IPV4 = re.compile(PII_IPV4)
+_RE_PHONE = re.compile(PII_PHONE)
+
+
+def pii_enrich(doc_id: int, text: str) -> str:
+    """Deterministic PII planting (mirrored verbatim in the SQL oracle): the
+    synthetic corpus contains no organic PII, so both sides append a
+    per-document contact line before detection. The detection/redaction
+    regexes still run over the FULL document text, so any tokenization or
+    boundary bug on organic content breaks the oracle hash too."""
+    extra = f" cc admin{doc_id}@corp.example.com" if doc_id % 3 == 0 else ""
+    return (
+        f"{text} contact user{doc_id}@example.org from "
+        f"10.{doc_id % 200}.0.{doc_id % 250} call 555-{doc_id % 10000:04d}{extra}"
+    )
+
+
+def scrub_text(text: str) -> tuple[int, int, int, str]:
+    """Count + redact PII in one pass order (email → ipv4 → phone; the fixed
+    order is part of the contract so the redacted hash is deterministic)."""
+    n_email = len(_RE_EMAIL.findall(text))
+    red = _RE_EMAIL.sub("<EMAIL>", text)
+    n_ip = len(_RE_IPV4.findall(red))
+    red = _RE_IPV4.sub("<IP>", red)
+    n_phone = len(_RE_PHONE.findall(red))
+    red = _RE_PHONE.sub("<PHONE>", red)
+    return n_email, n_ip, n_phone, red
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """Per-document PII detection + redaction: counts of emails / IPv4s /
+    phone-style numbers and the md5 of the redacted text. Map-only (zero
+    shuffles); compiled module-level regexes, one linear pass per pattern.
+    At 100 TB this is the shape you want: embarrassingly parallel, output
+    rows are slim (ints + one 32-char hash), the redacted text itself would
+    stream straight to a write_parquet sink instead of the hash column.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            t = pii_enrich(int(doc_id), text)
+            n_email, n_ip, n_phone, red = scrub_text(t)
+            rows.append(
+                (
+                    int(doc_id),
+                    n_email,
+                    n_ip,
+                    n_phone,
+                    hashlib.md5(red.encode()).hexdigest(),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_emails", "n_ipv4", "n_phones", "redacted_md5"]
+        ).astype(
+            {
+                "doc_id": "int64",
+                "n_emails": "int64",
+                "n_ipv4": "int64",
+                "n_phones": "int64",
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_emails", pa.int64()),
+            ("n_ipv4", pa.int64()),
+            ("n_phones", pa.int64()),
+            ("redacted_md5", pa.string()),
+        ]
+    )
+    return sort_output(
+        ds.map_batches(scrub, batch_format="pandas"), ["doc_id"], out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(text: str, n: int) -> set[str]:
+    """Distinct n-token shingles (single-space tokens, matching the SQL
+    ``string_split(text, ' ')``); short docs contribute their whole text."""
+    words = text.split(" ") if text else []
+    if len(words) < n:
+        return {text}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate(
+    sf_dir: str, n: int = 8, eval_mod: int = 20
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Benchmark decontamination: flag every TRAIN document (``doc_id %
+    eval_mod != 0``) that shares at least one ``n``-token shingle with any
+    EVAL document (``doc_id % eval_mod == 0``), reporting how many of its
+    distinct shingles are contaminated.
+
+    The standard pretraining-hygiene shape (per GPT-3/PaLM appendix
+    methodology: drop or mark train docs overlapping the eval benchmarks by
+    a 8-13-gram): the eval side is a *fixed benchmark suite* — megabytes,
+    not corpus-sized — so it is collected once, built into a frozenset, and
+    broadcast via ``ray.put``; the train side streams through one map-only
+    stage with zero shuffles. The eval set deliberately does NOT scale with
+    the corpus; at 100 TB the broadcast is identical to this one.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % eval_mod == 0]
+        sh: set[str] = set()
+        for text in sub["text"]:
+            sh |= _doc_shingles(text, n)
+        return pd.DataFrame({"s": sorted(sh)})
+
+    # eval side: benchmark-sized by construction -> driver set + ray.put
+    eval_set = frozenset(
+        ds.map_batches(eval_shingles, batch_format="pandas").to_pandas()["s"]
+    )
+    eval_ref = ray.put(eval_set)
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        ev: frozenset[str] = ray.get(eval_ref)
+        sub = df[df["doc_id"] % eval_mod != 0]
+        out_ids, out_hits = [], []
+        for doc_id, text in zip(sub["doc_id"], sub["text"]):
+            k = len(_doc_shingles(text, n) & ev)
+            if k:
+                out_ids.append(int(doc_id))
+                out_hits.append(k)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "n_hit": pd.Series(out_hits, dtype="int64"),
+            }
+        )
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_hit", pa.int64())])
+    return sort_output(
+        ds.map_batches(hits, batch_format="pandas"), ["doc_id"], out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram frequency (top-k)
+# ---------------------------------------------------------------------------
+
+
+def ngram_topk(
+    sf_dir: str, n: int = 3, k: int = 50, num_partitions: int = 16
+) -> pd.DataFrame:
+    """Corpus-wide top-``k`` ``n``-grams by raw occurrence count (the
+    vocabulary/boilerplate-phrase census used to seed stop-phrase lists).
+
+    Canonical combiner dataflow: per-batch ``value_counts`` shrinks each
+    batch to its distinct grams BEFORE the shuffle, one hash-partitioned
+    exchange completes each gram's count inside its partition, and a
+    per-partition top-k (valid exactly because grams are partition-complete)
+    leaves only ``P × k`` candidate rows for the driver's final merge.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        for text in df["text"]:
+            words = text.split(" ") if text else []
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(list(counts.keys()), dtype="object"),
+                "n": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    def combine_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", as_index=False)["n"].sum()
+        tot = tot.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort")
+        return tot.head(k).astype({"n": "int64"})
+
+    cand = hash_partitioned(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["gram"],
+        combine_topk,
+        num_partitions,
+    ).to_pandas()
+    out = cand.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True).astype({"n": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Length-distribution quantiles
+# ---------------------------------------------------------------------------
+
+_QS = (0.25, 0.50, 0.75, 0.95)
+
+
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language discrete quantiles (p25/p50/p75/p95) of document
+    length, plus min/max/count — the length-filter calibration step.
+
+    Distributed as a VALUE HISTOGRAM: each batch pre-aggregates to
+    ``(lang, n_chars) -> count`` rows, one exchange completes the histogram,
+    and the driver walks cumulative counts — exact quantiles without a
+    distributed sort, because the combine input is bounded by the number of
+    DISTINCT lengths per language, not the corpus size. Quantile definition
+    matches DuckDB ``quantile_disc``: the element at 1-based rank
+    ``ceil(n_docs * q)`` of the sorted values.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype(
+            {"n_chars": "int64", "cnt": "int64"}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["cnt"]
+        .sum()
+    )
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n_docs = int(cum[-1])
+        qv = [
+            int(vals[np.searchsorted(cum, int(np.ceil(n_docs * q)))]) for q in _QS
+        ]
+        rows.append(
+            (lang, n_docs, int(vals[0]), qv[0], qv[1], qv[2], qv[3], int(vals[-1]))
+        )
+    cols = ["lang", "n_docs", "min_chars", "q25", "q50", "q75", "q95", "max_chars"]
+    out = pd.DataFrame(rows, columns=cols)
+    return out.sort_values("lang").reset_index(drop=True).astype(
+        {c: "int64" for c in cols[1:]}
+    )
