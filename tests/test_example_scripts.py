@@ -13,6 +13,7 @@ from examples import (
     curation_pipeline,
     dedup_pipeline,
     extraction_pipeline,
+    hygiene_pipeline,
     media_features,
     resumable_job,
     similarity_search,
@@ -25,6 +26,7 @@ SCRIPTS = [
     media_features,
     resumable_job,
     curation_pipeline,
+    hygiene_pipeline,
 ]
 
 
