@@ -42,6 +42,14 @@ class LayoutParser:
         # worker count (1 worker sees every repeat, N workers split them),
         # so total work would vary with parallelism — a single-node artifact;
         # on a 256-node cluster the per-actor hit rate is ~0 regardless.
+        # optional native summary kernel (pdf_summary.c): handles the
+        # well-formed fast path; None or a per-call None falls through to
+        # the pure parser, which owns all semantics and error messages
+        self._native = None
+        if pdf_decode:
+            from html_parser_ray.native import get_native_pdf_summary
+
+            self._native = get_native_pdf_summary()
         if memo:
             from functools import lru_cache
 
@@ -61,6 +69,27 @@ class LayoutParser:
             from html_parser_ray.functions.pdfcodec import PdfError, parse_pdf
 
             payload = self._fetch(media_ref)
+            if self._native is not None:
+                ns = self._native(payload)
+                if ns is not None:
+                    num_pages, raw_spans, n_rects = ns
+                    # per-span decode, exactly like the pure path's
+                    # per-string decode("utf-8", "replace") before the join
+                    span_texts = [
+                        b.decode("utf-8", "replace") for b in raw_spans
+                    ]
+                    all_text = "\n".join(span_texts)
+                    return {
+                        "media_ref": media_ref,
+                        "layout_model": self.model_name,
+                        "layout_fingerprint": hashlib.md5(
+                            all_text.encode("utf-8")
+                        ).hexdigest()[:16],
+                        "num_pages": num_pages,
+                        "n_text_spans": len(raw_spans),
+                        "n_rects": n_rects,
+                        "text_chars": len(all_text),
+                    }
             try:
                 doc = parse_pdf(payload)
             except PdfError as e:

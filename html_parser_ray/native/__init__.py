@@ -47,11 +47,15 @@ def _cpu_tag() -> str:
     return hashlib.sha256(platform.machine().encode()).hexdigest()[:8]
 
 
-def _build_lib() -> "ctypes.CDLL | None":
+def _compile_and_load(
+    src_path: str, prefix: str, link_flags: "list[str]"
+) -> "ctypes.CDLL | None":
+    """Compile-on-first-use loader shared by the fused-extract and
+    pdf-summary kernels (cache keying, ownership checks, flag fallbacks)."""
     if os.environ.get("GRAFT_DISABLE_NATIVE"):
         return None
     try:
-        with open(_C_SOURCE, "rb") as f:
+        with open(src_path, "rb") as f:
             src = f.read()
     except OSError:
         return None
@@ -72,7 +76,7 @@ def _build_lib() -> "ctypes.CDLL | None":
     except OSError:
         return None
     so_path = os.path.join(
-        cache_dir, f"hpr_fused_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so"
+        cache_dir, f"{prefix}_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so"
     )
 
     def _owned_by_us(path: str) -> bool:
@@ -93,7 +97,8 @@ def _build_lib() -> "ctypes.CDLL | None":
                 try:
                     tmp = so_path + f".build{os.getpid()}"
                     r = subprocess.run(
-                        [cc, *flags, "-shared", "-fPIC", "-o", tmp, _C_SOURCE],
+                        [cc, *flags, "-shared", "-fPIC", "-o", tmp, src_path,
+                         *link_flags],
                         capture_output=True,
                         timeout=120,
                     )
@@ -110,8 +115,14 @@ def _build_lib() -> "ctypes.CDLL | None":
     if not _owned_by_us(so_path):
         return None
     try:
-        lib = ctypes.CDLL(so_path)
+        return ctypes.CDLL(so_path)
     except OSError:
+        return None
+
+
+def _build_lib():
+    lib = _compile_and_load(_C_SOURCE, "hpr_fused", [])
+    if lib is None:
         return None
     fn = lib.hpr_extract_blocks
     fn.restype = ctypes.c_int64
@@ -274,3 +285,86 @@ def _ensure_built():
                 _fn = None
                 _bfn = None
             _cached = True
+
+
+# ---- PDF layout-summary kernel (pdf_summary.c, links zlib) -----------------
+
+_PDF_C_SOURCE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "pdf_summary.c"
+)
+_pdf_cached = False
+_pdf_fn = None
+
+
+def _make_pdf_wrapper(fn):
+    c_int64 = ctypes.c_int64
+    string_at = ctypes.string_at
+    local = threading.local()
+
+    def pdf_layout_spans(payload: bytes):
+        """``(num_pages, [span bytes...], n_rects)`` for a well-formed PDF,
+        or None on any structural surprise (caller runs the pure parser —
+        which also owns every error message). Scratch buffers are
+        thread-local grow-only, retried on the kernel's -2 capacity code."""
+        n = len(payload)
+        if getattr(local, "text_cap", 0) < n * 4 + 1024:
+            local.text_cap = max(1 << 16, (n * 4 + 1024) * 2)
+            local.text = ctypes.create_string_buffer(local.text_cap)
+        if getattr(local, "lens_cap", 0) < 256:
+            local.lens_cap = 4096
+            local.lens = (c_int64 * local.lens_cap)()
+        meta = (c_int64 * 3)()
+        while True:
+            rc = fn(
+                payload, n, local.text, local.text_cap,
+                local.lens, local.lens_cap, meta,
+            )
+            if rc == -2:
+                if local.text_cap >= 1 << 28:
+                    return None  # pathological: let Python handle it
+                local.text_cap *= 2
+                local.text = ctypes.create_string_buffer(local.text_cap)
+                local.lens_cap *= 2
+                local.lens = (c_int64 * local.lens_cap)()
+                continue
+            if rc < 0:
+                return None
+            break
+        spans = []
+        off = 0
+        base = ctypes.addressof(local.text)
+        lens = local.lens
+        for k in range(meta[1]):
+            ln = lens[k]
+            spans.append(string_at(base + off, ln))
+            off += ln
+        return int(meta[0]), spans, int(meta[2])
+
+    return pdf_layout_spans
+
+
+def get_native_pdf_summary():
+    """Compiled PDF layout-summary callable or None (thread-safe, cached)."""
+    global _pdf_cached, _pdf_fn
+    if _pdf_cached:
+        return _pdf_fn
+    with _lock:
+        if not _pdf_cached:
+            lib = _compile_and_load(_PDF_C_SOURCE, "hpr_pdfsum", ["-lz"])
+            if lib is not None:
+                fn = lib.hpr_pdf_layout_spans
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [
+                    ctypes.c_char_p,                  # payload
+                    ctypes.c_int64,                   # n
+                    ctypes.c_void_p,                  # text_out
+                    ctypes.c_int64,                   # text_cap
+                    ctypes.POINTER(ctypes.c_int64),   # span_lens
+                    ctypes.c_int64,                   # lens_cap
+                    ctypes.POINTER(ctypes.c_int64),   # meta[3]
+                ]
+                _pdf_fn = _make_pdf_wrapper(fn)
+            else:
+                _pdf_fn = None
+            _pdf_cached = True
+    return _pdf_fn
