@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_hash_sample": text_analysis.doc_hash_sample,
+        # window function / anti-join / Q3 three-table join + global top-k
+        "orders_running_total": temporal.orders_running_total,
+        "customers_inactive_by_nation": relational.customers_inactive_by_nation,
+        "shipping_priority": relational.shipping_priority,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -581,6 +585,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, s_suppkey, acctbal_cents, "
             "CAST(\"rank\" AS BIGINT) AS \"rank\" "
             "FROM s WHERE \"rank\" <= 3 ORDER BY n_name, \"rank\""
+        ),
+        "orders_running_total": (
+            "SELECT o_custkey, o_orderkey, "
+            f"CAST(SUM({_CENTS.format(col='o_totalprice')}) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+            "AS BIGINT) AS cum_spend_cents "
+            "FROM orders ORDER BY o_custkey, o_orderkey"
+        ),
+        "customers_inactive_by_nation": (
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_inactive, "
+            f"CAST(SUM({_CENTS.format(col='c_acctbal')}) AS BIGINT) "
+            "AS acctbal_cents_sum "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2001-01-01') "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey AS o_orderkey, "
+            f"CAST(SUM({cents_price} * (100 - {cents_disc})) AS BIGINT) "
+            "AS revenue_bp, o_orderdate, o_orderpriority "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 3, 4 "
+            "ORDER BY revenue_bp DESC, o_orderkey LIMIT 10"
         ),
         "tfidf_top_terms": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "

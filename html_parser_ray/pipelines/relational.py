@@ -436,3 +436,239 @@ def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .sort_values(["n_name", "rank"])
         .reset_index(drop=True)
     )
+
+
+def customers_inactive_by_nation(
+    sf_dir: str, cutoff: str = "2001-01-01", num_partitions: int = 16
+) -> pd.DataFrame:
+    """Distributed **anti-join**: customers with NO order on/after ``cutoff``,
+    aggregated per nation (TPC-H Q22's shape without the phone-prefix trim).
+
+    Ray Data has no anti-join; the scale form is the same tagged-union
+    co-partitioned exchange as the bucketed join, with set-difference instead
+    of probe: the filtered orders side collapses to DISTINCT custkeys inside
+    each read batch (combiner — repeat orders from one customer never leave
+    the batch), both sides hash-partition by custkey, and each partition drops
+    the co-located customer rows whose key appears on the orders side, then
+    pre-aggregates per nation. The driver combines nation-count partials
+    (<= 25 x P rows). No side is broadcast: at 100 TB the active-customer set
+    is itself corpus-sized.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    cut = np.datetime64(cutoff)
+    customer = read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "nationkey": df["c_nationkey"].astype("int64"),
+                "acctbal_cents": _cents(df["c_acctbal"].to_numpy()),
+                "side": np.uint8(0),
+            }
+        )
+
+    def tag_active(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[
+            df["o_orderdate"].to_numpy() >= cut, "o_custkey"
+        ].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "key": keys.astype("int64"),
+                "nationkey": np.int64(-1),
+                "acctbal_cents": np.int64(0),
+                "side": np.uint8(1),
+            }
+        )
+
+    both = customer.map_batches(tag_customer, batch_format="pandas").union(
+        orders.map_batches(tag_active, batch_format="pandas")
+    )
+
+    def anti_partial(g: pd.DataFrame) -> pd.DataFrame:
+        active = g.loc[g["side"] == 1, "key"]
+        cust = g[g["side"] == 0]
+        inactive = cust[~cust["key"].isin(active)]
+        out = pd.DataFrame(
+            {
+                "nationkey": inactive["nationkey"].to_numpy(),
+                "n_inactive": np.int64(1),
+                "acctbal_cents_sum": inactive["acctbal_cents"].to_numpy(),
+            }
+        )
+        return out.groupby("nationkey", as_index=False).sum()
+
+    partials = hash_partitioned(both, ["key"], anti_partial, num_partitions)
+    result = _final_groupby(
+        partials, ["nationkey"], ["n_inactive", "acctbal_cents_sum"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    result["n_name"] = result["nationkey"].map(nmap)
+    return (
+        result[["n_name", "n_inactive", "acctbal_cents_sum"]]
+        .astype({"n_inactive": "int64", "acctbal_cents_sum": "int64"})
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """TPC-H **Q3** shape: top-``k`` undelivered orders by revenue for one
+    market segment — customer(filtered) ⋈ orders(filtered) ⋈ lineitem(filtered)
+    with a grouped sum and a global top-k.
+
+    Scale plan (two co-partitioned exchanges, zero broadcasts — the filtered
+    customer side is 1/5 of all customers, far too big to ship to every task):
+      1. lineitem rows past the ship cutoff pre-aggregate revenue per orderkey
+         inside each read batch (combiner: ~4 rows -> 1), union with the slim
+         filtered orders side, hash-partition by ORDERKEY, join per partition.
+      2. The joined rows re-key by CUSTKEY, union with the filtered customer
+         keys, hash-partition, semi-join per partition — then each partition
+         forwards only its local top-k (top-k is combiner-friendly), so the
+         driver combine sees <= k x P rows.
+    Revenue is exact integer basis-point-cents, as everywhere in this module.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    cut = np.datetime64(cutoff)
+    lineitem = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    customer = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    # ---- exchange 1: lineitem partials ⋈ filtered orders, by orderkey ----
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_shipdate"].to_numpy() > cut
+        df = df[m]
+        raw = pd.DataFrame(
+            {
+                "key": df["l_orderkey"].astype("int64"),
+                "rev_bp": _cents(df["l_extendedprice"].to_numpy())
+                * (100 - _cents(df["l_discount"].to_numpy())),
+            }
+        )
+        agg = raw.groupby("key", as_index=False).sum()
+        agg["custkey"] = np.int64(-1)
+        agg["odate"] = np.datetime64("1970-01-01")
+        agg["prio"] = ""
+        agg["side"] = np.uint8(0)
+        return agg
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"].to_numpy() < cut]
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype("int64"),
+                "rev_bp": np.int64(0),
+                "custkey": df["o_custkey"].astype("int64"),
+                "odate": df["o_orderdate"].to_numpy(),
+                "prio": df["o_orderpriority"].astype(str),
+                "side": np.uint8(1),
+            }
+        )
+
+    both = lineitem.map_batches(tag_lineitem, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_by_order(g: pd.DataFrame) -> pd.DataFrame:
+        build = g[g["side"] == 1]
+        probe = g[g["side"] == 0]
+        # batch partials for one orderkey may arrive as several rows
+        probe = probe.groupby("key", as_index=False)["rev_bp"].sum()
+        merged = probe.merge(
+            build[["key", "custkey", "odate", "prio"]], on="key", how="inner"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": merged["key"].to_numpy(),
+                "revenue_bp": merged["rev_bp"].to_numpy(),
+                "custkey": merged["custkey"].to_numpy(),
+                "o_orderdate": merged["odate"].to_numpy(),
+                "o_orderpriority": merged["prio"].to_numpy(),
+            }
+        )
+
+    joined = hash_partitioned(both, ["key"], join_by_order, num_partitions)
+
+    # ---- exchange 2: semi-join vs the filtered customer keys, by custkey --
+    def tag_joined(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["side"] = np.uint8(0)
+        return df
+
+    def tag_segment(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["c_mktsegment"] == segment, "c_custkey"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.int64(-1),
+                "revenue_bp": np.int64(0),
+                "custkey": keys.astype("int64"),
+                "o_orderdate": np.datetime64("1970-01-01"),
+                "o_orderpriority": "",
+                "side": np.uint8(1),
+            }
+        )
+
+    both2 = joined.map_batches(tag_joined, batch_format="pandas").union(
+        customer.map_batches(tag_segment, batch_format="pandas")
+    )
+
+    def semi_topk(g: pd.DataFrame) -> pd.DataFrame:
+        seg = g.loc[g["side"] == 1, "custkey"]
+        rows = g[g["side"] == 0]
+        rows = rows[rows["custkey"].isin(seg)]
+        rows = rows.sort_values(
+            ["revenue_bp", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        return rows[
+            ["o_orderkey", "revenue_bp", "o_orderdate", "o_orderpriority"]
+        ]
+
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("revenue_bp", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    partials = hash_partitioned(
+        both2, ["custkey"], semi_topk, num_partitions, out_schema=out_schema
+    ).materialize()
+    # Dataset.to_pandas() of any ZERO-ROW dataset drops the schema (0-column
+    # frame) — return the typed empty instead of KeyError'ing on the sort
+    if partials.count() == 0:
+        return out_schema.empty_table().to_pandas()
+    df = partials.to_pandas()  # <= k x P rows by construction
+    return (
+        df.sort_values(["revenue_bp", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .astype({"o_orderkey": "int64", "revenue_bp": "int64"})
+        .reset_index(drop=True)
+    )

@@ -233,3 +233,55 @@ def events_funnel_counts(
     return pd.DataFrame(
         {"step": [first_type, then_type], "n_users": [entered, converted]}
     ).astype({"n_users": "int64"})
+
+
+def orders_running_total(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Per-key **running-total window** (``SUM() OVER (PARTITION BY key ORDER
+    BY ts)``): each customer's cumulative spend in exact integer cents, in
+    order-date order.
+
+    Ray Data has no window functions; the scale shape is the sessionize one —
+    hash-partition by the window's PARTITION BY key (every customer's orders
+    co-locate; one exchange), then ONE vectorized pass per partition:
+    sort by (custkey, orderdate, orderkey) and ``groupby().cumsum()`` over
+    pre-converted integer cents. Per-partition memory is bounded by the
+    partition's rows (orders/P), never the full table; the output streams
+    back as a Dataset. Ties on (custkey, orderdate) break by orderkey, which
+    makes the running values bit-equal to the SQL window frame.
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.rint(
+            g["o_totalprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy().astype("int64"),
+                "o_orderkey": g["o_orderkey"].to_numpy().astype("int64"),
+                "cum_spend_cents": pd.Series(cents, index=g.index)
+                .groupby(g["o_custkey"].to_numpy())
+                .cumsum()
+                .to_numpy(),
+            }
+        )
+        return out
+
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("cum_spend_cents", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["o_custkey"], per_partition, num_partitions),
+        ["o_custkey", "o_orderkey"],
+        out_schema,
+    )
