@@ -279,6 +279,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": temporal.orders_running_total,
         "customers_inactive_by_nation": relational.customers_inactive_by_nation,
         "shipping_priority": relational.shipping_priority,
+        # rollup, grouped quantiles, left-outer join, frame-bounded window
+        "orders_rollup": relational.orders_rollup,
+        "supplier_balance_quantiles_by_nation": (
+            relational.supplier_balance_quantiles_by_nation
+        ),
+        "orders_late_ship_counts": relational.orders_late_ship_counts,
+        "orders_trailing_spend": temporal.orders_trailing_spend,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -615,6 +622,42 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY 1, 3, 4 "
             "ORDER BY revenue_bp DESC, o_orderkey LIMIT 10"
+        ),
+        "orders_rollup": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            f"CAST(SUM({_CENTS.format(col='o_totalprice')}) AS BIGINT) "
+            "AS total_cents "
+            "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+            "ORDER BY 1, 2"
+        ),
+        "supplier_balance_quantiles_by_nation": (
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            f"quantile_disc({_CENTS.format(col='s_acctbal')}, 0.25) AS q25, "
+            f"quantile_disc({_CENTS.format(col='s_acctbal')}, 0.5) AS q50, "
+            f"quantile_disc({_CENTS.format(col='s_acctbal')}, 0.75) AS q75 "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "orders_late_ship_counts": (
+            "WITH late AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_late FROM lineitem "
+            "WHERE l_shipdate > TIMESTAMP '2001-06-01' GROUP BY 1) "
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN n_late IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_with_late, "
+            "CAST(SUM(COALESCE(n_late, 0)) AS BIGINT) AS late_lines "
+            "FROM orders LEFT JOIN late ON o_orderkey = l_orderkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "orders_trailing_spend": (
+            "SELECT o_custkey, o_orderkey, "
+            f"CAST(SUM({_CENTS.format(col='o_totalprice')}) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS trailing_spend_cents "
+            "FROM orders ORDER BY o_custkey, o_orderkey"
         ),
         "tfidf_top_terms": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "

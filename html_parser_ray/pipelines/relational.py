@@ -672,3 +672,193 @@ def shipping_priority(
         .astype({"o_orderkey": "int64", "revenue_bp": "int64"})
         .reset_index(drop=True)
     )
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """**ROLLUP (grouping-sets) aggregate**: order counts and exact-cents
+    totals at three grouping levels — (priority, status), (priority, ALL),
+    (ALL, ALL) — in one pass.
+
+    Scale shape: COUNT/SUM are distributive, so only the FINEST grouping ever
+    touches the data (per-batch combiner partials -> one tiny combine at
+    priority x status cardinality); the coarser rollup levels derive exactly
+    from the finest level driver-side. No second scan, no extra shuffle —
+    the rollup costs nothing beyond the base groupby. The rolled-up
+    dimensions carry the 'ALL' sentinel (the data has no NULL keys).
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"].astype(str),
+                "o_orderstatus": df["o_orderstatus"].astype(str),
+                "n_orders": np.int64(1),
+                "total_cents": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+        return out.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).sum()
+
+    finest = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["n_orders", "total_cents"],
+    )
+    by_prio = finest.groupby("o_orderpriority", as_index=False)[
+        ["n_orders", "total_cents"]
+    ].sum()
+    by_prio["o_orderstatus"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [finest["n_orders"].sum()],
+            "total_cents": [finest["total_cents"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_prio, total], ignore_index=True)
+    return (
+        out[["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]]
+        .astype({"n_orders": "int64", "total_cents": "int64"})
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )
+
+
+def supplier_balance_quantiles_by_nation(
+    sf_dir: str, num_partitions: int = 16
+) -> pd.DataFrame:
+    """**Grouped exact discrete quantiles** (p25/p50/p75 of supplier balance
+    per nation) — the second quantile scale shape, complementing
+    ``doc_length_quantiles``'s value-histogram form.
+
+    Balances in cents are near-unique, so a value histogram would BE the
+    column; the right shape when the grouping key's per-group data fits one
+    partition is group-as-partition-key: hash-partition by nationkey (one
+    exchange), ONE vectorized sort + ceil-rank gather per partition, output
+    is nations-sized. Rank rule matches DuckDB ``quantile_disc``: the element
+    at 1-based rank ``ceil(n * q)``.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    supplier = read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        cents = _cents(g["s_acctbal"].to_numpy())
+        nk = g["s_nationkey"].to_numpy()
+        order = np.lexsort((cents, nk))
+        nk, cents = nk[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
+        ends = np.r_[starts[1:], len(nk)]
+        for s, e in zip(starts, ends):
+            vals = cents[s:e]
+            n = e - s
+            q = [
+                int(vals[int(np.ceil(n * p)) - 1]) for p in (0.25, 0.5, 0.75)
+            ]
+            rows.append((int(nk[s]), int(n), q[0], q[1], q[2]))
+        return pd.DataFrame(
+            rows, columns=["nationkey", "n_suppliers", "q25", "q50", "q75"]
+        ).astype("int64")
+
+    parts = hash_partitioned(
+        supplier, ["s_nationkey"], per_partition, num_partitions
+    ).to_pandas()
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    parts["n_name"] = parts["nationkey"].map(nmap)
+    return (
+        parts[["n_name", "n_suppliers", "q25", "q50", "q75"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def orders_late_ship_counts(
+    sf_dir: str, cutoff: str = "2001-06-01", num_partitions: int = 16
+) -> pd.DataFrame:
+    """**LEFT OUTER join**: every order keeps a row whether or not it has
+    lineitems shipping after ``cutoff`` — per-priority counts of orders,
+    orders WITH late lines, and total late lines.
+
+    Scale shape: the lineitem side pre-aggregates ``(orderkey -> n_late)``
+    inside each batch (combiner), unions with the slim orders side, one hash
+    exchange by orderkey, and each partition does a vectorized left merge
+    with the nulls filled to 0 — outer semantics per partition are exact
+    because co-partitioning guarantees a key's rows from BOTH sides land
+    together. Per-priority partials make the driver combine priority-sized.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    cut = np.datetime64(cutoff)
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype("int64"),
+                "prio": df["o_orderpriority"].astype(str),
+                "n_late": np.int64(0),
+                "side": np.uint8(0),
+            }
+        )
+
+    def tag_late(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["l_shipdate"].to_numpy() > cut, "l_orderkey"]
+        agg = keys.value_counts().rename_axis("key").reset_index(name="n_late")
+        return pd.DataFrame(
+            {
+                "key": agg["key"].astype("int64"),
+                "prio": "",
+                "n_late": agg["n_late"].astype("int64"),
+                "side": np.uint8(1),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lineitem.map_batches(tag_late, batch_format="pandas")
+    )
+
+    def left_join_partial(g: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            g[g["side"] == 1].groupby("key", as_index=False)["n_late"].sum()
+        )
+        left = g[g["side"] == 0][["key", "prio"]]
+        merged = left.merge(late, on="key", how="left")
+        n_late = merged["n_late"].fillna(0).astype("int64")
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": merged["prio"],
+                "n_orders": np.int64(1),
+                "n_with_late": (n_late > 0).astype("int64"),
+                "late_lines": n_late,
+            }
+        )
+        return out.groupby("o_orderpriority", as_index=False).sum()
+
+    partials = hash_partitioned(both, ["key"], left_join_partial, num_partitions)
+    result = _final_groupby(
+        partials, ["o_orderpriority"], ["n_orders", "n_with_late", "late_lines"]
+    )
+    return (
+        result.astype(
+            {"n_orders": "int64", "n_with_late": "int64", "late_lines": "int64"}
+        )
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )

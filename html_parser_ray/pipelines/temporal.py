@@ -285,3 +285,55 @@ def orders_running_total(
         ["o_custkey", "o_orderkey"],
         out_schema,
     )
+
+
+def orders_trailing_spend(
+    sf_dir: str, window: int = 3, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Frame-bounded rolling window** (``SUM() OVER (... ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW)``): each order's trailing-``window`` spend for
+    its customer, in exact integer cents.
+
+    Same scale shape as ``orders_running_total`` (hash-partition by the
+    PARTITION BY key, one vectorized pass per partition) with a pandas
+    grouped ``rolling(window, min_periods=1).sum()`` supplying the frame
+    bound — per-partition memory stays orders/P.
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.rint(
+            g["o_totalprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        trailing = (
+            pd.Series(cents)
+            .groupby(g["o_custkey"].to_numpy())
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy().astype("int64"),
+                "o_orderkey": g["o_orderkey"].to_numpy().astype("int64"),
+                "trailing_spend_cents": trailing.to_numpy(),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("trailing_spend_cents", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["o_custkey"], per_partition, num_partitions),
+        ["o_custkey", "o_orderkey"],
+        out_schema,
+    )

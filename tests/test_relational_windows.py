@@ -59,6 +59,15 @@ def tpch_dir(tmp_path_factory):
     ).to_parquet(d / "orders.parquet")
     pd.DataFrame(
         {
+            # nation 0: four suppliers (even n -> ceil-rank picks the LOWER
+            # middle for q50); nation 1: a single supplier
+            "s_suppkey": [1, 2, 3, 4, 5],
+            "s_nationkey": [0, 0, 0, 0, 1],
+            "s_acctbal": [1.00, 2.00, 3.00, 4.00, 9.99],
+        }
+    ).to_parquet(d / "supplier.parquet")
+    pd.DataFrame(
+        {
             # two lines for order 101 past the ship cutoff (must pre-sum),
             # one line before the cutoff (must drop), one line for order 201
             # (order date past the cutoff -> order drops), one line for 301
@@ -154,3 +163,76 @@ def test_shipping_priority_topk_truncates(tpch_dir):
     )
     # cutoff past every date: no lineitem ships after it -> empty result
     assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_rollup(tpch_dir):
+    from html_parser_ray.pipelines.relational import orders_rollup
+
+    out = _df(orders_rollup(tpch_dir))
+    got = {
+        (r.o_orderpriority, r.o_orderstatus): (r.n_orders, r.total_cents)
+        for r in out.itertuples()
+    }
+    # finest level: every order is status F
+    assert got[("1-URGENT", "F")] == (2, 10000 + 9999)
+    assert got[("2-HIGH", "F")] == (1, 5025)
+    # rollup levels derive exactly from the finest
+    assert got[("1-URGENT", "ALL")] == (2, 19999)
+    assert got[("ALL", "ALL")] == (5, 10000 + 5025 + 1000 + 9999 + 101)
+    # 4 finest (priority, F) + 4 per-priority + 1 grand total
+    assert len(out) == 4 + 4 + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supplier_balance_quantiles_by_nation(tpch_dir):
+    from html_parser_ray.pipelines.relational import (
+        supplier_balance_quantiles_by_nation,
+    )
+
+    out = _df(supplier_balance_quantiles_by_nation(tpch_dir, num_partitions=4))
+    got = {
+        r.n_name: (r.n_suppliers, r.q25, r.q50, r.q75) for r in out.itertuples()
+    }
+    # ceil-rank rule on [100,200,300,400]: q25 -> rank 1, q50 -> rank 2
+    # (LOWER middle, matching quantile_disc), q75 -> rank 3
+    assert got["ALPHA"] == (4, 100, 200, 300)
+    # single value: every quantile is it
+    assert got["BETA"] == (1, 999, 999, 999)
+    assert list(out["n_name"]) == ["ALPHA", "BETA"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_late_ship_counts(tpch_dir):
+    from html_parser_ray.pipelines.relational import orders_late_ship_counts
+
+    out = _df(orders_late_ship_counts(tpch_dir, cutoff="2000-06-15"))
+    got = {
+        r.o_orderpriority: (r.n_orders, r.n_with_late, r.late_lines)
+        for r in out.itertuples()
+    }
+    # 101 (2-HIGH) has ONE line after 2000-06-15; 201 (1-URGENT) has one late
+    # line; order 103 (1-URGENT) and 102 (3-MEDIUM) have none -> LEFT rows kept
+    assert got["1-URGENT"] == (2, 1, 1)
+    assert got["2-HIGH"] == (1, 1, 1)
+    assert got["3-MEDIUM"] == (1, 0, 0)
+    assert got["5-LOW"] == (1, 0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_trailing_spend(tpch_dir):
+    from html_parser_ray.pipelines.temporal import orders_trailing_spend
+
+    out = _df(orders_trailing_spend(tpch_dir, window=2, num_partitions=4))
+    got = {
+        (r.o_custkey, r.o_orderkey): r.trailing_spend_cents
+        for r in out.itertuples()
+    }
+    # cust 1 date order: 102 (1000) -> 101 (5025) -> 103 (10000); window 2
+    assert got == {
+        (1, 102): 1000,
+        (1, 101): 1000 + 5025,
+        (1, 103): 5025 + 10000,
+        (2, 201): 9999,
+        (3, 301): 101,
+    }
