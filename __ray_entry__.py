@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "orders_late_ship_counts": relational.orders_late_ship_counts,
         "orders_trailing_spend": temporal.orders_trailing_spend,
+        "events_cohort_retention": temporal.events_cohort_retention,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -650,6 +651,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(COALESCE(n_late, 0)) AS BIGINT) AS late_lines "
             "FROM orders LEFT JOIN late ON o_orderkey = l_orderkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_cohort_retention": (
+            "WITH f AS (SELECT user_id, "
+            "CAST(epoch(date_trunc('week', min(ts)))/86400 AS BIGINT) "
+            "AS cohort_day FROM events GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, "
+            "CAST(epoch(date_trunc('week', ts))/86400 AS BIGINT) AS w "
+            "FROM events) "
+            "SELECT cohort_day, (w - cohort_day) // 7 AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "orders_trailing_spend": (
             "SELECT o_custkey, o_orderkey, "

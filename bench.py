@@ -277,10 +277,14 @@ def main_single(num_cpus: int, with_queries: bool = True) -> dict:
 # the corpus files GRAFT_SCALING_REPEAT times so fixed pipeline costs
 # amortize (byte-identical input at both levels).
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "1"))
-# repeat=1 since round 3: the job is long enough at every level (>=14s) and
-# repeating the corpus multiplies media-ref repeats, which only distorts the
-# memo-hit artifact the scaling bench already disables (see below)
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "1"))
+# repeat=3 since the native layout kernel: the kernel shortened the job
+# (1w 40.7s -> 17.1s, 4w 12.5s -> 5.4s), and at ~5s the 4-worker level is
+# dominated by fixed pipeline costs (measured: repeat=1 medians degraded to
+# 0.88/0.77/0.74 across 8 rounds; repeat=3 restores 1.01/0.93/0.94 with
+# per-round 1->4 spread of only 0.932-0.954). The corpus repeat keeps input
+# byte-identical at every level, and with layout_memo=False repeats do not
+# distort per-level work.
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "3"))
 
 
 def _scaling_level(slots: int) -> dict:

@@ -337,3 +337,57 @@ def orders_trailing_spend(
         ["o_custkey", "o_orderkey"],
         out_schema,
     )
+
+
+def events_cohort_retention(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Cohort retention**: users grouped by first-seen week; for every
+    (cohort_week, week_offset) the count of distinct users active that week.
+
+    Scale shape — ONE exchange: hash-partition events by ``user_id``, so each
+    partition holds every event of its users and computes BOTH per-user
+    first-week and per-(user, week) activity locally; a (cohort, offset,
+    user) triple exists in exactly one partition, so per-partition distinct
+    counts are globally exact and the driver combine is cohort x offset
+    sized. Weeks are Monday-truncated day numbers (``date_trunc('week')``
+    parity, exact integers).
+    """
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        days = (
+            g["ts"].to_numpy().astype("datetime64[D]").view("int64")
+        )
+        # Monday on/before: 1970-01-01 is a Thursday (weekday offset 4)
+        week_monday = ((days - 4) // 7) * 7 + 4
+        df = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "week": week_monday}
+        )
+        first = df.groupby("user_id")["week"].min().rename("cohort_day")
+        active = df.drop_duplicates()
+        active = active.join(first, on="user_id")
+        out = pd.DataFrame(
+            {
+                "cohort_day": active["cohort_day"].to_numpy(),
+                "week_offset": (
+                    (active["week"].to_numpy() - active["cohort_day"].to_numpy())
+                    // 7
+                ),
+                "n_users": np.int64(1),
+            }
+        )
+        return out.groupby(["cohort_day", "week_offset"], as_index=False).sum()
+
+    parts = hash_partitioned(ds, ["user_id"], per_partition, num_partitions)
+    df = parts.to_pandas()
+    out = df.groupby(["cohort_day", "week_offset"], as_index=False)[
+        "n_users"
+    ].sum()
+    return (
+        out.astype(
+            {"cohort_day": "int64", "week_offset": "int64", "n_users": "int64"}
+        )
+        .sort_values(["cohort_day", "week_offset"])
+        .reset_index(drop=True)
+    )

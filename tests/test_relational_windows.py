@@ -236,3 +236,39 @@ def test_orders_trailing_spend(tpch_dir):
         (2, 201): 9999,
         (3, 301): 101,
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_cohort_retention(tmp_path):
+    import numpy as np
+
+    from html_parser_ray.pipelines.temporal import events_cohort_retention
+
+    mon = pd.Timestamp("2024-01-01")  # a Monday
+    rows = [
+        # user 1: first week W0 (two events, one on Sunday -> same week),
+        # returns in W2
+        (1, mon + pd.Timedelta(hours=5)),
+        (1, mon + pd.Timedelta(days=6, hours=23)),
+        (1, mon + pd.Timedelta(weeks=2, days=3)),
+        # user 2: W0 only
+        (2, mon + pd.Timedelta(days=2)),
+        # user 3: first seen W1
+        (3, mon + pd.Timedelta(weeks=1)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df.to_parquet(tmp_path / "events.parquet")
+
+    out = events_cohort_retention(str(tmp_path), num_partitions=4)
+    w0 = int(
+        (np.datetime64("2024-01-01", "D") - np.datetime64(0, "D")).astype(int)
+    )
+    got = {
+        (r.cohort_day, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        (w0, 0): 2,       # users 1 and 2 active in their first week
+        (w0, 2): 1,       # user 1 returns two weeks later
+        (w0 + 7, 0): 1,   # user 3's cohort starts the next Monday
+    }
+    assert list(out.columns) == ["cohort_day", "week_offset", "n_users"]
