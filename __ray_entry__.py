@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_ship_counts": relational.orders_late_ship_counts,
         "orders_trailing_spend": temporal.orders_trailing_spend,
         "events_cohort_retention": temporal.events_cohort_retention,
+        "events_type_pivot": relational.events_type_pivot,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -651,6 +652,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(COALESCE(n_late, 0)) AS BIGINT) AS late_lines "
             "FROM orders LEFT JOIN late ON o_orderkey = l_orderkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_type_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                "CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS n_{t}".format(t=t)
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "events_cohort_retention": (
             "WITH f AS (SELECT user_id, "

@@ -862,3 +862,38 @@ def orders_late_ship_counts(
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """**Pivot** (long -> wide): one row per user with a count column per
+    event type — the feature-vector shape feeding a model join.
+
+    Scale shape: the pivot's column set must be KNOWN (here the fixed
+    ``EVENT_TYPES`` vocabulary — a dynamic pivot would first run a tiny
+    distinct-types pass); then the whole pivot is ONE exchange by user_id
+    with a vectorized crosstab per partition. Output is user-cardinality and
+    streams back as a Dataset; no driver-side wide table is ever built.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(g["user_id"], g["event_type"])
+        ct = ct.reindex(columns=EVENT_TYPES, fill_value=0)
+        ct.columns = cols
+        out = ct.reset_index().rename(columns={"index": "user_id"})
+        return out.astype({c: "int64" for c in ["user_id", *cols]})
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64())] + [(c, pa.int64()) for c in cols]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["user_id"], per_partition, num_partitions),
+        ["user_id"],
+        out_schema,
+    )

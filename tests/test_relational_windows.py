@@ -272,3 +272,27 @@ def test_events_cohort_retention(tmp_path):
         (w0 + 7, 0): 1,   # user 3's cohort starts the next Monday
     }
     assert list(out.columns) == ["cohort_day", "week_offset", "n_users"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_type_pivot(tmp_path):
+    from html_parser_ray.pipelines.relational import events_type_pivot
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": [base] * 5,
+            "event_type": ["click", "click", "view", "purchase", "unknown"],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = _df(events_type_pivot(str(tmp_path), num_partitions=4))
+    got = out.set_index("user_id")
+    # user 1: 2 clicks + 1 view; user 2: 1 purchase; the out-of-vocabulary
+    # type is dropped (fixed pivot vocabulary), but the user row survives
+    assert got.loc[1, ["n_click", "n_view", "n_purchase"]].tolist() == [2, 1, 0]
+    assert got.loc[2, ["n_purchase", "n_click"]].tolist() == [1, 0]
+    assert list(out.columns) == [
+        "user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view",
+    ]
