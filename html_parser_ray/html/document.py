@@ -237,9 +237,22 @@ class Document:
         return query_all(self, _compile_cached(selector), scope_root)
 
     def query_one(self, selector: str, scope_root: int | None = None) -> int | None:
+        sel = _compile_cached(selector)
+        # cached-query hot shape (single tagged codegen'd compound, no
+        # scope): run the predicate loop directly over the tag candidates —
+        # same semantics as the matcher's tag-accel branch, three fewer
+        # interpreter frames per call (selector/codegen.py sets the plan)
+        if scope_root is None:
+            fast = getattr(sel, "_fast_single", None)
+            if fast is not None:
+                tag, pred = fast
+                for idx in self.tag_index(tag):
+                    if pred(self, idx):
+                        return idx
+                return None
         from html_parser_ray.selector.matcher import query_one
 
-        return query_one(self, _compile_cached(selector), scope_root)
+        return query_one(self, sel, scope_root)
 
     def matches(self, index: int, selector: str, scope_root: int | None = None) -> bool:
         from html_parser_ray.selector.matcher import matches_selector_at

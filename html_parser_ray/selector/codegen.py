@@ -91,17 +91,20 @@ def _attr_holds_expr(var: str, sel: AttrSelector) -> "str | None":
     return None
 
 
-def build_predicate(comp: Compound):
+def build_predicate(comp: Compound, skip_kind_tag: bool = False):
     """exec-compile ``comp`` into ``pred(doc, index) -> bool`` matching
     ``matcher.matches_compound`` exactly, or ``None`` when the compound needs
-    the interpreted path (pseudo-classes)."""
+    the interpreted path (pseudo-classes). ``skip_kind_tag`` omits the
+    kind/tag guards — ONLY sound when every candidate index comes from the
+    per-tag accel index (which contains exactly the elements of that tag)."""
     if comp.pseudos:
         return None
 
     lines = ["def _pred(doc, index):"]
-    lines.append("    if doc.kind[index] != _ELEMENT: return False")
-    if comp.tag is not None:
-        lines.append(f"    if doc.name[index] != {comp.tag!r}: return False")
+    if not skip_kind_tag:
+        lines.append("    if doc.kind[index] != _ELEMENT: return False")
+        if comp.tag is not None:
+            lines.append(f"    if doc.name[index] != {comp.tag!r}: return False")
 
     needs_attrs = bool(
         comp.id is not None
@@ -172,3 +175,23 @@ def attach_predicates(selector) -> None:
     for group in selector.groups:
         for comp in group:
             object.__setattr__(comp, "_pred", build_predicate(comp))
+    # Fast plan for the cached-query hot shape (single group, single tagged
+    # compound, codegen'd predicate, no id accel subtleties): Document
+    # .query_one runs ``for idx in tag_index(tag): if pred(doc, idx)``
+    # directly, skipping three interpreter frames per call. Semantics equal
+    # the matcher's tag-accel branch by construction (tag_index is preorder);
+    # parity pinned in tests/test_selector_codegen.py.
+    fast = None
+    if len(selector.groups) == 1 and len(selector.groups[0]) == 1:
+        comp = selector.groups[0][0]
+        pred = getattr(comp, "_pred", None)
+        from html_parser_ray.selector.ast import NONE as _COMB_NONE
+
+        if (
+            comp.tag is not None
+            and comp.id is None
+            and pred is not None
+            and comp.combinator == _COMB_NONE
+        ):
+            fast = (comp.tag, build_predicate(comp, skip_kind_tag=True))
+    object.__setattr__(selector, "_fast_single", fast)

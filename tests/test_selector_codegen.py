@@ -85,3 +85,32 @@ def test_codegen_never_true_includes():
     assert query_all(doc, compile_selector('a[class~=""]')) == []
     interp = _Parser('a[class~=""]').parse()
     assert query_all(doc, interp) == []
+
+
+def test_fast_single_query_one_parity():
+    """Document.query_one's fast single-compound plan (tag candidates +
+    skip_kind_tag predicate) must return exactly what the matcher's
+    query_one returns, for every selector on every fixture doc — including
+    tag-less / grouped / pseudo selectors that must NOT take the fast path,
+    and no-match selectors that must return None."""
+    from html_parser_ray.selector.matcher import query_one as matcher_query_one
+
+    extra = ["b", "b.x", "a.button-like", "a[href='']", "em:not(.x)"]
+    for html in DOCS:
+        doc = parse_html(html)
+        for s in SELECTORS + extra:
+            sel = compile_selector(s)
+            assert doc.query_one(s) == matcher_query_one(doc, sel, None), s
+
+
+def test_fast_single_plan_gating():
+    """The fast plan exists exactly for single-group single-compound tagged
+    pseudo-free selectors without an id."""
+    assert compile_selector("a[href^=https]")._fast_single is not None
+    assert compile_selector("a.nav:not(.x)")._fast_single is not None
+    # gated off: grouped, combinator, tag-less, pseudo, id
+    assert compile_selector("a, b")._fast_single is None
+    assert compile_selector("div a")._fast_single is None
+    assert compile_selector(".nav")._fast_single is None
+    assert compile_selector("a:first-child")._fast_single is None
+    assert compile_selector("a#x")._fast_single is None
