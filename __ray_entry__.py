@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_trailing_spend": temporal.orders_trailing_spend,
         "events_cohort_retention": temporal.events_cohort_retention,
         "events_type_pivot": relational.events_type_pivot,
+        # WARC ingestion path (CommonCrawl-form shards) through the extractor
+        "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -770,6 +772,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
             "FROM documents WHERE len(string_split(text, ' ')) >= 40 ORDER BY doc_id"
+        ),
+        "html_roundtrip_extract_warc": (
+            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
         ),
         "html_link_extract": (
             "SELECT doc_id, '/ref/' || doc_id AS internal_href, "

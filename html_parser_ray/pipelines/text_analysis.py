@@ -454,3 +454,63 @@ def doc_hash_sample(
     return sort_output(
         ds.map_batches(pick, batch_format="pandas"), ["doc_id"], out_schema
     )
+
+
+def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
+    """The roundtrip-extract semantics through the **WARC ingestion path**:
+    documents are serialized into a per-record-gzipped WARC shard (the
+    CommonCrawl form, written once per sf_dir under /tmp, deterministic
+    bytes), read back with ``sources.warc.read_warc`` (file-per-task explode,
+    exact Content-Length walk), and each payload runs the full tokenizer +
+    DOM + boilerplate strip. The SQL oracle is the original text — so the
+    WARC writer, the record walk, the gzip-member decode AND the extraction
+    stack must all roundtrip exactly.
+    """
+    import hashlib as _hashlib
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from html_parser_ray.sources.warc import read_warc, write_warc
+
+    tbl = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    key = _hashlib.md5(
+        (os.path.abspath(sf_dir) + f":{tbl.num_rows}").encode()
+    ).hexdigest()[:12]
+    warc_path = f"/tmp/graft_warc_{key}.warc.gz"
+    if not os.path.exists(warc_path):
+        recs = (
+            (f"https://corpus.test/{d}", _PAGE_TEMPLATE.format(text=t).encode())
+            for d, t in zip(
+                tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+            )
+        )
+        tmp = warc_path + ".part"
+        write_warc(tmp, recs, gzip_records=True)
+        os.replace(tmp, warc_path)
+
+    ds = read_warc(warc_path)
+
+    def extract_from_warc(batch: pa.Table) -> pa.Table:
+        uris = batch.column("uri").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ids, texts = [], []
+        for u, p in zip(uris, payloads):
+            ids.append(int(u.rsplit("/", 1)[1]))
+            doc = parse_html(p)
+            blocks = extract_text_blocks(doc)
+            texts.append(b" ".join(blocks).decode("utf-8", "replace"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "main_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    out = ds.map_batches(extract_from_warc, batch_format="pyarrow")
+    return sort_output(
+        out, ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("main_text", pa.string())]),
+    )

@@ -1,0 +1,100 @@
+"""WARC source tests: byte-exact write -> parse roundtrip (plain and
+per-record gzip members), payload-bait resistance (Content-Length walk),
+truncation errors, non-response skipping, and the Dataset read path."""
+
+from __future__ import annotations
+
+import pytest
+
+from html_parser_ray.sources.warc import (
+    build_record,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+RECORDS = [
+    ("https://a.test/0", b"<html><body>hello</body></html>"),
+    # WARC-header and record-separator bait INSIDE the payload: the exact
+    # Content-Length walk must not desynchronize
+    ("https://a.test/1", b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\ny"),
+    ("https://a.test/2", b""),  # empty payload
+    ("https://a.test/3", "unicode é中".encode()),
+]
+
+
+def test_roundtrip_plain(tmp_path):
+    p = str(tmp_path / "shard.warc")
+    assert write_warc(p, RECORDS) == 4
+    got = parse_warc_bytes(open(p, "rb").read())
+    assert got == RECORDS
+
+
+def test_roundtrip_gzip_members(tmp_path):
+    p = str(tmp_path / "shard.warc.gz")
+    write_warc(p, RECORDS, gzip_records=True)
+    raw = open(p, "rb").read()
+    assert raw[:2] == b"\x1f\x8b"
+    # more than one gzip member (per-record compression, streamable form)
+    assert raw.count(b"\x1f\x8b\x08") >= len(RECORDS)
+    assert parse_warc_bytes(raw) == RECORDS
+
+
+def test_deterministic_bytes(tmp_path):
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc(p1, RECORDS, gzip_records=True)
+    write_warc(p2, RECORDS, gzip_records=True)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_non_response_records_skipped():
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 5\r\n\r\nhello"
+        b"\r\n\r\n"
+    )
+    data = req + build_record("https://a.test/x", b"<p>kept</p>")
+    got = parse_warc_bytes(data)
+    assert got == [("https://a.test/x", b"<p>kept</p>")]
+
+
+def test_truncated_body_raises():
+    rec = build_record("https://a.test/x", b"0123456789")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(rec[:-14])  # cut into the HTTP body
+
+
+def test_missing_length_raises():
+    data = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(data)
+
+
+def test_resource_record_payload_is_body():
+    data = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://a.test/r\r\n"
+        b"Content-Type: text/plain\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    assert parse_warc_bytes(data) == [("https://a.test/r", b"abc")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_warc_dataset(tmp_path):
+    shards = []
+    for s in range(2):
+        p = str(tmp_path / f"shard-{s}.warc.gz")
+        write_warc(
+            p,
+            [(f"https://a.test/{s}/{i}", f"<p>{s}-{i}</p>".encode()) for i in range(3)],
+            gzip_records=True,
+        )
+        shards.append(p)
+    ds = read_warc(shards)
+    rows = sorted(
+        (r["uri"], bytes(r["payload"])) for r in ds.take_all()
+    )
+    assert rows == sorted(
+        (f"https://a.test/{s}/{i}", f"<p>{s}-{i}</p>".encode())
+        for s in range(2)
+        for i in range(3)
+    )
