@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from html_parser_ray.pipelines import hygiene, temporal
     from html_parser_ray.pipelines.curation import curated_corpus as _curated_corpus
+    from html_parser_ray.state.streaming_dedup import (
+        streaming_dedup_keep_first as _streaming_dedup_keep_first,
+    )
 
     return {
         # HTML engine pinned against SQL oracles
@@ -290,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": relational.events_type_pivot,
         # WARC ingestion path (CommonCrawl-form shards) through the extractor
         "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
+        # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
+        "streaming_dedup_keep_first": _streaming_dedup_keep_first,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -445,6 +450,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings GROUP BY 1 ORDER BY 1"
         ),
         "dedup_keep_first": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id"
+        ),
+        "streaming_dedup_keep_first": (
             "SELECT doc_id FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id"
         ),

@@ -1,0 +1,155 @@
+"""Streaming exact dedup over a SHARED MUTABLE INDEX — the one operator tier
+the Dataset API genuinely can't express (SURVEY §7 tier (c): raw Ray actors
+as a last resort, with the partitioning assumption documented).
+
+``Dataset.groupby`` can dedup a *bounded* corpus, but a streaming ingest —
+micro-batches arriving over time, every consumer needing to know what any
+other consumer already admitted — needs an index that OUTLIVES a single
+Dataset execution and is shared across tasks. That is a sharded actor set:
+
+- ``MinClaimShard``: a plain ``@ray.remote`` actor holding ``hash -> min
+  doc_id``. Registration is **commutative and idempotent** (min is a
+  monotone merge, CRDT-style), so task/block arrival order CANNOT change the
+  outcome — this is what makes the distributed result deterministic and
+  lets the register pass run at full ``map_batches`` parallelism.
+- Sharding: ``int(md5[:4]) % num_shards`` — uniform by construction, so no
+  shard hot-spots regardless of key skew; each shard holds ~distinct/K
+  entries (the memory bound to size K by).
+
+Two passes (the honest streaming shape — a winner is only known once every
+claim is in; single-pass systems emit-and-retract instead):
+
+  1. register: every (hash, doc_id) claims into its shard;
+  2. filter:   keep rows whose (hash, doc_id) IS the shard's winner.
+
+``streaming_dedup_keep_first`` reproduces ``dedup_keep_first``'s exact
+semantics (min doc_id per distinct text) through this machinery, so the same
+DuckDB oracle pins it value-exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from html_parser_ray.pipelines.shuffle import read_table, sort_output
+
+
+@ray.remote(num_cpus=0.25)
+class MinClaimShard:
+    """hash -> min(doc_id) index shard. ``num_cpus=0.25``: shards are mostly
+    idle dict lookups; reserving whole CPUs would starve the map stages."""
+
+    def __init__(self) -> None:
+        self._best: dict[bytes, int] = {}
+
+    def register(self, hashes: list[bytes], doc_ids: list[int]) -> int:
+        best = self._best
+        for h, d in zip(hashes, doc_ids):
+            cur = best.get(h)
+            if cur is None or d < cur:
+                best[h] = d
+        return len(best)
+
+    def winners(self, hashes: list[bytes], doc_ids: list[int]) -> list[bool]:
+        best = self._best
+        return [best.get(h) == d for h, d in zip(hashes, doc_ids)]
+
+    def size(self) -> int:
+        return len(self._best)
+
+
+def _shard_calls(hashes: list[bytes], doc_ids: np.ndarray, num_shards: int):
+    """Group (hash, doc_id) pairs by shard; returns {shard: (hashes, ids)}."""
+    by: dict[int, tuple[list[bytes], list[int]]] = {}
+    for h, d in zip(hashes, doc_ids):
+        s = int.from_bytes(h[:4], "big") % num_shards
+        slot = by.get(s)
+        if slot is None:
+            slot = ([], [])
+            by[s] = slot
+        slot[0].append(h)
+        slot[1].append(int(d))
+    return by
+
+
+class StreamingDeduper:
+    """Facade owning the shard actors; usable from any number of concurrent
+    Dataset tasks or ad-hoc micro-batch producers."""
+
+    def __init__(self, num_shards: int = 8):
+        self.num_shards = num_shards
+        self.shards = [MinClaimShard.remote() for _ in range(num_shards)]
+
+    def register_batch(self, hashes: list[bytes], doc_ids) -> None:
+        by = _shard_calls(hashes, np.asarray(doc_ids), self.num_shards)
+        ray.get(
+            [self.shards[s].register.remote(h, d) for s, (h, d) in by.items()]
+        )
+
+    def winner_mask(self, hashes: list[bytes], doc_ids) -> np.ndarray:
+        ids = np.asarray(doc_ids)
+        by = _shard_calls(hashes, ids, self.num_shards)
+        mask = np.zeros(len(hashes), dtype=bool)
+        # positions per shard, resolved in one parallel round
+        pos: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            pos.setdefault(int.from_bytes(h[:4], "big") % self.num_shards, []).append(i)
+        results = ray.get(
+            [self.shards[s].winners.remote(h, d) for s, (h, d) in by.items()]
+        )
+        for (s, _), win in zip(by.items(), results):
+            mask[np.asarray(pos[s])] = win
+        return mask
+
+    def index_size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def _hashes(texts: list[str]) -> list[bytes]:
+    return [hashlib.md5(t.encode()).digest() for t in texts]
+
+
+def streaming_dedup_keep_first(
+    sf_dir: str, num_shards: int = 8
+) -> "ray.data.Dataset | pd.DataFrame":
+    """``dedup_keep_first`` semantics (min doc_id per distinct text) through
+    the shared-index actor tier: register pass at full map parallelism
+    (commutative min-claims — block order free), then a filter pass keeping
+    the winners. Same DuckDB oracle as the groupby form."""
+    dd = StreamingDeduper(num_shards)
+    try:
+        ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def register(df: pd.DataFrame) -> pd.DataFrame:
+            dd.register_batch(
+                _hashes(list(df["text"])), df["doc_id"].to_numpy()
+            )
+            return pd.DataFrame({"n": [len(df)]})
+
+        # consume the register pass fully before filtering (the barrier IS
+        # the semantics: winners exist only after every claim)
+        ds.map_batches(register, batch_format="pandas").count()
+
+        def keep_winners(df: pd.DataFrame) -> pd.DataFrame:
+            mask = dd.winner_mask(
+                _hashes(list(df["text"])), df["doc_id"].to_numpy()
+            )
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[mask]})
+
+        out = ds.map_batches(keep_winners, batch_format="pandas")
+        return sort_output(
+            out, ["doc_id"], pa.schema([("doc_id", pa.int64())])
+        )
+    finally:
+        dd.shutdown()
