@@ -11,6 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 from examples import (
     curation_pipeline,
+    warc_ingest,
     dedup_pipeline,
     extraction_pipeline,
     hygiene_pipeline,
@@ -21,6 +22,7 @@ from examples import (
 
 SCRIPTS = [
     extraction_pipeline,
+    warc_ingest,
     dedup_pipeline,
     similarity_search,
     media_features,
