@@ -328,13 +328,26 @@ def query_all(doc, selector: Selector, scope_root: int | None = None) -> list[in
             for lst in cand_lists:
                 u.update(lst)
             cand = sorted(u)
+        # single-compound groups with a codegen predicate skip the
+        # _match_from_right/matches_compound frames entirely (scope is
+        # already enforced by the candidate window; no combinators exist)
+        preds = [
+            getattr(g[-1], "_pred", None)
+            if len(g) == 1 and g[-1].combinator == NONE
+            else None
+            for g in groups
+        ]
         for i in cand:
             if i < start:
                 continue
             if i > end_incl:
                 break
-            for group in groups:
-                if _match_from_right(doc, group, len(group) - 1, i, scope_root):
+            for group, pred in zip(groups, preds):
+                if (
+                    pred(doc, i)
+                    if pred is not None
+                    else _match_from_right(doc, group, len(group) - 1, i, scope_root)
+                ):
                     out.append(i)
                     break
         return out
