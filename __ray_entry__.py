@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
         # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
         "streaming_dedup_keep_first": _streaming_dedup_keep_first,
+        # fuzzy string-similarity join (FastSS deletion-neighborhood blocking)
+        "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -456,6 +458,12 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keep_first": (
             "SELECT doc_id FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id"
+        ),
+        "part_name_fuzzy_pairs": (
+            "WITH n AS (SELECT DISTINCT p_name FROM part) "
+            "SELECT a.p_name AS name_a, b.p_name AS name_b "
+            "FROM n a JOIN n b ON a.p_name < b.p_name "
+            "AND levenshtein(a.p_name, b.p_name) = 1 ORDER BY 1, 2"
         ),
         "dedup_clusters": (
             "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "

@@ -895,3 +895,80 @@ def shingle_dupes(
         ["shingle"],
         out_schema,
     )
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact edit-distance<=1 check (lengths within 1 by construction)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must equal a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def part_name_fuzzy_pairs(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Fuzzy string-similarity join** — distinct name pairs at edit
+    distance exactly 1, via FastSS deletion-neighborhood blocking
+    (Bocek et al., 2007): two strings are within distance 1 only if their
+    deletion neighborhoods D(s) = {s} ∪ {s minus one char} intersect, so
+    each name emits len+1 (variant, name) keys and only names sharing a
+    variant ever meet. Blocking admits false positives (e.g. "ab"/"ba"
+    share both "a" and "b" at distance 2), so every candidate pair is
+    verified with the exact distance check inside its variant partition.
+
+    Scale shape: per-batch distinct names -> one hash exchange by VARIANT
+    (bucket size is bounded by the distance-1 neighborhood of the variant,
+    not by corpus size) -> verified pairs -> one distinct exchange by pair
+    (the same pair can surface from several shared variants). Never
+    quadratic in the corpus; the SQL oracle is the quadratic
+    levenshtein self-join at verification scale.
+    """
+    ds = read_table(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def emit_variants(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["p_name"].drop_duplicates()
+        var, nm = [], []
+        for s in names:
+            var.append(s)
+            nm.append(s)
+            for i in range(len(s)):
+                var.append(s[:i] + s[i + 1 :])
+                nm.append(s)
+        return pd.DataFrame({"variant": var, "p_name": nm}).drop_duplicates()
+
+    variants = ds.map_batches(emit_variants, batch_format="pandas")
+
+    def pair_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in g.groupby("variant"):
+            names = sorted(set(grp["p_name"]))
+            if len(names) < 2:
+                continue
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    if _lev_le1(names[i], names[j]):
+                        a_out.append(names[i])
+                        b_out.append(names[j])
+        return pd.DataFrame({"name_a": a_out, "name_b": b_out})
+
+    pairs = hash_partitioned(variants, ["variant"], pair_in_bucket, num_partitions)
+    uniq = distinct_rows(
+        pairs,
+        ["name_a", "name_b"],
+        num_partitions,
+        out_schema=pa.schema([("name_a", pa.string()), ("name_b", pa.string())]),
+    )
+    return sort_output(
+        uniq,
+        ["name_a", "name_b"],
+        pa.schema([("name_a", pa.string()), ("name_b", pa.string())]),
+    )

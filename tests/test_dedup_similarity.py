@@ -278,3 +278,39 @@ def test_minhash_empty_corpus_and_no_dupes(tmp_path):
     df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(df.columns) == ["doc_a", "doc_b"]
     assert len(df) == 0
+
+
+def test_lev_le1_exactness():
+    from html_parser_ray.pipelines.dedup import _lev_le1
+
+    assert _lev_le1("abc", "abc")
+    assert _lev_le1("abc", "abd")      # substitution
+    assert _lev_le1("abc", "abcd")     # insertion at end
+    assert _lev_le1("abc", "xabc")     # insertion at front
+    assert _lev_le1("abc", "ac")       # deletion
+    assert not _lev_le1("ab", "ba")    # the classic FastSS false positive
+    assert not _lev_le1("abc", "axy")
+    assert not _lev_le1("abc", "abcde")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_part_name_fuzzy_pairs_planted(tmp_path):
+    import pandas as pd
+
+    from html_parser_ray.pipelines.dedup import part_name_fuzzy_pairs
+
+    names = [
+        "red bolt", "red belt",       # substitution pair
+        "blue gear", "blue gears",    # insertion pair
+        "green cog",                  # isolated
+        "ab", "ba",                   # blocking false positive: must NOT pair
+        "red bolt",                   # duplicate name: distinct first
+    ]
+    pd.DataFrame({"p_name": names}).to_parquet(tmp_path / "part.parquet")
+    out = part_name_fuzzy_pairs(str(tmp_path), num_partitions=4)
+    import ray.data
+
+    if isinstance(out, ray.data.Dataset):
+        out = out.to_pandas()
+    got = sorted(map(tuple, out[["name_a", "name_b"]].itertuples(index=False)))
+    assert got == [("blue gear", "blue gears"), ("red belt", "red bolt")]
