@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup_keep_first": _streaming_dedup_keep_first,
         # fuzzy string-similarity join (FastSS deletion-neighborhood blocking)
         "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
+        # mergeable HLL distinct-count sketch (golden from independent twin)
+        "events_user_hll": relational.events_user_hll,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -820,6 +822,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT predicted_lang, n FROM "
             f"read_parquet('{golden}/langid_counts_sf001.parquet') "
             "ORDER BY predicted_lang"
+        ),
+        "events_user_hll": (
+            "SELECT event_type, approx_users FROM "
+            f"read_parquet('{golden}/events_user_hll_sf001.parquet') "
+            "ORDER BY event_type"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, fingerprint, bpe_tokens FROM "

@@ -897,3 +897,45 @@ def events_type_pivot(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
         ["user_id"],
         out_schema,
     )
+
+
+def events_user_hll(sf_dir: str, p: int = 10) -> pd.DataFrame:
+    """Approximate DISTINCT users per event type via **mergeable HLL
+    partials** (functions/sketches.py) — the 100 TB distinct-count shape: an
+    exact distinct shuffles every key, an HLL partial is m one-byte
+    registers per (batch, group), and the combine merges registers with
+    elementwise max (commutative + idempotent), so the exchange is
+    O(types x m) no matter how many rows flow through. md5-based hashing
+    makes the estimate deterministic across processes and partitionings;
+    the golden oracle (independent non-importing twin) pins the exact
+    value, and the unit test bounds the error vs the true count.
+    """
+    from html_parser_ray.functions.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            regs = hll_build(g["user_id"].to_numpy(), p=p)
+            rows.append((t, regs.tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for t, g in parts.groupby("event_type"):
+        merged = None
+        for blob in g["regs"]:
+            regs = np.frombuffer(blob, dtype=np.uint8)
+            merged = regs if merged is None else hll_merge(merged, regs)
+        out.append((t, hll_estimate(merged)))
+    return (
+        pd.DataFrame(out, columns=["event_type", "approx_users"])
+        .astype({"approx_users": "int64"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )

@@ -314,3 +314,47 @@ def test_part_name_fuzzy_pairs_planted(tmp_path):
         out = out.to_pandas()
     got = sorted(map(tuple, out[["name_a", "name_b"]].itertuples(index=False)))
     assert got == [("blue gear", "blue gears"), ("red belt", "red bolt")]
+
+
+def test_hll_sketch_properties():
+    import numpy as np
+
+    from html_parser_ray.functions.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    vals = [f"user-{i}" for i in range(5000)]
+    whole = hll_build(vals)
+    # merge of disjoint partials == whole-build; duplicates are idempotent
+    half = hll_merge(hll_build(vals[:2500]), hll_build(vals[2500:]))
+    dup = hll_merge(whole, hll_build(vals[1000:4000]))
+    assert (whole == half).all() and (whole == dup).all()
+    # error bound: ~3.25% expected for m=1024; allow 3 sigma
+    est = hll_estimate(whole)
+    assert abs(est - 5000) / 5000 < 0.10, est
+    # small-range linear counting stays near-exact
+    small = hll_estimate(hll_build([f"u{i}" for i in range(150)]))
+    assert abs(small - 150) <= 8, small
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_user_hll_partition_invariance(tmp_path):
+    import pandas as pd
+
+    from html_parser_ray.pipelines.relational import events_user_hll
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_type": ["click"] * 600 + ["view"] * 300,
+            "user_id": list(range(200)) * 3 + list(range(100)) * 3,
+            "ts": [base] * 900,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = events_user_hll(str(tmp_path)).set_index("event_type")
+    # duplicates across rows cannot inflate the sketch (idempotent merge)
+    assert abs(out.loc["click", "approx_users"] - 200) <= 15
+    assert abs(out.loc["view", "approx_users"] - 100) <= 10

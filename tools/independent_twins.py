@@ -67,7 +67,51 @@ def detect_language(text: str) -> str:
     return best
 
 
+def hll_estimate_users(events: pd.DataFrame, p: int = 10) -> pd.DataFrame:
+    """Independent HLL twin (Flajolet 2007 + linear counting), reimplemented
+    from the paper: md5 -> top-p bits index, leading-zero rank, max registers,
+    harmonic-mean estimate."""
+    import hashlib
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for t, g in events.groupby("event_type"):
+        regs = [0] * m
+        for v in g["user_id"]:
+            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx = h >> (64 - p)
+            rest = h & ((1 << (64 - p)) - 1)
+            rank = (64 - p) - rest.bit_length() + 1
+            if rank > regs[idx]:
+                regs[idx] = rank
+        est = alpha * m * m / sum(2.0 ** -r for r in regs)
+        if est <= 2.5 * m:
+            zeros = regs.count(0)
+            if zeros:
+                est = m * math.log(m / zeros)
+        rows.append((t, int(round(est))))
+    return pd.DataFrame(rows, columns=["event_type", "approx_users"]).astype(
+        {"approx_users": "int64"}
+    )
+
+
 def main() -> None:
+    events = pq.read_table(
+        os.path.join(SF001, "events.parquet"), columns=["event_type", "user_id"]
+    ).to_pandas()
+    hll = (
+        hll_estimate_users(events)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pq.write_table(
+        pa.Table.from_pandas(hll, preserve_index=False),
+        os.path.join(GOLDEN, "events_user_hll_sf001.parquet"),
+    )
+    print(f"events_user_hll_sf001: {len(hll)} rows (independent twin)")
+
     docs = pq.read_table(
         os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pandas()
