@@ -612,7 +612,22 @@ def shipping_priority(
             }
         )
 
-    joined = hash_partitioned(both, ["key"], join_by_order, num_partitions)
+    # out_schema: map_groups output feeds a union (exchange 2) — normalize
+    # the 0-row 0-column blocks it emits for group-less input blocks, and pin
+    # the timestamp unit (the lineitem side's scalar odate is [s], the orders
+    # side [ns] — without the cast the union carries drifting block schemas)
+    joined_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("revenue_bp", pa.int64()),
+            ("custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    joined = hash_partitioned(
+        both, ["key"], join_by_order, num_partitions, out_schema=joined_schema
+    )
 
     # ---- exchange 2: semi-join vs the filtered customer keys, by custkey --
     def tag_joined(df: pd.DataFrame) -> pd.DataFrame:
@@ -647,8 +662,6 @@ def shipping_priority(
         return rows[
             ["o_orderkey", "revenue_bp", "o_orderdate", "o_orderpriority"]
         ]
-
-    import pyarrow as pa
 
     out_schema = pa.schema(
         [

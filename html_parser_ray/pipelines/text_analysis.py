@@ -473,11 +473,14 @@ def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
 
     from html_parser_ray.sources.warc import read_warc, write_warc
 
-    tbl = _pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    src = f"{sf_dir}/documents.parquet"
+    tbl = _pq.read_table(src, columns=["doc_id", "text"])
+    # cache key carries a CONTENT fingerprint (size + mtime), not just the
+    # path/row-count — a regenerated corpus at the same path must not silently
+    # reuse a stale shard
+    st = os.stat(src)
     key = _hashlib.md5(
-        (os.path.abspath(sf_dir) + f":{tbl.num_rows}").encode()
+        f"{os.path.abspath(src)}:{tbl.num_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     warc_path = f"/tmp/graft_warc_{key}.warc.gz"
     if not os.path.exists(warc_path):

@@ -65,16 +65,20 @@ class MinClaimShard:
 
 
 def _shard_calls(hashes: list[bytes], doc_ids: np.ndarray, num_shards: int):
-    """Group (hash, doc_id) pairs by shard; returns {shard: (hashes, ids)}."""
-    by: dict[int, tuple[list[bytes], list[int]]] = {}
-    for h, d in zip(hashes, doc_ids):
+    """Group (hash, doc_id) pairs by shard; returns
+    ``{shard: (hashes, ids, positions)}`` — positions carried along so
+    callers never re-derive the grouping (one pass, no implicit
+    iteration-order coupling between two structures)."""
+    by: dict[int, tuple[list[bytes], list[int], list[int]]] = {}
+    for i, (h, d) in enumerate(zip(hashes, doc_ids)):
         s = int.from_bytes(h[:4], "big") % num_shards
         slot = by.get(s)
         if slot is None:
-            slot = ([], [])
+            slot = ([], [], [])
             by[s] = slot
         slot[0].append(h)
         slot[1].append(int(d))
+        slot[2].append(i)
     return by
 
 
@@ -89,22 +93,18 @@ class StreamingDeduper:
     def register_batch(self, hashes: list[bytes], doc_ids) -> None:
         by = _shard_calls(hashes, np.asarray(doc_ids), self.num_shards)
         ray.get(
-            [self.shards[s].register.remote(h, d) for s, (h, d) in by.items()]
+            [self.shards[s].register.remote(h, d) for s, (h, d, _) in by.items()]
         )
 
     def winner_mask(self, hashes: list[bytes], doc_ids) -> np.ndarray:
-        ids = np.asarray(doc_ids)
-        by = _shard_calls(hashes, ids, self.num_shards)
+        by = _shard_calls(hashes, np.asarray(doc_ids), self.num_shards)
         mask = np.zeros(len(hashes), dtype=bool)
-        # positions per shard, resolved in one parallel round
-        pos: dict[int, list[int]] = {}
-        for i, h in enumerate(hashes):
-            pos.setdefault(int.from_bytes(h[:4], "big") % self.num_shards, []).append(i)
+        slots = list(by.values())
         results = ray.get(
-            [self.shards[s].winners.remote(h, d) for s, (h, d) in by.items()]
+            [self.shards[s].winners.remote(h, d) for s, (h, d, _) in by.items()]
         )
-        for (s, _), win in zip(by.items(), results):
-            mask[np.asarray(pos[s])] = win
+        for (_, _, pos), win in zip(slots, results):
+            mask[np.asarray(pos)] = win
         return mask
 
     def index_size(self) -> int:
