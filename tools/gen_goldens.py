@@ -96,7 +96,13 @@ def gen_doc_fingerprints() -> pd.DataFrame:
 
 
 def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32) -> pd.DataFrame:
-    """Serial twin of the banded-LSH pipeline (same hashes, same banding)."""
+    """Serial twin of the banded-LSH pipeline (same hashes, same banding).
+
+    NOTE: golden authority for minhash/simhash moved to the NON-IMPORTING
+    twin (tools/independent_twins.py, paper-spec reimplementation) late
+    round 3 — byte-equality of the two twins is pinned by
+    tests/test_independent_twins.py; this in-repo form remains as a
+    cross-check."""
     from html_parser_ray.functions import textfns
 
     docs = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])

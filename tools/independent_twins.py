@@ -97,6 +97,123 @@ def hll_estimate_users(events: pd.DataFrame, p: int = 10) -> pd.DataFrame:
     )
 
 
+def _tokens(text: str) -> list:
+    return _RE_TOKEN.findall(text)
+
+
+def _word_shingles(text: str, k: int = 3) -> set:
+    toks = _tokens(text)
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_lsh_pairs(
+    docs: pd.DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket: int = 256,
+) -> pd.DataFrame:
+    """Independent MinHash+LSH twin, reimplemented from the published
+    construction (Broder 1997 minwise hashing; banded LSH per MMDS ch.3):
+    crc32 base hash, seeded affine reshuffles h_i(x) = (a_i*x + b_i) mod p
+    with p = 4294967311, 32 bands x 4 rows, FNV-prime polynomial band hash
+    mod 2^61-1, all-pairs within buckets, exact-Jaccard >= threshold verify.
+    """
+    import zlib
+
+    import numpy as np
+
+    rows_per_band = num_hashes // bands
+    rng = np.random.RandomState(1)
+    a = rng.randint(1, 2**31 - 1, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, 2**31 - 1, size=num_hashes).astype(np.uint64)
+    p = np.uint64(4294967311)
+    weights = (
+        np.arange(1, rows_per_band + 1, dtype=np.uint64) * np.uint64(1099511628211)
+    )
+    mersenne = np.uint64((1 << 61) - 1)
+
+    shingles = {}
+    buckets = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sh = _word_shingles(text, k)
+        shingles[int(doc_id)] = sh
+        if sh:
+            base = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF for s in sh),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig = ((a[:, None] * base[None, :] + b[:, None]) % p).min(axis=1)
+        else:
+            sig = np.zeros(num_hashes, dtype=np.uint64)
+        for band in range(bands):
+            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            bucket = int((chunk * weights).sum() % mersenne)
+            buckets.setdefault((band, bucket), []).append(int(doc_id))
+    assert all(len(ids) <= max_bucket for ids in buckets.values()), (
+        "bucket exceeds pipeline max_bucket; twin no longer equals pipeline"
+    )
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+
+    def jac(x, y):
+        if not x and not y:
+            return 1.0
+        inter = len(x & y)
+        union = len(x) + len(y) - inter
+        return inter / union if union else 0.0
+
+    keep = [
+        (x, y) for x, y in sorted(pairs) if jac(shingles[x], shingles[y]) >= threshold
+    ]
+    return pd.DataFrame(keep, columns=["doc_a", "doc_b"]).astype("int64")
+
+
+def simhash_pairs(docs: pd.DataFrame, max_hamming: int = 3, max_bucket: int = 256) -> pd.DataFrame:
+    """Independent SimHash twin (Charikar 2002): per-token blake2b-64 bit
+    votes, sign-threshold signature, 4 x 16-bit bands, hamming <= 3 verify."""
+    import hashlib
+
+    def simhash64(text: str) -> int:
+        toks = _tokens(text)
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    sigs = {int(d): simhash64(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    buckets = {}
+    for d, h in sigs.items():
+        for band in range(4):
+            buckets.setdefault((band, (h >> (band * 16)) & 0xFFFF), []).append(d)
+    assert all(len(ids) <= max_bucket for ids in buckets.values())
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x, y = ids[i], ids[j]
+                if (x, y) not in pairs and bin(sigs[x] ^ sigs[y]).count("1") <= max_hamming:
+                    pairs.add((x, y))
+    return pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
+
+
 def main() -> None:
     events = pq.read_table(
         os.path.join(SF001, "events.parquet"), columns=["event_type", "user_id"]
@@ -115,6 +232,20 @@ def main() -> None:
     docs = pq.read_table(
         os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pandas()
+
+    mh = minhash_lsh_pairs(docs)
+    pq.write_table(
+        pa.Table.from_pandas(mh, preserve_index=False),
+        os.path.join(GOLDEN, "minhash_lsh_dupes_sf001.parquet"),
+    )
+    print(f"minhash_lsh_dupes_sf001: {len(mh)} rows (independent twin)")
+
+    sh = simhash_pairs(docs)
+    pq.write_table(
+        pa.Table.from_pandas(sh, preserve_index=False),
+        os.path.join(GOLDEN, "simhash_dupes_sf001.parquet"),
+    )
+    print(f"simhash_dupes_sf001: {len(sh)} rows (independent twin)")
 
     fp = pd.DataFrame(
         {
