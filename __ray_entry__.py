@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
         # mergeable HLL distinct-count sketch (golden from independent twin)
         "events_user_hll": relational.events_user_hll,
+        # stratified deterministic sampling (per-language cap, combiner min-N)
+        "doc_stratified_sample": text_analysis.doc_stratified_sample,
         # training-data hygiene: PII scrub, decontamination, n-gram census,
         # length quantiles
         "pii_scrub": hygiene.pii_scrub,
@@ -460,6 +462,14 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keep_first": (
             "SELECT doc_id FROM documents WHERE doc_id IN "
             "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text)) ORDER BY doc_id"
+        ),
+        "doc_stratified_sample": (
+            "WITH r AS (SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "substring(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) "
+            "AS \"rank\" FROM documents) "
+            "SELECT lang, doc_id FROM r WHERE \"rank\" <= 50 "
+            "ORDER BY lang, doc_id"
         ),
         "part_name_fuzzy_pairs": (
             "WITH n AS (SELECT DISTINCT p_name FROM part) "

@@ -517,3 +517,46 @@ def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
         out, ["doc_id"],
         pa.schema([("doc_id", pa.int64()), ("main_text", pa.string())]),
     )
+
+
+def doc_stratified_sample(
+    sf_dir: str, per_group: int = 50
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Stratified deterministic sampling**: keep up to ``per_group``
+    documents per language, chosen by md5(doc_id) order — the balanced-mix
+    curation step (cap the dominant language, keep every doc of rare ones).
+
+    Scale shape: per-group-min-N is COMBINER-FRIENDLY (the global N lowest
+    hashes of a group are the N lowest of the union of per-batch N-lowest),
+    so each batch forwards at most groups x N slim rows and the driver
+    combine is groups x N sized — no shuffle of the corpus, no RNG state,
+    re-shard-stable. The md5 order also makes the selection independent of
+    row order, unlike LIMIT-per-group.
+    """
+    import hashlib as _hashlib
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "doc_id": df["doc_id"].astype("int64"),
+                "h": [
+                    _hashlib.md5(str(i).encode()).hexdigest()[:16]
+                    for i in df["doc_id"]
+                ],
+            }
+        )
+        out = out.sort_values(["lang", "h", "doc_id"])
+        return out.groupby("lang", as_index=False, sort=False).head(per_group)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["lang", "h", "doc_id"])
+    top = parts.groupby("lang", as_index=False, sort=False).head(per_group)
+    return (
+        top[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )

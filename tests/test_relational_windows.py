@@ -296,3 +296,24 @@ def test_events_type_pivot(tmp_path):
     assert list(out.columns) == [
         "user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view",
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_stratified_sample(tmp_path):
+    import hashlib
+
+    from html_parser_ray.pipelines.text_analysis import doc_stratified_sample
+
+    # lang a: 6 docs (cap 3 -> md5-lowest three win); lang b: 2 docs (all kept)
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(10, 16)) + [20, 21],
+            "lang": ["a"] * 6 + ["b"] * 2,
+            "text": ["x"] * 8,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = _df(doc_stratified_sample(str(tmp_path), per_group=3))
+    by_hash = sorted(range(10, 16), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()[:16])
+    assert sorted(out[out["lang"] == "a"]["doc_id"]) == sorted(by_hash[:3])
+    assert sorted(out[out["lang"] == "b"]["doc_id"]) == [20, 21]
