@@ -98,3 +98,42 @@ def test_read_warc_dataset(tmp_path):
         for s in range(2)
         for i in range(3)
     )
+
+
+# ---- property-based roundtrip (adversarial payloads) -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_payloads = st.binary(max_size=400) | st.sampled_from(
+    [
+        b"\r\n\r\nWARC/1.0\r\n",            # record-header bait
+        b"Content-Length: 99999\r\n\r\n",   # length bait
+        b"HTTP/1.1 200 OK\r\n\r\nnested",   # http-block bait
+        b"\x1f\x8b\x08fake-gzip-magic",     # gzip magic inside payload
+        b"",
+    ]
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    recs=st.lists(
+        st.tuples(st.integers(0, 10_000), _payloads), min_size=0, max_size=12
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(tmp_path_factory, recs, gz):
+    """write -> parse returns exactly the written (uri, payload) sequence for
+    ANY payload bytes, gzipped or plain — the Content-Length walk must be
+    immune to every kind of in-payload bait."""
+    d = tmp_path_factory.mktemp("warcfuzz")
+    path = str(d / "f.warc")
+    records = [(f"https://t/{i}-{n}", p) for n, (i, p) in enumerate(recs)]
+    write_warc(path, records, gzip_records=gz)
+    got = parse_warc_bytes(open(path, "rb").read())
+    assert got == records
