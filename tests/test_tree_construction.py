@@ -42,6 +42,7 @@ FLOORS = {
     "tree_construction.dat": (94, 77),
     "whatwg_extra.dat": (100, 95),
     "html5lib_reconstructed.dat": (99, 71),
+    "html5lib_reconstructed2.dat": (46, 37),
     "wpt_reconstructed.dat": (85, 79),
 }
 
