@@ -44,6 +44,7 @@ FLOORS = {
     "html5lib_reconstructed.dat": (99, 71),
     "html5lib_reconstructed2.dat": (46, 37),
     "wpt_reconstructed.dat": (85, 79),
+    "wpt_reconstructed2.dat": (32, 28),
 }
 
 
