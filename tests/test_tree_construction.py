@@ -16,8 +16,9 @@ Corpora under tests/data/ (full provenance + adjudication in CONFORMANCE.md):
   CONFORMANCE.md). Expected trees are the SPEC parser's trees, so cases this
   permissive engine cannot reproduce fail honestly.
 
-Measured round-3 rates: 77/94 + 95/100 + 71/99 + 79/85 = 322/378 (85.2%),
-vs the reference's 524/600 (87.3%) and 440/500 (88%) on the upstream files.
+Measured round-3 rates: 77/94 + 95/100 + 71/99 + 37/46 + 79/85 + 28/32 =
+387/456 (84.9%), vs the reference's 524/600 (87.3%) and 440/500 (88%) on
+the upstream files.
 Every failure is in a divergence class the REFERENCE engine shares (verified
 against its tag tables in src/html/tags.zig): adoption agency / formatting
 reconstruction, table normalization (implied colgroup, foster reordering),
