@@ -34,6 +34,9 @@ class ExtractStats:
     spans_out: int = 0
     html_bytes: int = 0
     parse_errors: int = 0
+    # batches where the native batched path raised and the stage degraded to
+    # the Python path — a perf cliff that must stay observable, not silent
+    native_fallbacks: int = 0
 
 
 class SpanExtractor:

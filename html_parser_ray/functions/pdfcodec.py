@@ -106,7 +106,7 @@ def encode_pdf(pages: "list[dict]", compress: bool = True) -> bytes:
 # ---------------------------------------------------------------- parser ---
 
 _RE_OBJ = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
-_RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_RE_CONTENTS_KEY = re.compile(rb"/Contents\b")
 _RE_MEDIABOX = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
@@ -143,6 +143,38 @@ def _unescape(raw: bytes) -> bytes:
 
 class PdfError(ValueError):
     pass
+
+
+def _content_refs(body: bytes) -> "list[int]":
+    """All ``/Contents`` stream refs of a page body, in document order.
+
+    Handles BOTH encodings the PDF spec allows: the single-ref form
+    ``/Contents N 0 R`` and the array form ``/Contents [N 0 R M 0 R]``.
+    A ``/Contents`` key whose value parses as neither raises ``PdfError``
+    so the gap is visible instead of silently emitting an empty page.
+    (The native kernel declines-to-Python on the array form, keeping
+    C/Python parity on what each path actually parses.)
+    """
+    refs: list[int] = []
+    n = len(body)
+    for km in _RE_CONTENTS_KEY.finditer(body):
+        pos = km.end()
+        while pos < n and body[pos] in b" \t\r\n":
+            pos += 1
+        if body[pos : pos + 1] == b"[":
+            close = body.find(b"]", pos)
+            if close < 0:
+                raise PdfError("unterminated /Contents array")
+            inner = [int(m.group(1)) for m in _RE_OBJREF.finditer(body, pos, close)]
+            if not inner:
+                raise PdfError("empty /Contents array")
+            refs.extend(inner)
+        else:
+            m = _RE_OBJREF.match(body, pos)
+            if m is None:
+                raise PdfError("unparsable /Contents reference")
+            refs.append(int(m.group(1)))
+    return refs
 
 
 _RE_XREF_SUB = re.compile(rb"[ \t\r\n]*(\d+)[ \t]+(\d+)[ \t]*\r?\n")
@@ -298,10 +330,10 @@ def parse_pdf(payload: bytes) -> dict:
             if mb
             else (612.0, 792.0)
         )
-        for cm in _RE_CONTENTS.finditer(body):
-            cobj = objects.get(int(cm.group(1)))
+        for cnum in _content_refs(body):
+            cobj = objects.get(cnum)
             if cobj is None:
-                raise PdfError(f"missing content object {cm.group(1)!r}")
+                raise PdfError(f"missing content object {cnum}")
             # slice the stream by /Length, the way real PDF readers do —
             # binary stream data may END in 0x0D, which a `\r?\nendstream`
             # regex would wrongly eat (1/256 of Flate streams truncate)

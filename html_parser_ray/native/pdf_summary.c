@@ -142,13 +142,18 @@ static int spans_via_xref(const u8 *p, i64 n, ObjTable *t) {
         if (first < 0) break;
         while (q < n && (p[q] == ' ' || p[q] == '\t')) q++;
         i64 count = parse_int(p, n, &q);
-        if (count < 0) break;
+        /* identical validation to pass 1: a subsection pass 1 rejected (and
+         * therefore never sized the table for) must terminate pass 2 at the
+         * same point, or the writes below run past t->cap. */
+        if (count < 0 || count > 1 << 22) break;
         while (q < n && (p[q] == ' ' || p[q] == '\t')) q++;
         if (q < n && p[q] == '\r') q++;
-        q++; /* \n, validated in pass 1 */
+        if (q >= n || p[q] != '\n') return -1;
+        q++;
         for (i64 k = 0; k < count; k++) {
             const u8 *e = p + q + 20 * k;
             if (q + 20 * (k + 1) > n) return -1;
+            if (first + k < 0 || first + k >= t->cap) return -1;
             if (e[17] != 'n') continue; /* free entry */
             i64 off = 0;
             for (int d = 0; d < 10; d++) {
@@ -559,6 +564,17 @@ i64 hpr_pdf_layout_spans(const u8 *payload, i64 n, u8 *text_out, i64 text_cap,
         for (i64 pi = 0; pi < n_pages; pi++) {
             i64 s, e;
             if (!obj_lookup(&tab, pages[pi], &s, &e)) goto done;
+            /* array-form "/Contents [N 0 R ...]": decline to Python, which
+             * parses both forms — keeps C/Python output parity. */
+            {
+                i64 ck = find(payload, s, e, "/Contents");
+                while (ck >= 0) {
+                    i64 w = ck + 9;
+                    while (w < e && is_ws(payload[w])) w++;
+                    if (w < e && payload[w] == '[') goto done;
+                    ck = find(payload, ck + 9, e, "/Contents");
+                }
+            }
             i64 from = s;
             while (1) {
                 i64 nxt;

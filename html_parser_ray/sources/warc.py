@@ -103,7 +103,14 @@ def _iter_decompressed(data: bytes):
         if out:
             yield out
     if not d.eof:
-        d.flush()
+        # Truncated final member: yield whatever decompressed tail the
+        # decompressor still buffers, so the record walk (not chance) decides
+        # whether the shard is structurally short — dropping it here would
+        # make the "raise on truncated shard" guarantee depend on WHERE the
+        # loss lands.
+        out = d.flush()
+        if out:
+            yield out
 
 
 def parse_warc_stream(data: bytes):

@@ -86,16 +86,20 @@ class ExtractSpansBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._batch_native is not None:
-            # degrade to the Python path on ANY native-side failure, not just
-            # the in-band capacity signal: e.g. ArrowCapacityError from
-            # combine_chunks/cast(binary) on >2 GB batches, or the
-            # int32-offsets assumption — a failed task would kill the job
+            # degrade to the Python path only on the KNOWN capacity/overflow
+            # signals (ArrowCapacityError from combine_chunks/cast(binary) on
+            # >2 GB batches, ArrowInvalid/OverflowError from the int32-offsets
+            # assumption). Anything else is a real bug and must surface — a
+            # blanket catch would silently turn every batch into the slow
+            # Python path with no signal. Fallbacks are counted in
+            # extractor.stats.native_fallbacks so degradation is observable.
             try:
                 out = self._call_native(batch)
-            except Exception:
+            except (pa.ArrowCapacityError, pa.ArrowInvalid, OverflowError):
                 out = None
             if out is not None:
                 return out
+            self.extractor.stats.native_fallbacks += 1
         return self._call_python(batch)
 
     def _call_native(self, batch: pa.Table) -> "pa.Table | None":

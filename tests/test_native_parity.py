@@ -82,3 +82,48 @@ def test_empty_and_pathological_inputs():
              b"<p>" + b"&amp;" * 2000 + b"</p>", bytes(range(256)) * 4]
     for src in cases:
         assert nat(src) == extract_blocks_fused(src), src[:40]
+
+
+def test_batch_stage_counts_native_fallbacks():
+    """The batched-native stage degrades to Python ONLY on the known
+    capacity/overflow signals, and every degradation increments
+    extractor.stats.native_fallbacks (silent perf cliffs are a bug)."""
+    import pyarrow as pa
+
+    from html_parser_ray.stages.extract_stage import ExtractSpansBatch
+
+    stage = ExtractSpansBatch()
+    if stage._batch_native is None:
+        import pytest
+
+        pytest.skip("no native batch kernel in this environment")
+
+    def batch():
+        spans = [[{"kind": "html", "text": "<p>hi</p>", "media_ref": "", "offset": 0}]]
+        return pa.table({"doc_id": pa.array(["d0"]), "spans": pa.array(spans)})
+
+    stage(batch())
+    assert stage.extractor.stats.native_fallbacks == 0
+
+    # force the exception path: a batch-native callable that raises the
+    # declared capacity signal must degrade AND count
+    real = stage._batch_native
+
+    def boom(*a, **k):
+        raise pa.ArrowCapacityError("synthetic >2GB batch")
+
+    stage._batch_native = boom
+    out = stage(batch())
+    assert out.num_rows == 1
+    assert stage.extractor.stats.native_fallbacks == 1
+
+    # an UNKNOWN exception must escape (observable), not silently degrade
+    def unexpected(*a, **k):
+        raise RuntimeError("regression in the vectorized emit path")
+
+    stage._batch_native = unexpected
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        stage(batch())
+    stage._batch_native = real

@@ -137,3 +137,63 @@ def test_layout_stage_matches_serial_twin(ray_session):
         assert row["num_pages"] == m["num_pages"]
         assert row["n_text_spans"] == m["n_text_spans"]
         assert row["layout_fingerprint"] == m["layout_fingerprint"]
+
+def _assemble(objs: "list[bytes]") -> bytes:
+    """Writer-shaped assembly (header + xref + trailer) around hand-authored
+    object bodies — for cases encode_pdf's page model can't express."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def _array_contents_pdf() -> bytes:
+    c1 = b"BT 1 2 Td (part one) Tj ET"
+    c2 = b"BT 3 4 Td (part two) Tj ET"
+    return _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+            b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+            b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+        ]
+    )
+
+
+def test_contents_array_form_parses_in_order():
+    doc = parse_pdf(_array_contents_pdf())
+    assert doc["num_pages"] == 1
+    assert [t[3] for t in doc["pages"][0]["texts"]] == ["part one", "part two"]
+
+
+def test_contents_unparsable_ref_raises():
+    bad = _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents /NotARef >>",
+        ]
+    )
+    with pytest.raises(PdfError):
+        parse_pdf(bad)
+    empty = _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents [ ] >>",
+        ]
+    )
+    with pytest.raises(PdfError):
+        parse_pdf(empty)

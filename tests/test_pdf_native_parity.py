@@ -158,3 +158,54 @@ def test_layout_parser_native_equals_pure_dicts():
     for i in range(60):
         ref = f"media://pdf/{i * 997 % 100000:06d}"
         assert nat.parse(ref) == pure.parse(ref)
+
+def _assemble(objs: "list[bytes]") -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def test_native_declines_array_contents_python_parses():
+    """Array-form /Contents [N 0 R M 0 R]: the C kernel declines-to-Python,
+    and the Python parser reads both streams in order — parity via decline."""
+    c1 = b"BT 1 2 Td (part one) Tj ET"
+    c2 = b"BT 3 4 Td (part two) Tj ET"
+    payload = _assemble(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+            b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+            b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+        ]
+    )
+    assert native(payload) is None
+    assert summary_from_pure(payload)[1] == ["part one", "part two"]
+
+
+def test_oversized_second_xref_subsection_no_oob():
+    """xref pass 2 must apply pass 1's identical subsection validation: a
+    second subsection with count > 1<<22 (which pass 1 rejects, so the object
+    table is sized WITHOUT it) previously let pass 2 write entries past
+    t->cap — heap corruption from a crafted crawl payload. Now both passes
+    stop at the same point and the valid prefix still parses."""
+    p = bytearray(synth_pdf("media://pdf/000007"))
+    obj_off = bytes(p).find(b"1 0 obj")
+    i = bytes(p).rfind(b"trailer")
+    # entries point at a REAL object header so a bounds bug would actually
+    # write table slots (not bail on the offset probe)
+    fake = b"".join(b"%010d 00000 n \n" % obj_off for _ in range(8))
+    p[i:i] = b"9 5242880\n" + fake
+    assert_parity(bytes(p))

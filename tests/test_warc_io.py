@@ -137,3 +137,20 @@ def test_warc_roundtrip_property(tmp_path_factory, recs, gz):
     write_warc(path, records, gzip_records=gz)
     got = parse_warc_bytes(open(path, "rb").read())
     assert got == records
+
+def test_truncated_final_gzip_member_raises(tmp_path):
+    """Cutting into the final gzip member must surface as a structural
+    truncation error from the record walk — the decompressor's flush tail is
+    yielded (not dropped), so the guarantee holds regardless of where the
+    loss lands inside the member."""
+    p = str(tmp_path / "shard.warc.gz")
+    write_warc(p, RECORDS, gzip_records=True)
+    raw = open(p, "rb").read()
+    # cuts into record data -> the walk must raise
+    for cut in (12, 20, 40):
+        with pytest.raises(ValueError):
+            parse_warc_bytes(raw[:-cut])
+    # cuts that only eat the gzip trailer/padding lose no record bytes ->
+    # the full record set must still come back (no raise, no silent drop)
+    for cut in (5, 9):
+        assert parse_warc_bytes(raw[:-cut]) == RECORDS
