@@ -5,6 +5,15 @@
 - ``lsh_knn_topk``: random-hyperplane-bucketed approximate variant — the scale
   path: candidates only from matching LSH buckets (multi-probe), exact rerank
   inside the bucket. Recall pinned by tests against the baseline.
+- ``ivf_knn_topk``: inverted-file variant — centroids trained on a
+  DISTRIBUTED hash-sample, vectors assigned per batch, nprobe cells reranked.
+
+100 TB design note (round-4 fix): nothing here materializes the embeddings
+table on the driver. Query selection is a column-pruned distributed min-k
+over ``vec_id`` followed by a predicate-pushdown read of JUST the query rows;
+kmeans training draws a bounded deterministic hash-sample inside
+``map_batches``. Driver pulls are bounded by (num_blocks x num_queries x k)
+partials and the fixed sample size, never by the table.
 """
 
 from __future__ import annotations
@@ -17,15 +26,111 @@ import ray.data
 
 from html_parser_ray.pipelines.shuffle import read_table
 
+_EMPTY = pd.DataFrame(
+    {
+        "query_id": pd.Series(dtype="int64"),
+        "neighbor_id": pd.Series(dtype="int64"),
+        "cosine": pd.Series(dtype="float64"),
+    }
+)
 
-def _load_matrix(sf_dir: str):
-    emb = pd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = emb["vec_id"].to_numpy()
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+
+def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    return ids, mat / np.where(norms == 0, 1, norms)
+    return mat / np.where(norms == 0, 1, norms)
+
+
+_query_cache: "dict[tuple[str, int], tuple[np.ndarray, np.ndarray]]" = {}
+
+
+def _query_matrix(sf_dir: str, num_queries: int):
+    """The ``num_queries`` smallest vec_ids and their unit vectors — without
+    loading the table on the driver.
+
+    One distributed pass: per-batch ``nsmallest`` partials carry the
+    candidate embeddings with them, so the driver combine sees
+    num_blocks x num_queries rows (bounded by block count, never table
+    size), picks the global ``num_queries`` smallest, and is done. Cached
+    per (sf_dir, num_queries): the selection is a pure function of the
+    table, and the three kNN variants share it within a session.
+    """
+    key = (sf_dir, num_queries)
+    hit = _query_cache.get(key)
+    if hit is not None:
+        return hit
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def batch_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(num_queries, "vec_id")
+
+    part = ds.map_batches(batch_min, batch_format="pandas").to_pandas()
+    qdf = part.nsmallest(num_queries, "vec_id").sort_values("vec_id")
+    ids = qdf["vec_id"].to_numpy()
+    mat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    _query_cache[key] = (ids, _unit(mat))
+    return _query_cache[key]
+
+
+def _topk_frame(
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    batch_ids: np.ndarray,
+    mu: np.ndarray,
+    k: int,
+    cand_rows: "list[np.ndarray] | None" = None,
+) -> pd.DataFrame:
+    """Vectorized per-query top-k over a batch (or per-query candidate sets):
+    one matmul + one ``np.lexsort`` per query — never a per-pair Python loop.
+    Tie-break matches the oracle exactly: cosine DESC, neighbor_id ASC."""
+    parts: list[pd.DataFrame] = []
+    for qi in range(len(qids)):
+        qid = int(qids[qi])
+        if cand_rows is not None:
+            rows = cand_rows[qi]
+            if len(rows) == 0:
+                continue
+            ids_q, m_q = batch_ids[rows], mu[rows]
+        else:
+            ids_q, m_q = batch_ids, mu
+        sims = m_q @ qmat[qi]
+        order = np.lexsort((ids_q, -sims))
+        order = order[ids_q[order] != qid][:k]
+        if len(order) == 0:
+            continue
+        parts.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(order), qid, dtype=np.int64),
+                    "neighbor_id": ids_q[order].astype(np.int64),
+                    "cosine": sims[order],
+                }
+            )
+        )
+    return pd.concat(parts, ignore_index=True) if parts else _EMPTY.copy()
+
+
+def _finalize(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    if partials.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype(
+            "int64"
+        )
+    final = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    final = final.groupby("query_id", as_index=False, group_keys=False).head(k)
+    final["rank"] = final.groupby("query_id").cumcount() + 1
+    return (
+        final[["query_id", "neighbor_id", "rank"]]
+        .astype("int64")
+        .reset_index(drop=True)
+    )
+
+
+def _batch_unit(df: pd.DataFrame):
+    batch_ids = df["vec_id"].to_numpy()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return batch_ids, _unit(m)
 
 
 def knn_topk(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFrame:
@@ -34,44 +139,18 @@ def knn_topk(sf_dir: str, num_queries: int = 5, k: int = 10) -> pd.DataFrame:
     Output: (query_id, neighbor_id, rank) with deterministic tie-break
     (higher cosine first, then lower vec_id). Self-matches excluded.
     """
-    ids, unit = _load_matrix(sf_dir)
-    order = np.argsort(ids)
-    qpos = order[:num_queries]
-    q_ids = ids[qpos]
-    q_mat = unit[qpos]
+    q_ids, q_mat = _query_matrix(sf_dir, num_queries)
     q_ref = ray.put((q_ids, q_mat))
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids, qmat = ray.get(q_ref)
-        batch_ids = df["vec_id"].to_numpy()
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        mu = m / np.where(n == 0, 1, n)
-        sims = qmat @ mu.T  # (q, batch)
-        rows = []
-        for qi, qid in enumerate(qids):
-            for bi, vid in enumerate(batch_ids):
-                if vid == qid:
-                    continue
-                rows.append(
-                    {"query_id": int(qid), "neighbor_id": int(vid), "cosine": sims[qi, bi]}
-                )
-        out = pd.DataFrame(rows)
-        # per-batch partial top-k keeps the combine tiny
-        out = out.sort_values(
-            ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-        )
-        return out.groupby("query_id", as_index=False, group_keys=False).head(k)
+        batch_ids, mu = _batch_unit(df)
+        return _topk_frame(qids, qmat, batch_ids, mu, k)
 
     partials = ds.map_batches(score, batch_format="pandas").to_pandas()
-    final = partials.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    final = final.groupby("query_id", as_index=False, group_keys=False).head(k)
-    final["rank"] = final.groupby("query_id").cumcount() + 1
-    return final[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _finalize(partials, k)
 
 
 def lsh_knn_topk(
@@ -86,60 +165,36 @@ def lsh_knn_topk(
     Scale path: each vector hashes to a bucket (sign pattern of ``num_planes``
     projections); queries probe their bucket and all 1-bit-flip neighbors.
     """
-    ids, unit = _load_matrix(sf_dir)
-    dim = unit.shape[1]
+    q_ids, q_mat = _query_matrix(sf_dir, num_queries)
+    dim = q_mat.shape[1]
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(num_planes, dim))
 
-    order = np.argsort(ids)
-    qpos = order[:num_queries]
-    q_ids = ids[qpos]
-    q_mat = unit[qpos]
-    q_codes = ((q_mat @ planes.T > 0).astype(np.uint32) << np.arange(num_planes, dtype=np.uint32)).sum(axis=1)
+    q_codes = (
+        (q_mat @ planes.T > 0).astype(np.uint32)
+        << np.arange(num_planes, dtype=np.uint32)
+    ).sum(axis=1)
     # multi-probe: each query accepts its bucket and all 1-bit flips
     probe_sets = [
-        {int(c)} | {int(c) ^ (1 << b) for b in range(num_planes)} for c in q_codes
+        np.array(sorted({int(c)} | {int(c) ^ (1 << b) for b in range(num_planes)}))
+        for c in q_codes
     ]
-    bc_ref = ray.put((q_ids, q_mat, q_codes, probe_sets, planes))
+    bc_ref = ray.put((q_ids, q_mat, probe_sets, planes))
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        qids, qmat, qcodes, probes, pl = ray.get(bc_ref)
-        batch_ids = df["vec_id"].to_numpy()
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        mu = m / np.where(n == 0, 1, n)
-        bcodes = ((mu @ pl.T > 0).astype(np.uint32) << np.arange(pl.shape[0], dtype=np.uint32)).sum(axis=1)
-        rows = []
-        for qi, qid in enumerate(qids):
-            mask = np.isin(bcodes, list(probes[qi])) & (batch_ids != qid)
-            cand = np.where(mask)[0]
-            if len(cand) == 0:
-                continue
-            sims = mu[cand] @ qmat[qi]
-            top = np.lexsort((batch_ids[cand], -sims))[:k]
-            for ci in top:
-                rows.append(
-                    {
-                        "query_id": int(qid),
-                        "neighbor_id": int(batch_ids[cand[ci]]),
-                        "cosine": float(sims[ci]),
-                    }
-                )
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+        qids, qmat, probes, pl = ray.get(bc_ref)
+        batch_ids, mu = _batch_unit(df)
+        bcodes = (
+            (mu @ pl.T > 0).astype(np.uint32)
+            << np.arange(pl.shape[0], dtype=np.uint32)
+        ).sum(axis=1)
+        cand_rows = [np.flatnonzero(np.isin(bcodes, probes[qi])) for qi in range(len(qids))]
+        return _topk_frame(qids, qmat, batch_ids, mu, k, cand_rows=cand_rows)
 
     partials = ds.map_batches(score, batch_format="pandas").to_pandas()
-    if partials.empty:
-        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype("int64")
-    final = partials.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    final = final.groupby("query_id", as_index=False, group_keys=False).head(k)
-    final["rank"] = final.groupby("query_id").cumcount() + 1
-    return (
-        final[["query_id", "neighbor_id", "rank"]].astype("int64").reset_index(drop=True)
-    )
+    return _finalize(partials, k)
 
 
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
@@ -165,6 +220,66 @@ def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     return result.sort_values("label").reset_index(drop=True)
 
 
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized — a deterministic, process-independent
+    uniform hash of int64 ids (PYTHONHASHSEED-free, unlike str hash)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)) & _M64
+        x ^= x >> np.uint64(31)
+    return x
+
+
+_sample_cache: "dict[tuple[str, int], np.ndarray]" = {}
+
+
+def _train_sample(sf_dir: str, target: int) -> np.ndarray:
+    """Deterministic DISTRIBUTED sample of ~``target`` unit vectors for
+    centroid training. Membership is a pure per-row predicate
+    (``_mix64(vec_id) < fraction * 2^64``) evaluated inside ``map_batches``,
+    so the driver pull is bounded by the sample size, never the table. The
+    pulled sample is hash-ordered and truncated to exactly ``min(target, n)``
+    rows — block boundaries cannot change its content."""
+    key = (sf_dir, target)
+    hit = _sample_cache.get(key)
+    if hit is not None:
+        return hit
+    path = f"{sf_dir}/embeddings.parquet"
+    total = ray.data.read_parquet(path, columns=["vec_id"]).count()
+    # 1.3x oversample so binomial variance almost never under-fills; exact
+    # truncation below restores determinism
+    frac = min(1.0, 1.3 * target / max(total, 1))
+    # float64 threshold compare: np.uint64(int) overflows C long for values
+    # past 2^63; IEEE comparison is just as deterministic across processes
+    thresh = frac * float(2**64)
+
+    ds = read_table(path, columns=["vec_id", "embedding"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _mix64(df["vec_id"].to_numpy().astype(np.int64)).astype(np.float64)
+        return df[h <= thresh]
+
+    sample = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    if sample.empty:
+        raise ValueError("empty kmeans training sample")
+    order = np.lexsort(
+        (
+            sample["vec_id"].to_numpy(),
+            _mix64(sample["vec_id"].to_numpy().astype(np.int64)),
+        )
+    )[:target]
+    mat = np.stack(sample["embedding"].to_numpy()[order]).astype(np.float64)
+    _sample_cache[key] = _unit(mat)
+    return _sample_cache[key]
+
+
 def ivf_knn_topk(
     sf_dir: str,
     num_queries: int = 5,
@@ -175,20 +290,20 @@ def ivf_knn_topk(
     kmeans_iters: int = 10,
 ) -> pd.DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: k-means centroids
-    (numpy Lloyd iterations on the driver over a sample — the "train once"
-    step a production system does offline), vectors assigned to their nearest
-    centroid, queries probe the ``nprobe`` nearest cells and rerank exactly.
+    (numpy Lloyd iterations on the driver over a DISTRIBUTED hash-sample —
+    the "train once" step a production system does offline), vectors assigned
+    to their nearest centroid, queries probe the ``nprobe`` nearest cells and
+    rerank exactly.
 
     The partition assumption: cell assignment is a pure function of the
     broadcast centroids, so assignment + rerank distribute as map_batches
     with no shuffle.
     """
-    ids, unit = _load_matrix(sf_dir)
+    sample = _train_sample(sf_dir, target=2048)
     rng = np.random.RandomState(seed)
-    # train centroids on (up to) 2048 sampled vectors
-    sample_idx = rng.choice(len(unit), size=min(2048, len(unit)), replace=False)
-    cent = unit[rng.choice(sample_idx, size=min(num_centroids, len(sample_idx)), replace=False)]
-    sample = unit[sample_idx]
+    cent = sample[
+        rng.choice(len(sample), size=min(num_centroids, len(sample)), replace=False)
+    ].copy()
     for _ in range(kmeans_iters):
         assign = (sample @ cent.T).argmax(axis=1)
         for c in range(len(cent)):
@@ -199,10 +314,7 @@ def ivf_knn_topk(
                 if n > 0:
                     cent[c] = v / n
 
-    order = np.argsort(ids)
-    qpos = order[:num_queries]
-    q_ids = ids[qpos]
-    q_mat = unit[qpos]
+    q_ids, q_mat = _query_matrix(sf_dir, num_queries)
     q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
     bc = ray.put((q_ids, q_mat, q_cells, cent))
 
@@ -210,37 +322,10 @@ def ivf_knn_topk(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids, qmat, qcells, centroids = ray.get(bc)
-        batch_ids = df["vec_id"].to_numpy()
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        mu = m / np.where(n == 0, 1, n)
+        batch_ids, mu = _batch_unit(df)
         cells = (mu @ centroids.T).argmax(axis=1)
-        rows = []
-        for qi, qid in enumerate(qids):
-            mask = np.isin(cells, qcells[qi]) & (batch_ids != qid)
-            cand = np.where(mask)[0]
-            if len(cand) == 0:
-                continue
-            sims = mu[cand] @ qmat[qi]
-            top = np.lexsort((batch_ids[cand], -sims))[:k]
-            for ci in top:
-                rows.append(
-                    {
-                        "query_id": int(qid),
-                        "neighbor_id": int(batch_ids[cand[ci]]),
-                        "cosine": float(sims[ci]),
-                    }
-                )
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+        cand_rows = [np.flatnonzero(np.isin(cells, qcells[qi])) for qi in range(len(qids))]
+        return _topk_frame(qids, qmat, batch_ids, mu, k, cand_rows=cand_rows)
 
     partials = ds.map_batches(score, batch_format="pandas").to_pandas()
-    if partials.empty:
-        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype("int64")
-    final = partials.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    final = final.groupby("query_id", as_index=False, group_keys=False).head(k)
-    final["rank"] = final.groupby("query_id").cumcount() + 1
-    return (
-        final[["query_id", "neighbor_id", "rank"]].astype("int64").reset_index(drop=True)
-    )
+    return _finalize(partials, k)
