@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from html_parser_ray.functions import avicodec
 from html_parser_ray.functions import codecs
 from html_parser_ray.functions import gifcodec
 
@@ -78,14 +79,26 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
             durs.append(dur_ms)
         else:
             n_frames = rng.randint(4, 9)
-            gif = gifcodec.synth_gif(
-                (seed << 8) ^ i, w=32, h=24, n_frames=n_frames
-            )
-            meta = gifcodec.decode_gif(gif)
-            payloads.append(gif)
-            ws.append(meta["width"])
-            hs.append(meta["height"])
-            durs.append(meta["frames"][-1]["ts_ms"])
+            # alternate the two REAL containers so both codec paths stay
+            # exercised by every media query (GIF89a+LZW and RIFF/AVI DIB)
+            if (i // 3) % 2 == 0:
+                gif = gifcodec.synth_gif(
+                    (seed << 8) ^ i, w=32, h=24, n_frames=n_frames
+                )
+                meta = gifcodec.decode_gif(gif)
+                payloads.append(gif)
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                durs.append(meta["frames"][-1]["ts_ms"])
+            else:
+                avi = avicodec.synth_avi(
+                    (seed << 8) ^ i, w=32, h=24, n_frames=n_frames, fps=8
+                )
+                meta_a = avicodec.decode_avi(avi)
+                payloads.append(avi)
+                ws.append(meta_a["width"])
+                hs.append(meta_a["height"])
+                durs.append(meta_a["frames"][-1]["ts_ms"])
     return pa.table(
         {
             "media_id": ids,
@@ -223,13 +236,14 @@ class AudioFeatureStage:
 class FrameSampleStage:
     """Actor stage: sample N frames per video — REAL decode since round 3.
 
-    Emits one row per sampled frame (a flat_map-shaped batch transform). GIF
-    payloads go through the real byte-level decoder (container + LZW,
-    functions/gifcodec.py): the frame whose timestamp covers each sample
-    offset is composited and re-encoded as a PNG (codec composition —
-    GIF in, PNG out), ``decoded=True``. Payloads in formats this container
-    has no codec for fall back to the DECLARED deterministic hash stub with
-    ``decoded=False`` — the row stays total either way.
+    Emits one row per sampled frame (a flat_map-shaped batch transform). Two
+    real containers decode byte-level: animated GIF (container + LZW,
+    functions/gifcodec.py) and uncompressed-DIB RIFF/AVI
+    (functions/avicodec.py, round 4): the frame whose timestamp covers each
+    sample offset is composited and re-encoded as a PNG (codec composition —
+    GIF/AVI in, PNG out), ``decoded=True``. Payloads in formats this
+    container has no codec for fall back to the DECLARED deterministic hash
+    stub with ``decoded=False`` — the row stays total either way.
     """
 
     def __init__(self, num_frames: int = 4):
@@ -249,6 +263,11 @@ class FrameSampleStage:
                 try:
                     clip = gifcodec.decode_gif(p)
                 except gifcodec.GifError:
+                    clip = None
+            elif p is not None and avicodec.is_avi(p):
+                try:
+                    clip = avicodec.decode_avi(p)
+                except avicodec.AviError:
                     clip = None
             for k in range(self.num_frames):
                 ts = (dur * (k + 1)) // (self.num_frames + 1)
