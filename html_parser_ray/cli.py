@@ -64,7 +64,16 @@ def main(argv: list[str] | None = None) -> int:
             "data",
         )
         report: dict = {"suites": {}}
-        for fname in ("tree_construction.dat", "whatwg_extra.dat"):
+        for fname in (
+            "tree_construction.dat",
+            "whatwg_extra.dat",
+            "html5lib_reconstructed.dat",
+            "html5lib_reconstructed2.dat",
+            "html5lib_reconstructed3.dat",
+            "wpt_reconstructed.dat",
+            "wpt_reconstructed2.dat",
+            "wpt_reconstructed3.dat",
+        ):
             r = run_dat_file(os.path.join(data_dir, fname), args.max_cases)
             report["suites"][fname] = {
                 "total": r.total,
