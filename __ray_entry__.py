@@ -306,6 +306,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": temporal.events_asof_join,
         "orders_trailing_spend": temporal.orders_trailing_spend,
         "events_cohort_retention": temporal.events_cohort_retention,
+        # --- round-4 additions ---
+        # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # TPC-H Q13 double aggregate incl. the zero-order bucket
+        "customer_order_histogram": relational.customer_order_histogram,
+        # two-phase global percentile filter (exact histogram quantile)
+        "orders_above_global_p95": relational.orders_above_global_p95,
+        # exact daily-active-users (distinct-pair combiner, one exchange)
+        "events_daily_distinct_users": relational.events_daily_distinct_users,
+        # inverted-index vocabulary stats (df/tf, floor + per-partition top-k)
+        "term_doc_frequency": text_analysis.term_doc_frequency,
+        # JSONL source family roundtrip through the full extraction stack
+        "html_roundtrip_extract_jsonl": text_analysis.html_roundtrip_extract_jsonl,
         # ---- tier B (driver-green in rounds 1-3; twins/pins — still checked
         # by tools/check_oracles.py every round) -----------------------------
         "revenue_by_nation": relational.revenue_by_nation,
@@ -811,6 +824,46 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
             "FROM documents WHERE len(string_split(text, ' ')) >= 40 ORDER BY doc_id"
+        ),
+        "q5_local_supplier_volume": (
+            f"SELECT n_name, CAST(SUM({_CENTS.format(col='l_extendedprice')} * "
+            f"(100 - {_CENTS.format(col='l_discount')})) AS BIGINT) AS revenue_bp "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "GROUP BY n_name ORDER BY revenue_bp DESC, n_name"
+        ),
+        "customer_order_histogram": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1) GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+        ),
+        "orders_above_global_p95": (
+            f"WITH t AS (SELECT {_CENTS.format(col='o_totalprice')} AS cents, "
+            "o_orderpriority FROM orders), "
+            "q AS (SELECT quantile_disc(cents, 0.95) AS th FROM t) "
+            "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM t, q WHERE cents >= th GROUP BY 1 ORDER BY 1"
+        ),
+        "events_daily_distinct_users": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "term_doc_frequency": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "g AS (SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf "
+            "FROM w WHERE term <> '' GROUP BY 1) "
+            "SELECT term, df, tf FROM g WHERE df >= 5 "
+            "ORDER BY df DESC, term LIMIT 100"
+        ),
+        "html_roundtrip_extract_jsonl": (
+            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
         ),
         "html_roundtrip_extract_warc": (
             "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"

@@ -952,3 +952,260 @@ def events_user_hll(sf_dir: str, p: int = 10) -> pd.DataFrame:
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation within one region where the
+    customer and the line's supplier share the nation ("local supplier
+    volume"). Six tables; integer-exact basis-point revenue.
+
+    Scale shape: ONE co-partitioned exchange joins the two big tables
+    (lineitem pre-filtered to the needed columns, orders pre-filtered by
+    date) on l_orderkey == o_orderkey; the four dimension tables (customer,
+    supplier, nation, region) are genuinely small and broadcast once via
+    ``ray.put`` — the canonical star-join plan at 100 TB (fact-fact
+    co-partition + dimension broadcast, never a fact-table shuffle per dim).
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    region_nations = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_names = dict(zip(region_nations["n_nationkey"], region_nations["n_name"]))
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    names_ref = ray.put(nat_names)
+
+    lineitem = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["l_orderkey"].astype("int64"),
+                "suppkey": df["l_suppkey"].astype("int64"),
+                "rev_bp": _cents(df["l_extendedprice"].to_numpy())
+                * (100 - _cents(df["l_discount"].to_numpy())),
+                "custkey": np.int64(-1),
+                "side": np.uint8(0),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].astype("int64"),
+                "suppkey": np.int64(-1),
+                "rev_bp": np.int64(0),
+                "custkey": df["o_custkey"].astype("int64"),
+                "side": np.uint8(1),
+            }
+        )
+
+    u = lineitem.map_batches(tag_line, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        custmap = ray.get(cust_ref)
+        suppmap = ray.get(supp_ref)
+        names = ray.get(names_ref)
+        build = g[g["side"] == 1]
+        probe = g[g["side"] == 0]
+        if build.empty or probe.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "revenue_bp": pd.Series(dtype="int64")})
+        o_cust = dict(zip(build["key"], build["custkey"]))
+        ck = probe["key"].map(o_cust)
+        c_nat = ck.map(custmap)
+        s_nat = probe["suppkey"].map(suppmap)
+        keep = (c_nat == s_nat) & c_nat.map(names).notna()
+        kept = probe[keep]
+        if kept.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "revenue_bp": pd.Series(dtype="int64")})
+        out = pd.DataFrame(
+            {"n_name": c_nat[keep].map(names), "revenue_bp": kept["rev_bp"]}
+        )
+        return out.groupby("n_name", as_index=False).sum()
+
+    parts = hash_partitioned(u, ["key"], join_bucket, 16).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "revenue_bp": pd.Series(dtype="int64")})
+    final = parts.groupby("n_name", as_index=False).sum()
+    final = final.sort_values(
+        ["revenue_bp", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return final.astype({"revenue_bp": "int64"})
+
+
+def customer_order_histogram(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed, INCLUDING the zero-order bucket (the left-join-then-double-
+    aggregate classic).
+
+    Scale shape: orders exchange once by ``o_custkey`` (per-batch combiner
+    pre-counts), each partition reduces its customers to a (c_count ->
+    customers) mini-histogram plus an exact distinct-customer tally (exact
+    because the key is partition-complete), and the driver merges
+    histogram-sized partials. The zero bucket is total customers (a metadata
+    count) minus customers seen in orders — the customer table itself never
+    shuffles.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    total_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("o_custkey", as_index=False).size()
+        return agg.rename(columns={"size": "n"})
+
+    def histogram(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("o_custkey")["n"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame(
+            {"c_count": h.index.astype("int64"), "custdist": h.values.astype("int64")}
+        )
+
+    parts = hash_partitioned(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        histogram,
+        num_partitions,
+    ).to_pandas()
+    final = (
+        parts.groupby("c_count", as_index=False)["custdist"].sum()
+        if not parts.empty
+        else pd.DataFrame({"c_count": [], "custdist": []})
+    )
+    with_orders = int(final["custdist"].sum()) if len(final) else 0
+    zero = total_customers - with_orders
+    if zero > 0:
+        final = pd.concat(
+            [final, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    final = final.astype({"c_count": "int64", "custdist": "int64"})
+    return final.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def orders_above_global_p95(sf_dir: str, q: float = 0.95) -> pd.DataFrame:
+    """Two-phase global-percentile filter: compute the exact discrete p95 of
+    order value over the WHOLE table, then aggregate the orders at or above
+    it per priority — the "top-spend tail" report.
+
+    Scale shape: phase 1 builds the exact (value -> count) histogram with
+    map-side partials and one exchange by value (the value domain — cents
+    prices — is bounded, so the driver-side quantile walk reads a
+    histogram, never rows). Phase 2 streams the table once more with the
+    broadcast threshold. ``quantile_disc`` semantics match DuckDB:
+    sorted[ceil(q*n)-1].
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
+    )
+
+    def val_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.Series(_cents(df["o_totalprice"].to_numpy())).value_counts()
+        return pd.DataFrame({"v": c.index.astype("int64"), "n": c.values.astype("int64")})
+
+    def val_final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("v", as_index=False)["n"].sum()
+        return agg
+
+    hist = hash_partitioned(
+        orders.map_batches(val_partial, batch_format="pandas"), ["v"], val_final, 8
+    ).to_pandas()
+    hist = hist.sort_values("v").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    rank = int(np.ceil(q * total)) - 1  # DuckDB quantile_disc position
+    cum = hist["n"].cumsum()
+    thresh = int(hist.loc[cum > rank, "v"].iloc[0])
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["o_totalprice"].to_numpy())
+        keep = cents >= thresh
+        out = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"][keep], "cents": cents[keep]}
+        )
+        if out.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype="object"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "sum_cents": pd.Series(dtype="int64"),
+                }
+            )
+        g = out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return g
+
+    parts = orders.map_batches(above, batch_format="pandas").to_pandas()
+    final = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum")
+    )
+    return (
+        final.astype({"n_orders": "int64", "sum_cents": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+def events_daily_distinct_users(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """Per-day EXACT distinct users + event counts — the daily-active-users
+    report, distributed without a corpus-sized distinct.
+
+    Scale shape: each batch collapses to distinct (day, user) pairs carrying
+    a partial event count (the combiner), one exchange by day co-locates a
+    day's pairs, and each partition finishes with an exact ``nunique`` —
+    the exchange carries at most (days x users) slim rows, not events.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (
+            pd.DataFrame({"day": day, "user_id": df["user_id"].astype("int64")})
+            .groupby(["day", "user_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("day").agg(
+            n_users=("user_id", "nunique"), n_events=("n", "sum")
+        )
+        return agg.reset_index()
+
+    parts = hash_partitioned(
+        ds.map_batches(partial, batch_format="pandas"), ["day"], finish, num_partitions
+    ).to_pandas()
+    return (
+        parts.astype({"n_users": "int64", "n_events": "int64"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )

@@ -560,3 +560,131 @@ def doc_stratified_sample(
         .reset_index(drop=True)
         .astype({"doc_id": "int64"})
     )
+
+
+def term_doc_frequency(
+    sf_dir: str, min_df: int = 5, k: int = 100, num_partitions: int = 16
+) -> pd.DataFrame:
+    """Word-level inverted-index statistics: for each term, the document
+    frequency (docs containing it) and total term frequency, keeping terms
+    with ``df >= min_df`` and reporting the top ``k`` by (df DESC, term) —
+    the index-build / vocabulary-pruning primitive.
+
+    Scale shape: the classic combiner dataflow — each batch collapses its
+    docs to per-term (tf, df) partials (df is an exact partial because a
+    document never spans batches), ONE exchange by term completes each
+    term's counts inside its partition, the df floor + per-partition top-k
+    prune there (valid: terms are partition-complete), and the driver merges
+    ``partitions x k`` rows.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf: dict[str, int] = {}
+        dfreq: dict[str, int] = {}
+        for text in df["text"]:
+            words = [w for w in (text or "").split(" ") if w]
+            if not words:
+                continue
+            seen = set()
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+                seen.add(w)
+            for w in seen:
+                dfreq[w] = dfreq.get(w, 0) + 1
+        return pd.DataFrame(
+            {
+                "term": list(tf.keys()),
+                "tf": pd.Series(list(tf.values()), dtype="int64"),
+                "df": pd.Series([dfreq[t] for t in tf.keys()], dtype="int64"),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", as_index=False).agg(
+            tf=("tf", "sum"), df=("df", "sum")
+        )
+        agg = agg[agg["df"] >= min_df]
+        agg = agg.sort_values(["df", "term"], ascending=[False, True]).head(k)
+        return agg
+
+    parts = hash_partitioned(
+        ds.map_batches(partial, batch_format="pandas"), ["term"], finish, num_partitions
+    ).to_pandas()
+    final = parts.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    return final[["term", "df", "tf"]].astype({"df": "int64", "tf": "int64"}).reset_index(
+        drop=True
+    )
+
+
+def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
+    """The roundtrip-extract semantics through the **JSONL ingestion path**
+    (the third source family beside parquet and WARC): documents are
+    serialized to newline-delimited JSON shards (written once per sf_dir
+    under /tmp, deterministic bytes), read back with ``ray.data.read_json``
+    (Arrow NDJSON reader, file-per-task), and each payload runs the full
+    tokenizer + DOM + boilerplate strip. The SQL oracle is the original
+    text — writer, JSON escaping, reader AND the extraction stack must
+    roundtrip exactly.
+    """
+    import hashlib as _hashlib
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    src = f"{sf_dir}/documents.parquet"
+    tbl = _pq.read_table(src, columns=["doc_id", "text"])
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"{os.path.abspath(src)}:{tbl.num_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    shard_dir = f"/tmp/graft_jsonl_{key}"
+    marker = os.path.join(shard_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        ids = tbl.column("doc_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        per_shard = 200  # multiple files -> file-per-task read parallelism
+        for s0 in range(0, len(ids), per_shard):
+            tmp = os.path.join(shard_dir, f"part-{s0 // per_shard:05d}.jsonl.part")
+            with open(tmp, "w", encoding="utf-8") as f:
+                for d, t in zip(ids[s0 : s0 + per_shard], texts[s0 : s0 + per_shard]):
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": int(d), "html": _PAGE_TEMPLATE.format(text=t)},
+                            ensure_ascii=False,
+                        )
+                    )
+                    f.write("\n")
+            os.replace(tmp, tmp[: -len(".part")])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    import glob as _glob
+
+    ds = ray.data.read_json(sorted(_glob.glob(os.path.join(shard_dir, "*.jsonl"))))
+
+    def extract_from_json(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pages = batch.column("html").to_pylist()
+        texts = []
+        for p in pages:
+            doc = parse_html(p.encode("utf-8"))
+            blocks = extract_text_blocks(doc)
+            texts.append(b" ".join(blocks).decode("utf-8", "replace"))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "main_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    out = ds.map_batches(extract_from_json, batch_format="pyarrow")
+    return sort_output(
+        out,
+        ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("main_text", pa.string())]),
+    )
