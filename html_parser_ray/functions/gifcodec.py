@@ -78,6 +78,10 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    # spec range is 2..8 (image bit depth); a corrupted byte here must fail
+    # TYPED — 1 << mcs past 8 would build an invalid >256-entry base table
+    if not 1 <= min_code_size <= 8:
+        raise GifError(f"invalid LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     pos = 0  # bit position
@@ -182,6 +186,8 @@ def decode_gif(payload: bytes) -> dict:
     updates)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF (missing GIF87a/GIF89a header)")
+    if len(payload) < 14:
+        raise GifError("truncated header")
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
@@ -189,6 +195,8 @@ def decode_gif(payload: bytes) -> dict:
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if len(payload) < pos + 3 * n:
+            raise GifError("truncated global color table")
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
             n, 3
         )
@@ -211,6 +219,8 @@ def decode_gif(payload: bytes) -> dict:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos + 2 >= len(payload):
+                raise GifError("truncated extension block")
             label = payload[pos + 1]
             if label == 0xF9:  # Graphic Control Extension
                 size = payload[pos + 2]
@@ -222,6 +232,8 @@ def decode_gif(payload: bytes) -> dict:
                 pos = skip_subblocks(pos + 2)
             continue
         if block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise GifError("truncated image descriptor")
             left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
             top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
@@ -231,6 +243,8 @@ def decode_gif(payload: bytes) -> dict:
             pal = gct
             if iflags & 0x80:  # local color table
                 n = 2 << (iflags & 0x07)
+                if len(payload) < pos + 3 * n:
+                    raise GifError("truncated local color table")
                 pal = np.frombuffer(
                     payload[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
@@ -239,6 +253,8 @@ def decode_gif(payload: bytes) -> dict:
                 raise GifError("image without any color table")
             if iflags & 0x40:
                 raise GifError("interlaced GIFs not supported")
+            if pos >= len(payload):
+                raise GifError("truncated before LZW data")
             mcs = payload[pos]
             pos += 1
             chunks = bytearray()
@@ -253,6 +269,8 @@ def decode_gif(payload: bytes) -> dict:
             arr = np.frombuffer(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
             if int(arr.max(initial=0)) >= len(pal):
                 raise GifError("pixel index outside color table")
+            if top + ih > h or left + iw > w:
+                raise GifError("frame rectangle outside logical screen")
             canvas = canvas.copy()
             canvas[top : top + ih, left : left + iw] = pal[arr]
             ts_ms += delay_ms

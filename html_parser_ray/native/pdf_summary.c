@@ -564,14 +564,27 @@ i64 hpr_pdf_layout_spans(const u8 *payload, i64 n, u8 *text_out, i64 text_cap,
         for (i64 pi = 0; pi < n_pages; pi++) {
             i64 s, e;
             if (!obj_lookup(&tab, pages[pi], &s, &e)) goto done;
-            /* array-form "/Contents [N 0 R ...]": decline to Python, which
-             * parses both forms — keeps C/Python output parity. */
+            /* every "/Contents" in the page must be followed by a fully
+             * well-formed single ref "N 0 R" — otherwise decline to Python,
+             * which either parses the array form or raises PdfError. A
+             * silent skip here would diverge from Python's strictness on
+             * mangled refs (found by mutation fuzz). */
             {
                 i64 ck = find(payload, s, e, "/Contents");
                 while (ck >= 0) {
                     i64 w = ck + 9;
                     while (w < e && is_ws(payload[w])) w++;
-                    if (w < e && payload[w] == '[') goto done;
+                    int ok = 0;
+                    if (w < e && is_digit(payload[w])) {
+                        i64 q = w;
+                        i64 num = parse_int(payload, e, &q);
+                        i64 q2 = skip_ws_min1(payload, e, q);
+                        if (num >= 0 && q2 > 0 && q2 < e && payload[q2] == '0') {
+                            i64 q3 = skip_ws_min1(payload, e, q2 + 1);
+                            if (q3 > 0 && q3 < e && payload[q3] == 'R') ok = 1;
+                        }
+                    }
+                    if (!ok) goto done;
                     ck = find(payload, ck + 9, e, "/Contents");
                 }
             }
