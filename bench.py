@@ -24,9 +24,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# corpus scale for the headline extraction job: sized so the job runs tens of
-# seconds at 32 cpus (same input at every parallelism level — seed fixed)
-CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "180000"))
+# corpus scale for the headline extraction job: sized so the job runs long
+# enough at 32 cpus that pool ramp-up/drain doesn't dominate (same input at
+# every parallelism level — seed fixed). r4 doubled the default from 180k:
+# at 180k the extract stage finishes in ~1.7-3s and ramp effects eat ~25% of
+# steady-state throughput (same-window A/B: 62.9k -> 82.6k raw docs/s);
+# per-doc work is identical, so docs/s stays comparable across rounds.
+CORPUS_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "360000"))
 CORPUS_GIANT_EVERY = 15000
 
 
@@ -446,7 +450,10 @@ SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "1"))
 # per-round 1->4 spread of only 0.932-0.954). The corpus repeat keeps input
 # byte-identical at every level, and with layout_memo=False repeats do not
 # distort per-level work.
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "3"))
+# r4: the bench corpus doubled to 360k docs, so repeat=2 gives a longer
+# per-level job than r3's repeat=3 x 180k did (the >=12s-at-largest-level
+# rule that keeps fixed costs out of the efficiency)
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "2"))
 
 
 def _scaling_level(slots: int) -> dict:
@@ -628,10 +635,11 @@ def main_scaling() -> dict:
     }
 
 
-GATE_FLOOR_DOCS_PER_S = 40_000.0  # measured ~80-100k with the native
-# extractor in html-only mode (host load drifts 2x on this box; floor sits
-# at ~half the low end) — the reference's analog is the stable-profile
-# bench hard-fail (tools/scripts.zig:1433-1448)
+GATE_FLOOR_DOCS_PER_S = 60_000.0  # r4, calibrated + 360k corpus: measured
+# 105.8k raw best-of-3 at ratio 0.73 (144k calibrated) — the floor sits at
+# ~40% of the calibrated band so host-drift residue can't flake it while a
+# real kernel regression (>2x) still fails the build. The reference's
+# analog is the stable-profile bench hard-fail (tools/scripts.zig:1433-1448)
 
 
 def main_gate() -> int:
