@@ -582,23 +582,27 @@ def term_doc_frequency(
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        tf: dict[str, int] = {}
-        dfreq: dict[str, int] = {}
-        for text in df["text"]:
-            words = [w for w in (text or "").split(" ") if w]
-            if not words:
-                continue
-            seen = set()
-            for w in words:
-                tf[w] = tf.get(w, 0) + 1
-                seen.add(w)
-            for w in seen:
-                dfreq[w] = dfreq.get(w, 0) + 1
+        # vectorized combiner: one explode + two value_counts (C speed) —
+        # no Python per-token loop in the hot path
+        exploded = df["text"].fillna("").str.split(" ").explode()
+        exploded = exploded[exploded != ""]
+        if exploded.empty:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(dtype="object"),
+                    "tf": pd.Series(dtype="int64"),
+                    "df": pd.Series(dtype="int64"),
+                }
+            )
+        tf = exploded.value_counts()
+        # df partial: distinct (doc-row, term) pairs, then count per term
+        pairs = exploded.reset_index().drop_duplicates()
+        dfreq = pairs[exploded.name or "text"].value_counts()
         return pd.DataFrame(
             {
-                "term": list(tf.keys()),
-                "tf": pd.Series(list(tf.values()), dtype="int64"),
-                "df": pd.Series([dfreq[t] for t in tf.keys()], dtype="int64"),
+                "term": tf.index,
+                "tf": tf.values.astype("int64"),
+                "df": dfreq.reindex(tf.index).values.astype("int64"),
             }
         )
 
