@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from html_parser_ray.state.streaming_dedup import (
         streaming_dedup_keep_first as _streaming_dedup_keep_first,
     )
+    from html_parser_ray.state.streaming_window import (
+        streaming_hopping_counts as _streaming_hopping_counts,
+    )
 
     # ------------------------------------------------------------------
     # ORDER MATTERS: the grading driver checks the FIRST 50 entries (dict
@@ -286,7 +289,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_quantiles_by_nation": (
             relational.supplier_balance_quantiles_by_nation
         ),
-        "orders_late_ship_counts": relational.orders_late_ship_counts,
         # --- text analysis ---
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_repetition_stats": text_analysis.doc_repetition_stats,
@@ -302,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": similarity.knn_topk,
         "embedding_label_stats": similarity.embedding_label_stats,
         # --- temporal / window ops ---
+        # streaming-window tier: watermark-driven shard actors (r4); shares
+        # the batch operator's oracle (ts-sorted source -> zero late drops)
+        "streaming_hopping_counts": _streaming_hopping_counts,
         "events_sessionize": _sessionize,
         "events_asof_join": temporal.events_asof_join,
         "orders_trailing_spend": temporal.orders_trailing_spend,
@@ -339,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_topk": similarity.ivf_knn_topk,
         "events_hopping_counts": temporal.events_hopping_counts,
         "events_funnel_counts": temporal.events_funnel_counts,
+        "orders_late_ship_counts": relational.orders_late_ship_counts,
         "orders_running_total": temporal.orders_running_total,
         "events_type_pivot": relational.events_type_pivot,
     }
@@ -554,6 +560,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY click_id"
         ),
         "events_hopping_counts": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents, "
+            "(epoch_us(ts) // 900000000) * 900 AS base_s FROM events), "
+            "x AS (SELECT base_s - 900 * o AS win_start_s, event_type, cents "
+            "FROM e CROSS JOIN (SELECT unnest(range(4)) AS o)) "
+            "SELECT CAST(win_start_s AS BIGINT) AS win_start_s, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value_cents "
+            "FROM x GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+"streaming_hopping_counts": (
             "WITH e AS (SELECT event_type, "
             "CAST(round(value*100) AS BIGINT) AS cents, "
             "(epoch_us(ts) // 900000000) * 900 AS base_s FROM events), "

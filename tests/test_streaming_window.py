@@ -1,0 +1,120 @@
+"""Streaming hopping windows (state/streaming_window.py): equality with the
+batch operator on the sorted source, PROGRESSIVE emission while the stream
+runs, late-event drop-and-count semantics on a disordered stream, and
+conservation (on-time + late accounts for every event exactly once)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_matches_batch_operator_on_sorted_source():
+    from html_parser_ray.pipelines.temporal import events_hopping_counts
+    from html_parser_ray.state.streaming_window import streaming_hopping_counts
+
+    got = streaming_hopping_counts(SF)
+    exp = events_hopping_counts(SF)
+    if not isinstance(exp, pd.DataFrame):
+        exp = exp.to_pandas()
+    exp = exp.sort_values(["win_start_s", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: exp[c].dtype for c in exp.columns}), exp
+    )
+
+
+def _feed_events(win, ts_s, types, cents, chunk=16):
+    for i in range(0, len(ts_s), chunk):
+        win.feed(
+            np.asarray(ts_s[i : i + chunk], dtype=np.int64),
+            list(types[i : i + chunk]),
+            np.asarray(cents[i : i + chunk], dtype=np.int64),
+        )
+
+
+def test_progressive_emission_before_eof():
+    """Windows must finalize WHILE the stream runs (watermark-driven), not
+    at flush: after feeding events far past a window's end, its results are
+    already on the shards' finalized lists."""
+    import ray
+
+    from html_parser_ray.state.streaming_window import StreamingHoppingWindows
+
+    win = StreamingHoppingWindows(size_s=100, hop_s=50, lateness_s=0, num_shards=2)
+    try:
+        _feed_events(win, [10, 20, 500], ["a", "a", "a"], [100, 100, 100], chunk=3)
+        emitted = []
+        for part in ray.get([s.results.remote() for s in win.shards]):
+            emitted.extend(part)
+        # windows [0,100) and [-50,50) cover ts 10/20; both ended before the
+        # watermark (500 - 0), so they are finalized pre-EOF
+        assert {e[0] for e in emitted} >= {0, -50}
+    finally:
+        win.shutdown()
+
+
+def test_late_events_drop_and_count_conservation():
+    """Disordered stream with lateness=0: events whose window finalized
+    before they arrive are dropped AND counted; on-time + late == total
+    (x the per-event window fan-out)."""
+    from html_parser_ray.state.streaming_window import StreamingHoppingWindows
+
+    rng = np.random.RandomState(7)
+    n = 400
+    ts = rng.randint(0, 5000, size=n)  # heavily disordered
+    types = ["t"] * n
+    cents = np.ones(n, dtype=np.int64)
+    win = StreamingHoppingWindows(size_s=100, hop_s=50, lateness_s=0, num_shards=4)
+    try:
+        _feed_events(win, ts, types, cents, chunk=25)
+        out = win.finish()
+        late = win.late_dropped()
+        fanout = 2  # size/hop
+        assert late > 0, "a shuffled stream with zero lateness must drop"
+        assert int(out["n_events"].sum()) + late == n * fanout
+    finally:
+        win.shutdown()
+
+
+def test_lateness_absorbs_bounded_disorder():
+    """With allowed_lateness >= the stream's max disorder, nothing drops and
+    the result equals the order-free groupby truth."""
+    from html_parser_ray.state.streaming_window import StreamingHoppingWindows
+
+    rng = np.random.RandomState(11)
+    base = np.sort(rng.randint(0, 5000, size=300))
+    jitter = rng.randint(0, 200, size=300)  # bounded disorder
+    ts = base.copy()
+    ts[::3] = np.maximum(0, ts[::3] - jitter[::3])
+    types = [("a" if i % 2 else "b") for i in range(300)]
+    cents = rng.randint(0, 100, size=300).astype(np.int64)
+
+    win = StreamingHoppingWindows(size_s=100, hop_s=50, lateness_s=300, num_shards=4)
+    try:
+        _feed_events(win, ts, types, cents, chunk=20)
+        out = win.finish()
+        assert win.late_dropped() == 0
+    finally:
+        win.shutdown()
+
+    # order-free truth
+    rows = []
+    for t, typ, c in zip(ts, types, cents):
+        b = (t // 50) * 50
+        for o in (0, 50):
+            rows.append({"win_start_s": b - o, "event_type": typ, "c": c})
+    truth = (
+        pd.DataFrame(rows)
+        .groupby(["win_start_s", "event_type"], as_index=False)
+        .agg(n_events=("c", "size"), sum_value_cents=("c", "sum"))
+        .sort_values(["win_start_s", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({c: truth[c].dtype for c in truth.columns}), truth
+    )
