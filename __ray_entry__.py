@@ -285,7 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "customers_inactive_by_nation": relational.customers_inactive_by_nation,
         "shipping_priority": relational.shipping_priority,
-        "orders_rollup": relational.orders_rollup,
+        # CUBE supersedes ROLLUP (its grouping sets are a strict superset);
+        # the rollup form stays oracle-checked in tier B
+        "orders_cube": relational.orders_cube,
         "supplier_balance_quantiles_by_nation": (
             relational.supplier_balance_quantiles_by_nation
         ),
@@ -345,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_counts": temporal.events_hopping_counts,
         "events_funnel_counts": temporal.events_funnel_counts,
         "orders_late_ship_counts": relational.orders_late_ship_counts,
+        "orders_rollup": relational.orders_rollup,
         "orders_running_total": temporal.orders_running_total,
         "events_type_pivot": relational.events_type_pivot,
     }
@@ -703,6 +706,15 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM({_CENTS.format(col='o_totalprice')}) AS BIGINT) "
             "AS total_cents "
             "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+            "ORDER BY 1, 2"
+        ),
+        "orders_cube": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            f"CAST(SUM({_CENTS.format(col='o_totalprice')}) AS BIGINT) "
+            "AS total_cents "
+            "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) "
             "ORDER BY 1, 2"
         ),
         "supplier_balance_quantiles_by_nation": (

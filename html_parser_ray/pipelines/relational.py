@@ -1209,3 +1209,59 @@ def events_daily_distinct_users(sf_dir: str, num_partitions: int = 8) -> pd.Data
         .sort_values("day")
         .reset_index(drop=True)
     )
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """**CUBE (all grouping sets) aggregate**: order counts and exact-cents
+    totals at all four levels of (priority, status) — (p, s), (p, ALL),
+    (ALL, s), (ALL, ALL) — in one pass.
+
+    Same scale shape as ``orders_rollup``: COUNT/SUM are distributive, so
+    only the FINEST grouping touches the data (per-batch combiner partials
+    -> one tiny combine at priority x status cardinality); every coarser
+    set derives exactly from the finest level driver-side. CUBE adds the
+    (ALL, status) set ROLLUP omits — still zero extra scans or shuffles.
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"].astype(str),
+                "o_orderstatus": df["o_orderstatus"].astype(str),
+                "n_orders": np.int64(1),
+                "total_cents": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+        return out.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).sum()
+
+    finest = _final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["n_orders", "total_cents"],
+    )
+    sums = ["n_orders", "total_cents"]
+    by_prio = finest.groupby("o_orderpriority", as_index=False)[sums].sum()
+    by_prio["o_orderstatus"] = "ALL"
+    by_status = finest.groupby("o_orderstatus", as_index=False)[sums].sum()
+    by_status["o_orderpriority"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [finest["n_orders"].sum()],
+            "total_cents": [finest["total_cents"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_prio, by_status, total], ignore_index=True)
+    return (
+        out[["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]]
+        .astype({"n_orders": "int64", "total_cents": "int64"})
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )

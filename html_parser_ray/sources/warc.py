@@ -239,3 +239,51 @@ def read_warc(paths: "str | list[str]", concurrency: int | None = None):
             )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def write_warc_dataset(
+    ds,
+    out_dir: str,
+    gzip_records: bool = True,
+    uri_col: str = "uri",
+    payload_col: str = "payload",
+) -> int:
+    """Distributed WARC SINK: write a Dataset of ``(uri, payload)`` rows as
+    per-task gzipped WARC shards under ``out_dir`` — the write-side complement
+    of ``read_warc`` (a crawl pipeline both ingests AND re-emits shards, e.g.
+    after filtering/dedup).
+
+    Scale shape: each map task serializes ITS batch to one shard file (no
+    driver funnel, no shuffle) with a content-addressed name —
+    ``part-<md5(first uri|rows)>.warc.gz`` — so re-running a failed task
+    overwrites its own shard idempotently instead of duplicating records
+    (the same resumability discipline as the parquet sink's manifests).
+    Atomic rename per shard: readers never observe partial files. Returns
+    the record count written.
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64")})
+        uris = list(df[uri_col])
+        payloads = [
+            p if isinstance(p, (bytes, bytearray)) else str(p).encode("utf-8")
+            for p in df[payload_col]
+        ]
+        tag = hashlib.md5(f"{uris[0]}|{len(uris)}".encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{tag}.warc.gz" if gzip_records else f"part-{tag}.warc")
+        tmp = path + ".part"
+        n = write_warc(tmp, zip(uris, payloads), gzip_records=gzip_records)
+        os.replace(tmp, path)
+        return pd.DataFrame({"n": [n]})
+
+    import pyarrow as pa  # noqa: F401  (schema stability of the count column)
+
+    parts = ds.map_batches(write_shard, batch_format="pandas").to_pandas()
+    return int(parts["n"].sum()) if len(parts) else 0

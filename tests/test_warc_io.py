@@ -154,3 +154,35 @@ def test_truncated_final_gzip_member_raises(tmp_path):
     # the full record set must still come back (no raise, no silent drop)
     for cut in (5, 9):
         assert parse_warc_bytes(raw[:-cut]) == RECORDS
+
+
+def test_dataset_sink_roundtrip(tmp_path, ray_session):
+    """write_warc_dataset (distributed sink) -> read_warc recovers every
+    record; shard names are content-addressed (idempotent re-run) and no
+    .part temp files remain."""
+    import glob
+
+    import ray.data
+
+    from html_parser_ray.sources.warc import read_warc, write_warc_dataset
+
+    rows = [
+        {"uri": f"https://s.test/{i}", "payload": f"<p>doc {i}</p>".encode()}
+        for i in range(60)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = str(tmp_path / "shards")
+    n = write_warc_dataset(ds, out)
+    assert n == 60
+    shards = sorted(glob.glob(out + "/part-*.warc.gz"))
+    assert len(shards) >= 2  # parallel tasks -> multiple shards
+    assert not glob.glob(out + "/*.part")
+    got = read_warc(shards).to_pandas()
+    got = got.sort_values("uri").reset_index(drop=True)
+    assert len(got) == 60
+    by_uri = {r["uri"]: r["payload"] for r in rows}
+    for u, p in zip(got["uri"], got["payload"]):
+        assert by_uri[u] == p
+    # idempotent re-run: same shard set, no duplicates
+    write_warc_dataset(ray.data.from_items(rows).repartition(4), out)
+    assert sorted(glob.glob(out + "/part-*.warc.gz")) == shards
