@@ -242,11 +242,13 @@ def run_extraction_bench(
     from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
-        # r3 sweep with the PDF layout branch inline (extract-bound): 20
-        # actors best (14: 33.4k, 20: 35.0k, 24: 32.4k, 28: 31.8k docs/s);
-        # the html-only mode is read-bound and saturates at 12-16
-        default_slots = "20" if layout_pdf_decode else "14"
-        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", default_slots))
+        # r4 sweep on the 360k corpus (probe-calibrated, both modes): the
+        # host's ~13 effective cores make slots BEYOND saturation pure
+        # contention — html-only calibrated 135-160k at 10-16 slots vs 127k
+        # at 20 / 101k at 24 / 94k at 28; full mode 87-97k at 12-16 vs 88k
+        # at 20. (r3's "20 best" was measured on the 180k corpus where ramp
+        # dominated.) 16 covers effective capacity plus read overlap.
+        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "16"))
         extract_slots = max(2, min(num_cpus - 2, max_slots))
 
     import pyarrow.compute as pc
