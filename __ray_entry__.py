@@ -288,14 +288,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUBE supersedes ROLLUP (its grouping sets are a strict superset);
         # the rollup form stays oracle-checked in tier B
         "orders_cube": relational.orders_cube,
-        "supplier_balance_quantiles_by_nation": (
-            relational.supplier_balance_quantiles_by_nation
-        ),
         # --- text analysis ---
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_repetition_stats": text_analysis.doc_repetition_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         # --- dedup scale paths ---
+        # sequence packing = distributed GLOBAL prefix sum (two-phase scan)
+        "doc_pack_assignments": text_analysis.doc_pack_assignments,
         "exact_dedup": dedup.exact_dedup,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
@@ -348,6 +347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_counts": temporal.events_funnel_counts,
         "orders_late_ship_counts": relational.orders_late_ship_counts,
         "orders_rollup": relational.orders_rollup,
+        "supplier_balance_quantiles_by_nation": (
+            relational.supplier_balance_quantiles_by_nation
+        ),
         "orders_running_total": temporal.orders_running_total,
         "events_type_pivot": relational.events_type_pivot,
     }
@@ -426,6 +428,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_pack_assignments": (
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS before FROM t) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(before // 4096 AS BIGINT) AS pack_id FROM c ORDER BY doc_id"
         ),
         "doc_token_stats": (
             "SELECT lang, COUNT(*) AS n_docs, "

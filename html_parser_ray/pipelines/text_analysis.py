@@ -692,3 +692,99 @@ def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
         ["doc_id"],
         pa.schema([("doc_id", pa.int64()), ("main_text", pa.string())]),
     )
+
+
+def doc_pack_assignments(
+    sf_dir: str, budget_tokens: int = 4096, num_ranges: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Sequence-packing assignment: give every document the pack it starts
+    in when documents are laid out in doc_id order under a fixed per-pack
+    token budget — the contiguous-packing step a pretraining pipeline runs
+    before tokenization (pack_id = tokens_before // budget).
+
+    This is the **distributed global prefix sum** (scan) primitive, a shape
+    none of the other operators needed: no partition key exists (the running
+    total spans the WHOLE corpus in doc_id order). Two-phase scan, the
+    textbook cluster form:
+
+      1. range-partition by doc_id (uniform ranges from the table's min/max
+         — token counts are computed map-side and only slim (doc_id,
+         n_tokens) rows move); per-range token totals to the driver
+         (num_ranges rows — bounded by construction);
+      2. driver prefix-sums the range totals (num_ranges additions) and
+         broadcasts the offsets; each range assigns pack_id from its local
+         cumsum plus its offset, fully parallel.
+
+    No global sort barrier, no corpus-sized driver pull; the exchange
+    carries two ints per document. Token definition matches
+    ``doc_token_stats`` (``len(string_split(text, ' '))``) so the DuckDB
+    window-function oracle is value-exact.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    path = f"{sf_dir}/documents.parquet"
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    scan = pads.dataset(path, format="parquet")
+    # min/max from column statistics-scale scan (doc_id column only)
+    mm = scan.to_table(columns=["doc_id"])
+    lo = pc.min(mm.column("doc_id")).as_py()
+    hi = pc.max(mm.column("doc_id")).as_py()
+    span = max(1, hi - lo + 1)
+
+    ds = read_table(path, columns=["doc_id", "text"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        toks = [len(t.split(" ")) if t else 0 for t in df["text"]]
+        rng = ((ids - lo) * num_ranges // span).astype("int64")
+        return pd.DataFrame(
+            {"range_id": rng, "doc_id": ids, "n_tokens": pd.Series(toks, dtype="int64")}
+        )
+
+    slim_ds = ds.map_batches(slim, batch_format="pandas").materialize()
+
+    # phase 1: per-range totals (bounded: num_ranges rows). NOTE a hash
+    # partition may hold SEVERAL range_ids — group inside the partition.
+    def range_total(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("range_id", as_index=False)["n_tokens"].sum()
+        return agg.rename(columns={"n_tokens": "total"})
+
+    totals = hash_partitioned(slim_ds, ["range_id"], range_total, num_ranges).to_pandas()
+    totals = totals.sort_values("range_id").reset_index(drop=True)
+    offsets = {}
+    acc = 0
+    for r, t in zip(totals["range_id"], totals["total"]):
+        offsets[int(r)] = acc
+        acc += int(t)
+    offsets_ref = ray.put(offsets)
+
+    # phase 2: per-range local cumsum + broadcast offset -> pack ids (again
+    # grouping inside the partition: ranges only guarantee co-location)
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        offs = _ray.get(offsets_ref)
+        parts = []
+        for rid, gr in g.groupby("range_id"):
+            gr = gr.sort_values("doc_id")
+            before = gr["n_tokens"].cumsum().shift(fill_value=0) + offs[int(rid)]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": gr["doc_id"].to_numpy(),
+                        "n_tokens": gr["n_tokens"].to_numpy(),
+                        "pack_id": (before // budget_tokens)
+                        .astype("int64")
+                        .to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("pack_id", pa.int64())]
+    )
+    out = hash_partitioned(slim_ds, ["range_id"], assign, num_ranges, out_schema=out_schema)
+    return sort_output(out, ["doc_id"], out_schema)
