@@ -11,6 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 from examples import (
     curation_pipeline,
+    streaming_and_packing,
     warc_ingest,
     dedup_pipeline,
     extraction_pipeline,
@@ -29,6 +30,7 @@ SCRIPTS = [
     resumable_job,
     curation_pipeline,
     hygiene_pipeline,
+    streaming_and_packing,
 ]
 
 
