@@ -268,12 +268,16 @@ class ExtractSpansBatch:
         total_bytes = int(lens_all.sum())
         if total_bytes > (1 << 31) - 1 or len(src) > (1 << 31) - 1:
             return None  # int32 Arrow offsets would overflow; Python fallback
-        # multi-range gather: out[k] = src[starts[j] + k - out_start[j]]
+        # multi-range gather: out[k] = src[starts[j] + k - out_start[j]].
+        # int32 index math: the bounds check above guarantees every index
+        # fits, and the index array is the dominant memory traffic of the
+        # whole emit (one element PER OUTPUT BYTE) — halving its width
+        # matters when 16 actors share the memory bus.
         shift = np.zeros(total_out, dtype=np.int64)
         np.cumsum(lens_all[:-1], out=shift[1:])
-        gather_idx = np.repeat(starts_all - shift, lens_all) + np.arange(
-            total_bytes, dtype=np.int64
-        )
+        gather_idx = np.repeat(
+            (starts_all - shift).astype(np.int32), lens_all
+        ) + np.arange(total_bytes, dtype=np.int32)
         values = src[gather_idx]
         val_offs = np.zeros(total_out + 1, dtype=np.int64)
         np.cumsum(lens_all, out=val_offs[1:])
