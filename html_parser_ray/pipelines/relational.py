@@ -1107,40 +1107,97 @@ def customer_order_histogram(sf_dir: str, num_partitions: int = 16) -> pd.DataFr
     ).reset_index(drop=True)
 
 
+def _distributed_quantile_disc(
+    ds: "ray.data.Dataset",
+    values_fn,
+    q: float,
+    shift: int = 16,
+    num_partitions: int = 8,
+) -> int:
+    """Exact discrete quantile (DuckDB ``quantile_disc``: sorted value at
+    position ceil(q*n)-1) over a Dataset, with DRIVER PULLS BOUNDED AT ANY
+    DOMAIN SIZE — the two-level histogram drill-down:
+
+    1. coarse pass: per-batch counts of ``value >> shift`` buckets, one
+       exchange by bucket — the driver walk sees at most
+       domain/2^shift rows;
+    2. fine pass: exact value counts restricted to the single bucket that
+       contains the target rank — at most 2^shift rows.
+
+    Two streaming passes instead of one, in exchange for never pulling a
+    full distinct-value histogram (60M+ rows for cents prices at 100 TB).
+    ``values_fn(df) -> int64 ndarray`` extracts the value column.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    def agg_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)["n"].sum()
+
+    def coarse_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.Series(values_fn(df) >> shift).value_counts()
+        return pd.DataFrame(
+            {"v": c.index.astype("int64"), "n": c.values.astype("int64")}
+        )
+
+    coarse = hash_partitioned(
+        ds.map_batches(coarse_partial, batch_format="pandas"),
+        ["v"],
+        agg_counts,
+        num_partitions,
+    ).to_pandas()
+    coarse = coarse.sort_values("v").reset_index(drop=True)
+    total = int(coarse["n"].sum())
+    rank = int(np.ceil(q * total)) - 1
+    cum = coarse["n"].cumsum()
+    hit = int(cum.searchsorted(rank, side="right"))
+    bucket = int(coarse["v"].iloc[hit])
+    rank_in_bucket = rank - (int(cum.iloc[hit - 1]) if hit > 0 else 0)
+
+    def fine_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = values_fn(df)
+        vals = vals[(vals >> shift) == bucket]
+        if len(vals) == 0:
+            return pd.DataFrame(
+                {"v": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        c = pd.Series(vals).value_counts()
+        return pd.DataFrame(
+            {"v": c.index.astype("int64"), "n": c.values.astype("int64")}
+        )
+
+    fine = hash_partitioned(
+        ds.map_batches(fine_partial, batch_format="pandas"),
+        ["v"],
+        agg_counts,
+        num_partitions,
+    ).to_pandas()
+    fine = fine.sort_values("v").reset_index(drop=True)
+    fcum = fine["n"].cumsum()
+    return int(fine["v"].iloc[int(fcum.searchsorted(rank_in_bucket, side="right"))])
+
+
 def orders_above_global_p95(sf_dir: str, q: float = 0.95) -> pd.DataFrame:
     """Two-phase global-percentile filter: compute the exact discrete p95 of
     order value over the WHOLE table, then aggregate the orders at or above
     it per priority — the "top-spend tail" report.
 
-    Scale shape: phase 1 builds the exact (value -> count) histogram with
-    map-side partials and one exchange by value (the value domain — cents
-    prices — is bounded, so the driver-side quantile walk reads a
-    histogram, never rows). Phase 2 streams the table once more with the
-    broadcast threshold. ``quantile_disc`` semantics match DuckDB:
+    Scale shape: the exact quantile comes from a COARSE-then-FINE histogram
+    drill-down, so the driver pull is bounded at ANY value-domain size
+    (never the distinct-value histogram itself): pass 1 counts coarse
+    buckets (value >> shift) — at most 2^16 rows reach the driver; the
+    bucket containing the target rank is found by a cumulative walk; pass 2
+    counts exact values INSIDE that one bucket only (<= 2^shift rows).
+    The final phase streams the table once more with the broadcast
+    threshold. ``quantile_disc`` semantics match DuckDB:
     sorted[ceil(q*n)-1].
     """
-    from html_parser_ray.pipelines.shuffle import hash_partitioned
-
     orders = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
     )
 
-    def val_partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = pd.Series(_cents(df["o_totalprice"].to_numpy())).value_counts()
-        return pd.DataFrame({"v": c.index.astype("int64"), "n": c.values.astype("int64")})
-
-    def val_final(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("v", as_index=False)["n"].sum()
-        return agg
-
-    hist = hash_partitioned(
-        orders.map_batches(val_partial, batch_format="pandas"), ["v"], val_final, 8
-    ).to_pandas()
-    hist = hist.sort_values("v").reset_index(drop=True)
-    total = int(hist["n"].sum())
-    rank = int(np.ceil(q * total)) - 1  # DuckDB quantile_disc position
-    cum = hist["n"].cumsum()
-    thresh = int(hist.loc[cum > rank, "v"].iloc[0])
+    thresh = _distributed_quantile_disc(
+        orders, lambda df: _cents(df["o_totalprice"].to_numpy()), q
+    )
 
     def above(df: pd.DataFrame) -> pd.DataFrame:
         cents = _cents(df["o_totalprice"].to_numpy())

@@ -135,3 +135,33 @@ def test_jsonl_shards_deterministic_and_multi_file():
     _df(html_roundtrip_extract_jsonl(SF))  # cached: must not rewrite
     after = [hashlib.md5(open(s, "rb").read()).hexdigest() for s in shards]
     assert before == after
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_quantile_disc_matches_duckdb():
+    """The coarse->fine drill-down must hit quantile_disc's exact element for
+    arbitrary q, including ranks on coarse-bucket boundaries and domains
+    wider than one bucket."""
+    import duckdb
+    import numpy as np
+
+    import ray.data
+
+    from html_parser_ray.pipelines.relational import _distributed_quantile_disc
+
+    rng = np.random.RandomState(3)
+    # wide domain (>> 2^16) with heavy ties and outliers
+    vals = np.concatenate(
+        [
+            rng.randint(0, 1 << 30, size=4000),
+            np.repeat(rng.randint(0, 1 << 30, size=5), 200),
+            np.array([0, (1 << 31) - 10]),
+        ]
+    ).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    for q in (0.01, 0.25, 0.5, 0.9, 0.95, 0.999, 1.0):
+        exp = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        got = _distributed_quantile_disc(ds, lambda df: df["v"].to_numpy(), q)
+        assert got == exp, (q, got, exp)
