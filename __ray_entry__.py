@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": hygiene.pii_scrub,
         "decontaminate": hygiene.decontaminate,
         "ngram_topk": hygiene.ngram_topk,
+        # mergeable Count-Min heavy-hitter sketch (golden from independent twin)
+        "ngram_topk_cms": hygiene.ngram_topk_cms,
         "doc_length_quantiles": hygiene.doc_length_quantiles,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
@@ -281,7 +283,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
         "events_hourly": relational.events_hourly,
         "part_price_band_stats": relational.part_price_band_stats,
-        "events_props_key_stats": relational.events_props_key_stats,
         "top_suppliers_per_nation": relational.top_suppliers_per_nation,
         "customers_inactive_by_nation": relational.customers_inactive_by_nation,
         "shipping_priority": relational.shipping_priority,
@@ -347,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_counts": temporal.events_funnel_counts,
         "orders_late_ship_counts": relational.orders_late_ship_counts,
         "orders_rollup": relational.orders_rollup,
+        "events_props_key_stats": relational.events_props_key_stats,
         "supplier_balance_quantiles_by_nation": (
             relational.supplier_balance_quantiles_by_nation
         ),
@@ -935,6 +937,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT predicted_lang, n FROM "
             f"read_parquet('{golden}/langid_counts_sf001.parquet') "
             "ORDER BY predicted_lang"
+        ),
+        "ngram_topk_cms": (
+            "SELECT gram, exact_n, cms_est FROM "
+            f"read_parquet('{golden}/ngram_topk_cms_sf001.parquet') "
+            "ORDER BY exact_n DESC, gram"
         ),
         "events_user_hll": (
             "SELECT event_type, approx_users FROM "

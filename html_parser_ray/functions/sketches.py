@@ -60,3 +60,45 @@ def hll_estimate(regs: np.ndarray) -> int:
         if zeros:
             est = m * np.log(m / zeros)  # linear counting
     return int(round(est))
+
+
+# ---------------------------------------------------------------- Count-Min --
+# Cormode & Muthukrishnan's Count-Min sketch: depth x width counters; an
+# item's estimate is the MIN over its depth cells. Merging is elementwise
+# SUM — commutative/associative, so map-side partial sketches combine in any
+# order (the same mergeability discipline as the HLL registers above). All
+# hashing is md5-derived (deterministic across processes, like every sketch
+# in this module). Guarantee: estimate >= true count always, and
+# estimate <= true + (e/width) * N with probability 1 - exp(-depth).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 4096
+
+
+def cms_new(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_cols(term: str, depth: int, width: int) -> "list[int]":
+    h = hashlib.md5(term.encode()).digest()
+    # 4 independent 32-bit slices of one md5 — depth <= 4
+    return [
+        int.from_bytes(h[4 * i : 4 * i + 4], "big") % width for i in range(depth)
+    ]
+
+
+def cms_add(sketch: np.ndarray, term: str, count: int = 1) -> None:
+    depth, width = sketch.shape
+    for i, c in enumerate(_cms_cols(term, depth, width)):
+        sketch[i, c] += count
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(sketch: np.ndarray, term: str) -> int:
+    depth, width = sketch.shape
+    return int(
+        min(sketch[i, c] for i, c in enumerate(_cms_cols(term, depth, width)))
+    )

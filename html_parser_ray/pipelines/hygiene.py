@@ -317,3 +317,74 @@ def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True).astype(
         {c: "int64" for c in cols[1:]}
     )
+
+
+def ngram_topk_cms(
+    sf_dir: str, n: int = 3, k: int = 50, num_merge_parts: int = 8
+) -> pd.DataFrame:
+    """Heavy-hitter counts via a mergeable **Count-Min sketch** — the
+    fixed-memory complement of the exact census above (at 100 TB the exact
+    gram exchange carries the distinct-gram space; the sketch carries
+    depth x width counters per partial, period).
+
+    Dataflow: each batch folds its gram counts into a LOCAL sketch and emits
+    one flattened-sketch row (constant size); one exchange sums sketches
+    within ``num_merge_parts`` partitions (elementwise add — commutative,
+    order-free); the driver sums the ``num_merge_parts`` survivors. The
+    query reports the sketch estimate next to the exact count for the exact
+    top-``k`` grams; the CMS one-sided guarantee (estimate >= exact, always)
+    is asserted per row. Deterministic md5 hashing -> golden oracle from the
+    NON-IMPORTING twin (tools/independent_twins.py), like HLL/minhash.
+    """
+    from html_parser_ray.functions import sketches
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    depth, width = sketches.CMS_DEPTH, sketches.CMS_WIDTH
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = sketches.cms_new(depth, width)
+        first = None
+        for text in df["text"]:
+            words = text.split(" ") if text else []
+            counts: dict = {}
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            for g, c in counts.items():
+                sketches.cms_add(sk, g, c)
+                if first is None:
+                    first = g
+        part = (
+            int(hashlib.md5((first or "").encode()).hexdigest()[:4], 16)
+            % num_merge_parts
+        )
+        return pd.DataFrame({"part_key": [part], "sketch": [sk.ravel()]})
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for arr in g["sketch"]:
+            acc += np.asarray(arr, dtype=np.int64)
+        return pd.DataFrame({"part_key": [int(g["part_key"].iloc[0])], "sketch": [acc]})
+
+    parts = hash_partitioned(
+        ds.map_batches(sketch_partial, batch_format="pandas"),
+        ["part_key"],
+        merge_part,
+        num_merge_parts,
+    ).to_pandas()
+    sk = sketches.cms_new(depth, width)
+    for arr in parts["sketch"]:
+        sk += np.asarray(arr, dtype=np.int64).reshape(depth, width)
+
+    exact = ngram_topk(sf_dir, n=n, k=k)
+    est = [sketches.cms_query(sk, g) for g in exact["gram"]]
+    out = pd.DataFrame(
+        {
+            "gram": exact["gram"],
+            "exact_n": exact["n"].astype("int64"),
+            "cms_est": pd.Series(est, dtype="int64"),
+        }
+    )
+    assert (out["cms_est"] >= out["exact_n"]).all(), "CMS lower bound violated"
+    return out.reset_index(drop=True)

@@ -114,3 +114,50 @@ def test_hll_twin_matches_pipeline(twins):
     got = twins.hll_estimate_users(ev).set_index("event_type")
     assert got.loc["a", "approx_users"] == hll_estimate(hll_build(range(150)))
     assert got.loc["b", "approx_users"] == hll_estimate(hll_build(range(50)))
+
+
+def test_cms_merge_linearity_and_bounds():
+    """CMS partials are LINEAR: sum-of-batch-sketches equals the sketch of
+    total counts (why the distributed merge is order-free), and estimates
+    never undercount."""
+    import numpy as np
+
+    from html_parser_ray.functions import sketches as s
+
+    rng = np.random.RandomState(2)
+    terms = [f"term-{i}" for i in range(300)]
+    counts_a = {t: int(rng.randint(1, 50)) for t in terms[:200]}
+    counts_b = {t: int(rng.randint(1, 50)) for t in terms[100:]}
+
+    sk_a, sk_b, sk_all = s.cms_new(), s.cms_new(), s.cms_new()
+    for t, c in counts_a.items():
+        s.cms_add(sk_a, t, c)
+    for t, c in counts_b.items():
+        s.cms_add(sk_b, t, c)
+    total = {t: counts_a.get(t, 0) + counts_b.get(t, 0) for t in terms}
+    for t, c in total.items():
+        s.cms_add(sk_all, t, c)
+    assert (s.cms_merge(sk_a, sk_b) == sk_all).all()
+    merged = s.cms_merge(sk_a, sk_b)
+    for t in terms:
+        assert s.cms_query(merged, t) >= total[t]
+
+
+def test_cms_golden_matches_nonimporting_twin():
+    """The committed golden regenerates byte-equal from the paper-spec twin
+    (tools/independent_twins.py does not import html_parser_ray)."""
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    tw = importlib.import_module("independent_twins")
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    twin = tw.cms_topk_estimates(docs)
+    golden = pq.read_table("/root/repo/golden/ngram_topk_cms_sf001.parquet").to_pandas()
+    pd.testing.assert_frame_equal(twin, golden)

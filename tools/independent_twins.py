@@ -214,6 +214,52 @@ def simhash_pairs(docs: pd.DataFrame, max_hamming: int = 3, max_bucket: int = 25
     return pd.DataFrame(sorted(pairs), columns=["doc_a", "doc_b"]).astype("int64")
 
 
+
+# ---- Count-Min sketch twin (paper spec, no engine import) ------------------
+# Spec being twinned (functions/sketches.py docs): depth=4 x width=4096
+# counters; an item's 4 columns are the four big-endian 32-bit slices of
+# md5(term) mod width; add = increment all 4 cells; estimate = min of the 4;
+# the corpus sketch is the SUM of per-document-batch sketches (order-free).
+# The estimate set reported is for the exact top-50 3-grams (single-space
+# tokens, contiguous triples), ordered by (count DESC, gram ASC).
+
+def cms_topk_estimates(docs: pd.DataFrame, n: int = 3, k: int = 50) -> pd.DataFrame:
+    import hashlib
+
+    import numpy as np
+
+    depth, width = 4, 4096
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    exact: dict = {}
+    for text in docs["text"]:
+        words = text.split(" ") if text else []
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            exact[g] = exact.get(g, 0) + 1
+    for g, c in exact.items():
+        h = hashlib.md5(g.encode()).digest()
+        for r in range(depth):
+            sketch[r, int.from_bytes(h[4 * r : 4 * r + 4], "big") % width] += c
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def est(g: str) -> int:
+        h = hashlib.md5(g.encode()).digest()
+        return int(
+            min(
+                sketch[r, int.from_bytes(h[4 * r : 4 * r + 4], "big") % width]
+                for r in range(depth)
+            )
+        )
+
+    return pd.DataFrame(
+        {
+            "gram": [g for g, _ in top],
+            "exact_n": pd.Series([c for _, c in top], dtype="int64"),
+            "cms_est": pd.Series([est(g) for g, _ in top], dtype="int64"),
+        }
+    )
+
+
 def main() -> None:
     events = pq.read_table(
         os.path.join(SF001, "events.parquet"), columns=["event_type", "user_id"]
@@ -239,6 +285,13 @@ def main() -> None:
         os.path.join(GOLDEN, "minhash_lsh_dupes_sf001.parquet"),
     )
     print(f"minhash_lsh_dupes_sf001: {len(mh)} rows (independent twin)")
+
+    cms = cms_topk_estimates(docs)
+    pq.write_table(
+        pa.Table.from_pandas(cms, preserve_index=False),
+        os.path.join(GOLDEN, "ngram_topk_cms_sf001.parquet"),
+    )
+    print(f"ngram_topk_cms_sf001: {len(cms)} rows (independent twin)")
 
     sh = simhash_pairs(docs)
     pq.write_table(
