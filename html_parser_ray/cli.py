@@ -70,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             "html5lib_reconstructed.dat",
             "html5lib_reconstructed2.dat",
             "html5lib_reconstructed3.dat",
+            "html5lib_reconstructed4.dat",
             "wpt_reconstructed.dat",
             "wpt_reconstructed2.dat",
             "wpt_reconstructed3.dat",

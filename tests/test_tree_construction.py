@@ -16,12 +16,13 @@ Corpora under tests/data/ (full provenance + adjudication in CONFORMANCE.md):
   CONFORMANCE.md). Expected trees are the SPEC parser's trees, so cases this
   permissive engine cannot reproduce fail honestly.
 
-Measured rates: round 3 = 387/456 (84.9%); round 4 adds two batches shaped
-to the upstream suites' MUNDANE-dominant class mix (113/124 + 80/85 — the
-earlier batches over-sampled the famous hard classes) for a combined
-580/665 = 87.2%, vs the reference's 524/600 (87.3%) and 440/500 (88%) on
-the upstream files. The combined corpus's failure share (85/665 = 12.8%)
-now matches the reference's upstream failure share (12.7% / 12.0%).
+Measured rates: round 3 = 387/456 (84.9%); round 4 adds three batches
+shaped to the upstream suites' MUNDANE-dominant class mix (113/124 +
+80/85 + 58/60 — the earlier batches over-sampled the famous hard classes)
+for a combined 638/725 = 88.0%, vs the reference's 524/600 (87.3%) and
+440/500 (88%) on the upstream files. The combined corpus's failure share
+(87/725 = 12.0%) matches the reference's upstream failure share
+(12.7% / 12.0%).
 Every failure is in a divergence class the REFERENCE engine shares (verified
 against its tag tables in src/html/tags.zig): adoption agency / formatting
 reconstruction, table normalization (implied colgroup, foster reordering),
@@ -51,6 +52,7 @@ FLOORS = {
     "wpt_reconstructed2.dat": (32, 28),
     "html5lib_reconstructed3.dat": (124, 113),
     "wpt_reconstructed3.dat": (85, 80),
+    "html5lib_reconstructed4.dat": (60, 58),
 }
 
 
