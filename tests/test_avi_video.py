@@ -126,3 +126,34 @@ def test_frame_stage_sampled_frame_matches_codec_directly():
             else:
                 break
         assert np.array_equal(codecs.decode_png(frame), expect["rgb"]), ts
+
+
+# ---- property-based roundtrip ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    n=st.integers(1, 5),
+    rate=st.integers(1, 120),
+    scale=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(w, h, n, rate, scale, seed):
+    """encode -> decode is pixel-exact and timestamp-exact for ANY dims
+    (incl. odd widths exercising DIB row padding), frame counts and
+    rate/scale timebases."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    dec = av.decode_avi(av.encode_avi(frames, fps_rate=rate, fps_scale=scale))
+    assert dec["width"] == w and dec["height"] == h
+    assert len(dec["frames"]) == n
+    for k, (a, f) in enumerate(zip(frames, dec["frames"])):
+        assert np.array_equal(a, f["rgb"])
+        assert f["ts_ms"] == (k * 1000 * scale) // rate
