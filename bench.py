@@ -280,7 +280,11 @@ def run_extraction_bench(
 
     # block sizing: ~3500 rows per task measured fastest on this corpus
     # (bigger blocks degrade in-actor throughput, smaller ones drown in
-    # dispatch overhead), floored at 4 waves per extraction slot
+    # dispatch overhead), floored at 4 waves per extraction slot.
+    # batch_size 256 is the r4 probe-calibrated peak (calibrated docs/s:
+    # 64: 96k, 128: 108k, 192: 118k, 256: 150-155k, 512: 116k, 1024: 98k,
+    # 2048: 94k — smaller batches pipeline/overlap better until dispatch
+    # overhead bites below ~200 rows)
     import pyarrow.dataset as pads
 
     total_rows = pads.dataset(path, format="parquet").count_rows()
@@ -290,7 +294,7 @@ def run_extraction_bench(
     reduced = ds.map_batches(
         ExtractAndCount,
         batch_format="pyarrow",
-        batch_size=512,
+        batch_size=256,
         concurrency=extract_slots,
         fn_constructor_kwargs={"layout_pdf_decode": layout_pdf_decode},
     )
@@ -496,7 +500,7 @@ def _scaling_level(slots: int) -> dict:
     ray.init(address="local", num_cpus=3 * slots, include_dashboard=False)
     # warmup: worker import + native build outside the timed window
     ray.data.read_parquet(files[:2]).map_batches(
-        ExtractAndCount, batch_format="pyarrow", batch_size=512,
+        ExtractAndCount, batch_format="pyarrow", batch_size=256,
         concurrency=max(1, slots), fn_constructor_kwargs=kwargs,
     ).count()
     ds = ray.data.read_parquet(
@@ -511,7 +515,7 @@ def _scaling_level(slots: int) -> dict:
     cal0 = run_calibration_probe(threads=CAL_PAR_PROCS)
     t0 = _time.perf_counter()
     red = ds.map_batches(
-        ExtractAndCount, batch_format="pyarrow", batch_size=512,
+        ExtractAndCount, batch_format="pyarrow", batch_size=256,
         concurrency=slots, fn_constructor_kwargs=kwargs,
     )
     n = 0
