@@ -58,7 +58,9 @@ def build_extraction_pipeline(
     split_max_bytes: int = 1_000_000,
     split_max_spans: int = 64,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 64,
+    # 256 = the r4 probe-calibrated throughput peak (BENCH/BASELINE.md §7:
+    # 150-155k calibrated docs/s vs 116k at 512, 96-118k at 64-192)
+    batch_size: int = 256,
     emit_metrics: bool = False,
     extractor_kwargs: dict[str, Any] | None = None,
 ) -> "ray.data.Dataset":
