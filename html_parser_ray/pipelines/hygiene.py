@@ -136,23 +136,21 @@ def _doc_shingles(text: str, n: int) -> set[str]:
 
 
 def _mod_zero_filter(col: str, mod: int):
-    """Arrow scan filter for ``col % mod == 0``: this pyarrow build registers
-    no modulo kernel for expressions, but truncating integer division is
-    exact for the non-negative ids, so ``(col / mod) * mod == col`` is
-    equivalent. Used as a parquet read filter so only the matching rows'
-    text bytes leave the scan."""
+    """Arrow scan filter for ``col % mod == 0``, or ``None`` if this pyarrow
+    can't express it: the build registers no modulo kernel for expressions,
+    but truncating integer division is exact for the non-negative ids, so
+    ``(col / mod) * mod == col`` is equivalent — built from PUBLIC operator
+    overloads (``/`` -> divide_checked, integer division on int64). Used as
+    a parquet read filter so only the matching rows' text bytes leave the
+    scan; callers must still apply the mod predicate post-scan (defense in
+    depth — a ``None`` here only loses the pushdown, never correctness)."""
     import pyarrow.compute as pc
 
-    return (
-        pc.Expression._call(
-            "multiply",
-            [
-                pc.Expression._call("divide", [pc.field(col), pc.scalar(mod)]),
-                pc.scalar(mod),
-            ],
-        )
-        == pc.field(col)
-    )
+    try:
+        expr = (pc.field(col) / pc.scalar(mod)) * pc.scalar(mod) == pc.field(col)
+    except Exception:  # pragma: no cover - future pyarrow operator changes
+        return None
+    return expr
 
 
 def decontaminate(
@@ -176,13 +174,18 @@ def decontaminate(
     # of corpus text bytes to keep 5% of rows (VERDICT r3 item 5). In a real
     # deployment the eval suite is literally its own tiny table; the filter
     # is the sandbox stand-in for that read.
+    pushdown = _mod_zero_filter("doc_id", eval_mod)
+    read_kwargs = {} if pushdown is None else {"filter": pushdown}
     eval_ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
-        filter=_mod_zero_filter("doc_id", eval_mod),
+        **read_kwargs,
     )
 
     def eval_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        # re-apply the mod predicate post-scan: exact with the pushdown (a
+        # no-op then) and the correctness path when pushdown is unavailable
+        df = df[df["doc_id"] % eval_mod == 0]
         sh: set[str] = set()
         for text in df["text"]:
             sh |= _doc_shingles(text, n)

@@ -906,7 +906,9 @@ def events_type_pivot(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
         [("user_id", pa.int64())] + [(c, pa.int64()) for c in cols]
     )
     return sort_output(
-        hash_partitioned(ds, ["user_id"], per_partition, num_partitions),
+        hash_partitioned(
+            ds, ["user_id"], per_partition, num_partitions, out_schema=out_schema
+        ),
         ["user_id"],
         out_schema,
     )

@@ -720,17 +720,25 @@ def doc_pack_assignments(
     ``doc_token_stats`` (``len(string_split(text, ' '))``) so the DuckDB
     window-function oracle is value-exact.
     """
-    from html_parser_ray.pipelines.shuffle import hash_partitioned
+    from html_parser_ray.pipelines.shuffle import (
+        hash_partitioned,
+        parquet_column_min_max,
+    )
 
     path = f"{sf_dir}/documents.parquet"
-    import pyarrow.dataset as pads
-    import pyarrow.compute as pc
 
-    scan = pads.dataset(path, format="parquet")
-    # min/max from column statistics-scale scan (doc_id column only)
-    mm = scan.to_table(columns=["doc_id"])
-    lo = pc.min(mm.column("doc_id")).as_py()
-    hi = pc.max(mm.column("doc_id")).as_py()
+    # min/max from parquet ROW-GROUP STATISTICS (metadata pages only — no
+    # row bytes leave storage; ADVICE r4: the previous form materialized the
+    # whole doc_id column on the driver). Falls back to a distributed
+    # min/max aggregate if any row group lacks stats.
+    lo, hi = parquet_column_min_max(path, "doc_id")
+    if lo is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = read_table(path, columns=["doc_id"]).aggregate(
+            Min("doc_id"), Max("doc_id")
+        )
+        lo, hi = agg["min(doc_id)"], agg["max(doc_id)"]
     span = max(1, hi - lo + 1)
 
     ds = read_table(path, columns=["doc_id", "text"])

@@ -218,3 +218,42 @@ def test_quantiles_match_duckdb_disc(tmp_path, ray_session):
         "FROM documents GROUP BY 1 ORDER BY 1"
     ).df()
     pd.testing.assert_frame_equal(out, oracle)
+
+def test_mod_zero_filter_is_public_api_and_prunes():
+    """VERDICT r4 item 3: the decontaminate pushdown must be built from
+    PUBLIC pyarrow expression operators (no Expression._call) and must
+    actually prune the scan to the eval rows."""
+    import inspect
+
+    import pyarrow.dataset as pads
+
+    src = inspect.getsource(hygiene._mod_zero_filter)
+    assert "_call" not in src, "private pyarrow API crept back in"
+
+    expr = hygiene._mod_zero_filter("doc_id", 20)
+    assert expr is not None
+    scan = pads.dataset("/root/testdata/sf0.001/documents.parquet")
+    pruned = scan.to_table(columns=["doc_id"], filter=expr)
+    assert pruned.num_rows == 25  # 500 docs, doc_id % 20 == 0
+    assert scan.count_rows() == 500
+
+
+def test_decontaminate_correct_without_pushdown(tmp_path, ray_session, monkeypatch):
+    """The post-scan mod predicate keeps decontaminate exact when the
+    pushdown expression is unavailable (future-pyarrow fallback path)."""
+    monkeypatch.setattr(hygiene, "_mod_zero_filter", lambda col, mod: None)
+    eight = "q w e r t y u i"
+    rows = {
+        "doc_id": [0, 20, 1, 2, 3],
+        "text": [
+            f"{eight} o p",
+            "other eval doc words",
+            f"pad {eight} tail",
+            "completely different words here today",
+            f"{eight} o",
+        ],
+    }
+    sf = _write_docs(tmp_path, rows)
+    out = _as_pandas(hygiene.decontaminate(sf))
+    got = dict(zip(out["doc_id"], out["n_hit"]))
+    assert got == {1: 1, 3: 2}
