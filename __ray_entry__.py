@@ -306,8 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": similarity.knn_topk,
         "embedding_label_stats": similarity.embedding_label_stats,
         # --- temporal / window ops ---
-        # streaming-window tier: watermark-driven shard actors (r4); shares
-        # the batch operator's oracle (ts-sorted source -> zero late drops)
+        # streaming-window tier: watermark-driven shard actors, ingested by
+        # CONCURRENT partition feeders with per-feeder watermarks + MIN
+        # combine (r5); shares the batch operator's oracle (time-ordered
+        # partitions -> zero late drops)
         "streaming_hopping_counts": _streaming_hopping_counts,
         "events_sessionize": _sessionize,
         "events_asof_join": temporal.events_asof_join,

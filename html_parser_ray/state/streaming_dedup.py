@@ -22,6 +22,12 @@ claim is in; single-pass systems emit-and-retract instead):
   1. register: every (hash, doc_id) claims into its shard;
   2. filter:   keep rows whose (hash, doc_id) IS the shard's winner.
 
+Ingest is PARTITION-PARALLEL already: both passes run as ``map_batches``
+over the Dataset's blocks, so every input partition feeds the shared index
+concurrently from its own task — there is no driver-side feeder loop. The
+min-claim's commutativity/idempotence is precisely what makes that safe
+(arrival order across concurrent registering tasks cannot change winners).
+
 ``streaming_dedup_keep_first`` reproduces ``dedup_keep_first``'s exact
 semantics (min doc_id per distinct text) through this machinery, so the same
 DuckDB oracle pins it value-exact.

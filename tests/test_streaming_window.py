@@ -118,3 +118,115 @@ def test_lateness_absorbs_bounded_disorder():
     pd.testing.assert_frame_equal(
         out.astype({c: truth[c].dtype for c in truth.columns}), truth
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-parallel ingest (round 5: VERDICT r4 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_feeder_concurrent_matches_batch_oracle():
+    """>=4 CONCURRENT feeder actors over batch-interleaved slices of the
+    events table (small micro-batches so progress genuinely interleaves)
+    must reproduce the batch operator exactly, with zero late drops."""
+    from html_parser_ray.pipelines.temporal import events_hopping_counts
+    from html_parser_ray.state.streaming_window import streaming_hopping_counts
+
+    got = streaming_hopping_counts(SF, batch_rows=64, num_feeders=4)
+    exp = events_hopping_counts(SF)
+    if not isinstance(exp, pd.DataFrame):
+        exp = exp.to_pandas()
+    exp = exp.sort_values(["win_start_s", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: exp[c].dtype for c in exp.columns}), exp
+    )
+
+
+def test_multi_feeder_disordered_shards_match_batch_truth(tmp_path):
+    """Disordered shards: each feeder's sub-stream is time-ordered but the
+    PARTITIONS cover wildly different time ranges (contiguous time slices
+    assigned round-robin to batches), so feeders' watermarks diverge and
+    the MIN-combine is what keeps finalization correct. Result must equal
+    the order-free groupby truth with zero late drops."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.state.streaming_window import streaming_hopping_counts
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    ts_s = np.sort(rng.randint(0, 500_000, size=n))
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, size=n)]
+    value = rng.randint(0, 10_000, size=n) / 100.0
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us")),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array(value),
+        }
+    )
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet", row_group_size=500)
+
+    got = streaming_hopping_counts(
+        str(d), size_s=100, hop_s=50, lateness_s=50, num_shards=4,
+        batch_rows=100, num_feeders=5,
+    )
+
+    rows = []
+    for t, typ, v in zip(ts_s, types, value):
+        b = (t // 50) * 50
+        cents = int(round(v * 100))
+        for o in (0, 50):
+            rows.append({"win_start_s": b - o, "event_type": typ, "c": cents})
+    truth = (
+        pd.DataFrame(rows)
+        .groupby(["win_start_s", "event_type"], as_index=False)
+        .agg(n_events=("c", "size"), sum_value_cents=("c", "sum"))
+        .sort_values(["win_start_s", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: truth[c].dtype for c in truth.columns}), truth
+    )
+
+
+def test_shard_never_reopens_finalized_window():
+    """Multi-feeder safety core: an add carrying a STALE watermark that
+    targets an already-finalized window must be counted late, never
+    re-opened (re-opening = double emission after flush)."""
+    import ray
+
+    from html_parser_ray.state.streaming_window import HoppingWindowShard
+
+    shard = HoppingWindowShard.remote(100)
+    try:
+        ray.get(shard.add.remote([0], ["t"], [3], [30], float("-inf")))
+        assert ray.get(shard.advance.remote(150.0)) == 1  # [0,100) finalized
+        # a lagging feeder still thinks the watermark is -inf
+        ray.get(shard.add.remote([0], ["t"], [2], [20], float("-inf")))
+        ray.get(shard.flush.remote())
+        results = ray.get(shard.results.remote())
+        assert results == [(0, "t", 3, 30)]  # the late 2 events NOT merged
+        assert ray.get(shard.late_count.remote()) == 2
+    finally:
+        ray.kill(shard)
+
+
+def test_watermark_coordinator_min_combine():
+    import ray
+
+    from html_parser_ray.state.streaming_window import WatermarkCoordinator
+
+    c = WatermarkCoordinator.remote(3)
+    try:
+        assert ray.get(c.report.remote(0, 100.0)) == float("-inf")  # 2 unstarted
+        assert ray.get(c.report.remote(1, 50.0)) == float("-inf")
+        assert ray.get(c.report.remote(2, 200.0)) == 50.0  # min over feeders
+        assert ray.get(c.report.remote(1, float("inf"))) == 100.0  # EOF frees it
+        # monotone per feeder: a stale re-report can't move time backwards
+        assert ray.get(c.report.remote(0, 10.0)) == 100.0
+    finally:
+        ray.kill(c)
