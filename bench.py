@@ -204,6 +204,10 @@ def _calibrate(results: "list[dict]", probes: "list[dict[str, float]]") -> None:
         d["calibration_probe_docs_per_s"] = round(cal_s, 1)
         d["calibration_parallel_docs_per_s"] = round(cal_p, 1)
         d["calibration_ratio"] = round(ratio, 4) if ratio else None
+        # pin-drift record: single-core probe vs the committed quiet pin
+        # (kernel health — a value far below the BASELINE.md drift band on a
+        # quiet host means the KERNEL moved, not the host)
+        d["probe_vs_pin"] = round(cal_s / _PINNED_CAL_REF, 4) if cal_s > 0 else None
         if ratio:
             d["docs_per_s_calibrated"] = round(d["docs_per_s"] / ratio, 1)
             d["mb_per_s_calibrated"] = round(d["mb_per_s"] / ratio, 3)
@@ -643,9 +647,23 @@ def main_scaling() -> dict:
 
 GATE_FLOOR_DOCS_PER_S = 60_000.0  # r4, calibrated + 360k corpus: measured
 # 105.8k raw best-of-3 at ratio 0.73 (144k calibrated) — the floor sits at
-# ~40% of the calibrated band so host-drift residue can't flake it while a
-# real kernel regression (>2x) still fails the build. The reference's
+# ~40% of the calibrated band so host-drift residue can't flake it while an
+# orchestration regression (>2x) still fails the build. The reference's
 # analog is the stable-profile bench hard-fail (tools/scripts.zig:1433-1448)
+
+# ADVICE r4 (medium): the calibrated floor alone is blind to NATIVE-KERNEL
+# regressions — the probe runs the same kernel, so kernel slowdown cancels in
+# raw/probe. Two extra conditions close that hole:
+#  - probe floor: the single-core probe must clear 25% of the quiet-window
+#    pin. The probe IS the kernel, so a kernel regression cannot cancel here;
+#    the worst host-load probe ever observed was 0.61x the pin (BASELINE.md
+#    round-4 drift band), leaving ~2.4x headroom before load alone could
+#    false-fail while any >=2.5x kernel regression fails even on THAT host.
+#  - raw floor: a low absolute raw bound (r3's worst loaded-host raw was
+#    37.1k) that still fails the build if the calibration machinery itself
+#    breaks (e.g. probe returns garbage making "calibrated" meaningless).
+GATE_PROBE_FLOOR_FRACTION = 0.25
+GATE_FLOOR_RAW_DOCS_PER_S = 15_000.0
 
 
 def main_gate() -> int:
@@ -674,19 +692,35 @@ def main_gate() -> int:
     # raw-throughput floor flaps with co-tenant load and says nothing about
     # the code. Falls back to raw when no native probe is available.
     gated = best.get("docs_per_s_calibrated") or best["docs_per_s"]
-    ok = gated >= GATE_FLOOR_DOCS_PER_S
+    ok_calibrated = gated >= GATE_FLOOR_DOCS_PER_S
+    # kernel tripwire: the probe itself vs the quiet-window pin (the one
+    # check the ratio can't cancel — see GATE_PROBE_FLOOR_FRACTION above)
+    probe = best.get("calibration_probe_docs_per_s") or -1.0
+    probe_floor = GATE_PROBE_FLOOR_FRACTION * _PINNED_CAL_REF
+    ok_probe = probe <= 0 or probe >= probe_floor  # no native kernel -> n/a
+    ok_raw = best["docs_per_s"] >= GATE_FLOOR_RAW_DOCS_PER_S
+    ok = ok_calibrated and ok_probe and ok_raw
     print(json.dumps({
         "metric": "bench gate: load-calibrated extraction docs/s vs floor",
         "value": round(gated, 1),
         "unit": "docs/s",
         "floor": GATE_FLOOR_DOCS_PER_S,
         "pass": ok,
+        "pass_calibrated": ok_calibrated,
+        "pass_probe": ok_probe,
+        "pass_raw": ok_raw,
         "docs_per_s_raw": round(best["docs_per_s"], 1),
+        "raw_floor": GATE_FLOOR_RAW_DOCS_PER_S,
         "calibration_probe_docs_per_s": best.get("calibration_probe_docs_per_s"),
         "calibration_parallel_docs_per_s": best.get(
             "calibration_parallel_docs_per_s"
         ),
         "calibration_ratio": best.get("calibration_ratio"),
+        # pin-drift record (VERDICT r4 item 4): probe vs committed pin, so
+        # each round's BENCH_r*.json carries the kernel's own health signal
+        "probe_pin": _PINNED_CAL_REF,
+        "probe_vs_pin": round(probe / _PINNED_CAL_REF, 4) if probe > 0 else None,
+        "probe_floor": round(probe_floor, 1),
     }))
     return 0 if ok else 1
 

@@ -55,3 +55,28 @@ def test_single_core_extraction_floor():
         assert docs_per_s >= 9_000, (
             f"native extraction regressed: {docs_per_s:.0f} docs/s < 9000"
         )
+
+
+def test_calibration_probe_holds_pin_floor():
+    """VERDICT r4 item 4 / ADVICE (medium): the bench gate divides by the
+    probe, so a native-kernel regression cancels out of the calibrated
+    number — the probe itself must therefore be pinned. Wide tolerance:
+    the committed quiet-window pin is 105k docs/s and the worst host-load
+    probe ever observed was 0.61x of it (BASELINE.md round-4 drift band);
+    the floor at 0.2x means only a >=3x kernel regression (or apocalyptic
+    load) trips — and a kernel regression is exactly what must not pass
+    silently."""
+    from bench import _PINNED_CAL_REF, run_calibration_probe
+    from html_parser_ray.native import get_native_extractor
+
+    import pytest
+
+    if get_native_extractor() is None:
+        pytest.skip("no native kernel on this host — probe not applicable")
+    probe = run_calibration_probe(min_seconds=0.3)
+    assert probe >= 0.2 * _PINNED_CAL_REF, (
+        f"calibration probe {probe:.0f} docs/s fell below 20% of the pinned "
+        f"quiet-window reference {_PINNED_CAL_REF:.0f} — native kernel "
+        "regression (the gate's ratio would hide this; see bench.py "
+        "GATE_PROBE_FLOOR_FRACTION)"
+    )
