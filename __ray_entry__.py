@@ -234,102 +234,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ------------------------------------------------------------------
     # ORDER MATTERS: the grading driver checks the FIRST 50 entries (dict
-    # insertion order) for full rows+schema+values correctness. Tier A holds
-    # every query that has never had a driver row (the r3 additions) plus
-    # the flagship/SQL-oracle coverage; tier B holds previously driver-green
-    # (rounds 1-3) queries that are documented twins of tier-A scale paths
-    # or golden-pinned regression pins — all of them stay oracle-checked
-    # every round via tools/check_oracles.py (the driver-mimic), they just
-    # yield their driver slot to operators that still need a first row.
+    # insertion order) for full rows+schema+values correctness. The window
+    # ROTATES each round (VERDICT r4 item 1) so no query goes two
+    # consecutive rounds without a driver row: tier A (the window) holds
+    # every query WITHOUT a row in the latest CORRECTNESS_r*.json, plus the
+    # flagships and everything whose implementation changed this round;
+    # tier B holds queries freshly driver-checked last round. The
+    # alternation invariant is a pytest tripwire
+    # (tests/test_entry_contract.py), and ALL queries stay oracle-checked
+    # every round via tools/check_oracles.py (committed artifact:
+    # CORRECTNESS_SELF_r05.txt).
     # ------------------------------------------------------------------
     return {
-        # ---- tier A -------------------------------------------------------
-        # HTML engine pinned against SQL oracles
-        "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
-        "html_li_count": lambda sf: text_analysis.html_li_count(sf),
-        # flagship interleaved extraction (rows-only check) + split/reassembly
-        "extract_corpus": extract_corpus,
-        "extract_corpus_split": extract_corpus_split,
-        # WARC ingestion path (CommonCrawl-form shards) through the extractor
-        "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
-        # --- never driver-checked before round 4 (VERDICT r3 item 3) ---
-        # fuzzy string-similarity join (FastSS deletion-neighborhood blocking)
-        "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
-        # mergeable HLL distinct-count sketch (golden from independent twin)
-        "events_user_hll": relational.events_user_hll,
-        # stratified deterministic sampling (per-language cap, combiner min-N)
-        "doc_stratified_sample": text_analysis.doc_stratified_sample,
-        # training-data hygiene: PII scrub, decontamination, n-gram census,
-        # length quantiles
-        "pii_scrub": hygiene.pii_scrub,
-        "decontaminate": hygiene.decontaminate,
-        "ngram_topk": hygiene.ngram_topk,
-        # mergeable Count-Min heavy-hitter sketch (golden from independent twin)
-        "ngram_topk_cms": hygiene.ngram_topk_cms,
-        "doc_length_quantiles": hygiene.doc_length_quantiles,
-        # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
-        "curated_corpus": _curated_corpus,
-        "quality_filter": text_analysis.quality_filter,
-        "html_link_extract": text_analysis.html_link_extract,
-        # multimodal (real PNG/WAV decode; golden-pinned)
-        "media_image_features": media_image_features,
-        "media_audio_features": media_audio_features,
-        # PDF layout branch (real byte-level parse; golden-pinned)
-        "media_layout_features": media_layout_features,
-        # video frame sampling (real GIF decode -> PNG frames; golden-pinned)
-        "media_frame_samples": media_frame_samples,
-        # --- relational / aggregation coverage ---
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
-        "events_hourly": relational.events_hourly,
-        "part_price_band_stats": relational.part_price_band_stats,
-        "top_suppliers_per_nation": relational.top_suppliers_per_nation,
-        "customers_inactive_by_nation": relational.customers_inactive_by_nation,
-        "shipping_priority": relational.shipping_priority,
-        # CUBE supersedes ROLLUP (its grouping sets are a strict superset);
-        # the rollup form stays oracle-checked in tier B
-        "orders_cube": relational.orders_cube,
-        # --- text analysis ---
-        "doc_token_stats": text_analysis.doc_token_stats,
-        "doc_repetition_stats": text_analysis.doc_repetition_stats,
-        "tfidf_top_terms": text_analysis.tfidf_top_terms,
-        # --- dedup scale paths ---
-        # sequence packing = distributed GLOBAL prefix sum (two-phase scan)
-        "doc_pack_assignments": text_analysis.doc_pack_assignments,
-        "exact_dedup": dedup.exact_dedup,
-        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
-        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
-        "shingle_dupes": dedup.shingle_dupes,
-        # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
-        "streaming_dedup_keep_first": _streaming_dedup_keep_first,
-        # --- similarity search (exact SQL-oracle baseline) ---
-        "knn_topk": similarity.knn_topk,
-        "embedding_label_stats": similarity.embedding_label_stats,
-        # --- temporal / window ops ---
-        # streaming-window tier: watermark-driven shard actors, ingested by
-        # CONCURRENT partition feeders with per-feeder watermarks + MIN
-        # combine (r5); shares the batch operator's oracle (time-ordered
-        # partitions -> zero late drops)
-        "streaming_hopping_counts": _streaming_hopping_counts,
-        "events_sessionize": _sessionize,
-        "events_asof_join": temporal.events_asof_join,
-        "orders_trailing_spend": temporal.orders_trailing_spend,
-        "events_cohort_retention": temporal.events_cohort_retention,
-        # --- round-4 additions ---
-        # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        # TPC-H Q13 double aggregate incl. the zero-order bucket
-        "customer_order_histogram": relational.customer_order_histogram,
-        # two-phase global percentile filter (exact histogram quantile)
-        "orders_above_global_p95": relational.orders_above_global_p95,
-        # exact daily-active-users (distinct-pair combiner, one exchange)
-        "events_daily_distinct_users": relational.events_daily_distinct_users,
-        # inverted-index vocabulary stats (df/tf, floor + per-partition top-k)
-        "term_doc_frequency": text_analysis.term_doc_frequency,
-        # JSONL source family roundtrip through the full extraction stack
-        "html_roundtrip_extract_jsonl": text_analysis.html_roundtrip_extract_jsonl,
-        # ---- tier B (driver-green in rounds 1-3; twins/pins — still checked
-        # by tools/check_oracles.py every round) -----------------------------
+        # ---- tier A: rotated in (r1-r3 driver-green, no r4 row) -----------
         "revenue_by_nation": relational.revenue_by_nation,
         "part_type_stats": relational.part_type_stats,
         "top_parts_by_price": relational.top_parts_by_price,
@@ -356,6 +273,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "orders_running_total": temporal.orders_running_total,
         "events_type_pivot": relational.events_type_pivot,
+        # ---- tier A: flagships (a driver row every round) -----------------
+        "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
+        "html_li_count": lambda sf: text_analysis.html_li_count(sf),
+        "extract_corpus": extract_corpus,
+        "extract_corpus_split": extract_corpus_split,
+        "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
+        "html_roundtrip_extract_jsonl": text_analysis.html_roundtrip_extract_jsonl,
+        "html_link_extract": text_analysis.html_link_extract,
+        # ---- tier A: implementation changed in round 5 --------------------
+        # streaming-window tier: watermark-driven shard actors, ingested by
+        # CONCURRENT partition feeders with per-feeder watermarks + MIN
+        # combine (r5); shares the batch operator's oracle (time-ordered
+        # partitions -> zero late drops)
+        "streaming_hopping_counts": _streaming_hopping_counts,
+        # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
+        "streaming_dedup_keep_first": _streaming_dedup_keep_first,
+        # r5: public-API parquet pushdown (+ post-scan fallback predicate)
+        "decontaminate": hygiene.decontaminate,
+        # r5: min/max from row-group statistics; distributed prefix-sum scan
+        "doc_pack_assignments": text_analysis.doc_pack_assignments,
+        # ---- tier A: multimodal + relational + dedup/knn core -------------
+        # multimodal (real PNG/WAV/GIF/PDF decodes; golden-pinned)
+        "media_image_features": media_image_features,
+        "media_audio_features": media_audio_features,
+        "media_layout_features": media_layout_features,
+        "media_frame_samples": media_frame_samples,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
+        "events_hourly": relational.events_hourly,
+        "exact_dedup": dedup.exact_dedup,
+        "knn_topk": similarity.knn_topk,
+        "doc_token_stats": text_analysis.doc_token_stats,
+        # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
+        "curated_corpus": _curated_corpus,
+        "pii_scrub": hygiene.pii_scrub,
+        "quality_filter": text_analysis.quality_filter,
+        "shingle_dupes": dedup.shingle_dupes,
+        # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
+        # unchanged since; still oracle-checked every round via
+        # tools/check_oracles.py) -------------------------------------------
+        "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
+        "events_user_hll": relational.events_user_hll,
+        "doc_stratified_sample": text_analysis.doc_stratified_sample,
+        "ngram_topk": hygiene.ngram_topk,
+        "ngram_topk_cms": hygiene.ngram_topk_cms,
+        "doc_length_quantiles": hygiene.doc_length_quantiles,
+        "part_price_band_stats": relational.part_price_band_stats,
+        "top_suppliers_per_nation": relational.top_suppliers_per_nation,
+        "customers_inactive_by_nation": relational.customers_inactive_by_nation,
+        "shipping_priority": relational.shipping_priority,
+        # CUBE supersedes ROLLUP (its grouping sets are a strict superset);
+        # the rollup form sits in tier A this round
+        "orders_cube": relational.orders_cube,
+        "doc_repetition_stats": text_analysis.doc_repetition_stats,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
+        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
+        "embedding_label_stats": similarity.embedding_label_stats,
+        "events_sessionize": _sessionize,
+        "events_asof_join": temporal.events_asof_join,
+        "orders_trailing_spend": temporal.orders_trailing_spend,
+        "events_cohort_retention": temporal.events_cohort_retention,
+        "customer_order_histogram": relational.customer_order_histogram,
+        "orders_above_global_p95": relational.orders_above_global_p95,
+        "events_daily_distinct_users": relational.events_daily_distinct_users,
+        "term_doc_frequency": text_analysis.term_doc_frequency,
     }
 
 
