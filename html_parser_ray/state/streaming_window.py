@@ -243,12 +243,16 @@ class Feeder:
     order, ships combined partials, reports its watermark to the
     coordinator and advances the shards to the global MIN.
 
-    Partition assignment (sandbox stand-in): batch ``seq % num_feeders ==
-    feeder_id`` over the shared file — a time-ordered subsequence per
-    feeder, arbitrary progress interleaving ACROSS feeders. In production
-    each feeder is constructed over its own file/stream partition and this
-    modulo filter disappears; everything else (watermark protocol, shard
-    adds) is the real shape.
+    Partition assignment: when the source is a DIRECTORY with at least
+    ``num_feeders`` parquet files, feeder i consumes files ``i::n`` in name
+    order — the real one-consumer-per-partition shape (log shards name-sort
+    by time, so each feeder's stream stays time-ordered; the zero-late-drop
+    assert enforces that assumption at runtime). A single-file source falls
+    back to batch ``seq % num_feeders == feeder_id`` over the shared scan —
+    still a time-ordered subsequence per feeder, arbitrary progress
+    interleaving ACROSS feeders; only this fallback slicing is the sandbox
+    stand-in. The watermark protocol and shard adds are identical in both
+    modes.
     """
 
     def __init__(
@@ -273,11 +277,25 @@ class Feeder:
         self.lateness_s = lateness_s
         self.batch_rows = batch_rows
 
-    def run(self) -> int:
-        """Consume the partition to EOF; returns events processed."""
+    def _my_source(self):
+        """(dataset, batch_filter): own files when the source is a
+        multi-file directory (true per-partition consumption), else the
+        shared file plus a ``seq % n == fid`` batch filter."""
+        import glob
+        import os
+
         import pyarrow.dataset as pads
 
-        scan = pads.dataset(self.path, format="parquet")
+        if os.path.isdir(self.path):
+            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            if len(files) >= self.n:
+                own = files[self.fid :: self.n]
+                return pads.dataset(own, format="parquet"), False
+        return pads.dataset(self.path, format="parquet"), True
+
+    def run(self) -> int:
+        """Consume the partition to EOF; returns events processed."""
+        scan, interleave = self._my_source()
         global_wm = float("-inf")
         local_max_ts = float("-inf")
         processed = 0
@@ -287,7 +305,7 @@ class Feeder:
                 columns=["ts", "event_type", "value"], batch_size=self.batch_rows
             )
         ):
-            if seq % self.n != self.fid or batch.num_rows == 0:
+            if (interleave and seq % self.n != self.fid) or batch.num_rows == 0:
                 continue
             ts_s = (
                 batch.column("ts").cast("int64").to_numpy(zero_copy_only=False)
