@@ -100,10 +100,12 @@ def test_never_driver_checked_queries_sit_in_first_50():
 
 def test_no_query_misses_two_consecutive_driver_rounds():
     """Rotation invariant (VERDICT r4 item 1): every query beyond the
-    driver's 50-entry window must carry a rows_match row in the LATEST
-    CORRECTNESS record — i.e. tier B may only hold queries freshly
-    driver-checked last round, so after the upcoming round every query has
-    a driver row in one of the last two records."""
+    driver's 50-entry window must carry a rows_match row in one of the TWO
+    most recent CORRECTNESS records. Two states satisfy this: before the
+    round's driver run, tier B was freshly checked last round; after it,
+    tier B's rows are one record back while tier A just got fresh ones —
+    either way no query goes two consecutive rounds without driver
+    evidence."""
     import glob
     import json
     import os
@@ -112,16 +114,19 @@ def test_no_query_misses_two_consecutive_driver_rounds():
     records = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not records:
         pytest.skip("no driver correctness record yet (round 1)")
-    latest = json.load(open(records[-1]))
-    fresh = {
-        k
-        for k, v in latest.items()
-        if isinstance(v, dict) and v.get("rows_match")
-    }
+    fresh: set[str] = set()
+    for rec in records[-2:]:
+        data = json.load(open(rec))
+        fresh.update(
+            k
+            for k, v in data.items()
+            if isinstance(v, dict) and v.get("rows_match")
+        )
     names = list(entrymod.queries().keys())
     stale_tail = [q for q in names[50:] if q not in fresh]
     assert not stale_tail, (
-        f"tier-B queries without a row in {os.path.basename(records[-1])}: "
-        f"{stale_tail} — they would go 2+ rounds without driver evidence; "
-        "rotate them into the first 50"
+        "tier-B queries without a driver row in the last two records "
+        f"({[os.path.basename(r) for r in records[-2:]]}): {stale_tail} — "
+        "they would go 2+ rounds without driver evidence; rotate them into "
+        "the first 50"
     )
