@@ -237,8 +237,13 @@ class StreamingHoppingWindows:
         self.shards = []
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class Feeder:
+    # num_cpus=0.25: a feeder is scan + per-batch combine + RPC — mostly
+    # waiting on shard acks. The whole streaming actor set (8 shards x 0.25
+    # + 4 feeders x 0.25 + coordinator 0) then fits in 3 CPUs, safely inside
+    # even a 4-CPU test session (whole-CPU reservations would deadlock
+    # actor scheduling there — the Dataset.join lesson from shuffle.py).
     """One source-partition consumer: reads its slice of the events table in
     order, ships combined partials, reports its watermark to the
     coordinator and advances the shards to the global MIN.
