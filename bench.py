@@ -694,9 +694,12 @@ def main_gate() -> int:
     gated = best.get("docs_per_s_calibrated") or best["docs_per_s"]
     ok_calibrated = gated >= GATE_FLOOR_DOCS_PER_S
     # kernel tripwire: the probe itself vs the quiet-window pin (the one
-    # check the ratio can't cancel — see GATE_PROBE_FLOOR_FRACTION above)
+    # check the ratio can't cancel — see GATE_PROBE_FLOOR_FRACTION above).
+    # A deliberate kernel re-pin via GRAFT_CAL_REF moves this floor too —
+    # otherwise a legitimate re-pin would trip (or mask) the tripwire.
     probe = best.get("calibration_probe_docs_per_s") or -1.0
-    probe_floor = GATE_PROBE_FLOOR_FRACTION * _PINNED_CAL_REF
+    pin = REF_CALIBRATION_DOCS_PER_S or _PINNED_CAL_REF
+    probe_floor = GATE_PROBE_FLOOR_FRACTION * pin
     ok_probe = probe <= 0 or probe >= probe_floor  # no native kernel -> n/a
     ok_raw = best["docs_per_s"] >= GATE_FLOOR_RAW_DOCS_PER_S
     ok = ok_calibrated and ok_probe and ok_raw
@@ -718,8 +721,8 @@ def main_gate() -> int:
         "calibration_ratio": best.get("calibration_ratio"),
         # pin-drift record (VERDICT r4 item 4): probe vs committed pin, so
         # each round's BENCH_r*.json carries the kernel's own health signal
-        "probe_pin": _PINNED_CAL_REF,
-        "probe_vs_pin": round(probe / _PINNED_CAL_REF, 4) if probe > 0 else None,
+        "probe_pin": pin,
+        "probe_vs_pin": round(probe / pin, 4) if probe > 0 else None,
         "probe_floor": round(probe_floor, 1),
     }))
     return 0 if ok else 1

@@ -248,16 +248,21 @@ class Feeder:
     order, ships combined partials, reports its watermark to the
     coordinator and advances the shards to the global MIN.
 
-    Partition assignment: when the source is a DIRECTORY with at least
-    ``num_feeders`` parquet files, feeder i consumes files ``i::n`` in name
-    order — the real one-consumer-per-partition shape (log shards name-sort
-    by time, so each feeder's stream stays time-ordered; the zero-late-drop
-    assert enforces that assumption at runtime). A single-file source falls
-    back to batch ``seq % num_feeders == feeder_id`` over the shared scan —
-    still a time-ordered subsequence per feeder, arbitrary progress
-    interleaving ACROSS feeders; only this fallback slicing is the sandbox
-    stand-in. The watermark protocol and shard adds are identical in both
-    modes.
+    Partition assignment, best available granularity first (all three keep
+    each feeder's stream a time-ordered subsequence of a time-sorted source;
+    the zero-late-drop assert enforces that assumption at runtime):
+
+    1. FILES ``i::n`` in name order when the source directory has at least
+       ``num_feeders`` parquet files — the real one-consumer-per-partition
+       shape (log shards name-sort by time);
+    2. ROW GROUPS ``i::n`` in file order otherwise, when the source has at
+       least ``num_feeders`` row groups — skipped row groups are never
+       decoded (no read amplification);
+    3. batch ``seq % n == fid`` over a shared scan as the last resort
+       (single file, single row group) — the only mode that decodes rows it
+       discards, and only then on an input too small for it to matter.
+
+    The watermark protocol and shard adds are identical in all modes.
     """
 
     def __init__(
@@ -282,35 +287,63 @@ class Feeder:
         self.lateness_s = lateness_s
         self.batch_rows = batch_rows
 
-    def _my_source(self):
-        """(dataset, batch_filter): own files when the source is a
-        multi-file directory (true per-partition consumption), else the
-        shared file plus a ``seq % n == fid`` batch filter."""
+    COLUMNS = ["ts", "event_type", "value"]
+
+    def _partition_files(self) -> "list[str]":
+        """Time-ordered (name-sorted) file list of the source."""
         import glob
         import os
 
-        import pyarrow.dataset as pads
-
         if os.path.isdir(self.path):
-            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
-            if len(files) >= self.n:
-                own = files[self.fid :: self.n]
-                return pads.dataset(own, format="parquet"), False
-        return pads.dataset(self.path, format="parquet"), True
+            return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        return [self.path]
+
+    def _my_batches(self):
+        """Yield this feeder's batches at the best available granularity
+        (files > row groups > interleaved batches — see class docstring)."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        files = self._partition_files()
+        if len(files) >= self.n:
+            own = files[self.fid :: self.n]
+            scan = pads.dataset(own, format="parquet")
+            yield from scan.to_batches(
+                columns=self.COLUMNS, batch_size=self.batch_rows
+            )
+            return
+        # (file index, row-group index) pairs in global time order
+        rgs = [
+            (f, rg)
+            for f in files
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
+        ]
+        if len(rgs) >= self.n:
+            own_rgs = rgs[self.fid :: self.n]
+            for f, rg in own_rgs:
+                pf = pq.ParquetFile(f)
+                yield from pf.iter_batches(
+                    row_groups=[rg],
+                    columns=self.COLUMNS,
+                    batch_size=self.batch_rows,
+                )
+            return
+        # last resort: shared scan, own every n-th batch (decodes rows it
+        # discards — only reachable for single-file single-row-group inputs)
+        scan = pads.dataset(files, format="parquet")
+        for seq, batch in enumerate(
+            scan.to_batches(columns=self.COLUMNS, batch_size=self.batch_rows)
+        ):
+            if seq % self.n == self.fid:
+                yield batch
 
     def run(self) -> int:
         """Consume the partition to EOF; returns events processed."""
-        scan, interleave = self._my_source()
         global_wm = float("-inf")
         local_max_ts = float("-inf")
         processed = 0
-        pending: list = []
-        for seq, batch in enumerate(
-            scan.to_batches(
-                columns=["ts", "event_type", "value"], batch_size=self.batch_rows
-            )
-        ):
-            if (interleave and seq % self.n != self.fid) or batch.num_rows == 0:
+        for batch in self._my_batches():
+            if batch.num_rows == 0:
                 continue
             ts_s = (
                 batch.column("ts").cast("int64").to_numpy(zero_copy_only=False)
@@ -325,17 +358,19 @@ class Feeder:
             # ship under the last-known GLOBAL watermark (<= the true global
             # min: staleness only under-reports lateness, and the shard-side
             # finalized_wm max() restores exactness — never double-emits)
-            pending = _ship_partials(self.shards, agg, global_wm)
+            refs = _ship_partials(self.shards, agg, global_wm)
             processed += int(batch.num_rows)
             local_max_ts = max(local_max_ts, float(ts_s.max()))
             # adds must land before the watermark that covers them advances
             # the shards (otherwise this feeder's own events could be
             # finalized past)
-            ray.get(pending)
-            global_wm = ray.get(
+            ray.get(refs)
+            new_wm = ray.get(
                 self.coord.report.remote(self.fid, local_max_ts - self.lateness_s)
             )
-            ray.get([s.advance.remote(global_wm) for s in self.shards])
+            if new_wm > global_wm:  # skip no-op advance fan-outs
+                global_wm = new_wm
+                ray.get([s.advance.remote(global_wm) for s in self.shards])
         # end-of-partition: stop holding the global watermark back
         ray.get(self.coord.report.remote(self.fid, float("inf")))
         return processed

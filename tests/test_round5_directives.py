@@ -20,16 +20,21 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.001"
 
 
-def test_parquet_column_min_max_reads_stats_only():
+def test_parquet_column_min_max_reads_stats_only(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from html_parser_ray.pipelines.shuffle import parquet_column_min_max
 
     lo, hi = parquet_column_min_max(f"{SF}/documents.parquet", "doc_id")
     assert (lo, hi) == (0, 499)
-    # directory form
-    import os
-
-    lo2, hi2 = parquet_column_min_max(os.path.dirname(f"{SF}/documents.parquet") + "/documents.parquet", "doc_id")
-    assert (lo2, hi2) == (lo, hi)
+    # directory form: the min/max fold must span MULTIPLE files (and the
+    # overall extremes must come from different files)
+    d = tmp_path / "multi"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([40, 7, 12], pa.int64())}), d / "a.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([3, 99], pa.int64())}), d / "b.parquet")
+    assert parquet_column_min_max(str(d), "doc_id") == (3, 99)
 
 
 def test_doc_pack_assignments_source_has_no_driver_column_pull():

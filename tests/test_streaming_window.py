@@ -271,15 +271,14 @@ def test_per_file_partition_assignment(tmp_path):
         )
 
     # the per-file branch must actually engage: a feeder over this source
-    # owns 2 of the 8 files and uses no batch interleave (undecorated class
-    # so the check runs in-process, no actor round-trip)
+    # owns exactly files 1 and 5 of the 8 (undecorated class so the check
+    # runs in-process, no actor round-trip)
     plain = Feeder.__ray_metadata__.modified_class
     fd = plain(1, 4, str(evdir), [], None, 100, 50, 50, 100)
-    src, interleave = fd._my_source()
-    assert interleave is False
-    assert sorted(src.files) == sorted(
-        str(evdir / f"part-{i:03d}.parquet") for i in (1, 5)
-    )
+    files = fd._partition_files()
+    assert files == sorted(str(evdir / f"part-{i:03d}.parquet") for i in range(8))
+    own_rows = sum(b.num_rows for b in fd._my_batches())
+    assert own_rows == 2 * shard  # files[1::4] -> shards 1 and 5 only
 
     got = streaming_hopping_counts(
         str(d), size_s=100, hop_s=50, lateness_s=100, num_shards=4,
@@ -302,3 +301,40 @@ def test_per_file_partition_assignment(tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({c: truth[c].dtype for c in truth.columns}), truth
     )
+
+
+def test_row_group_partition_assignment(tmp_path):
+    """A single file with >= num_feeders row groups must assign ROW GROUPS
+    round-robin (skipped groups never decoded), not batch-interleave a
+    shared scan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.state.streaming_window import Feeder
+
+    n = 800
+    ts_s = np.arange(n, dtype=np.int64)
+    f = tmp_path / "events.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us")),
+                "event_type": pa.array(["t"] * n),
+                "value": pa.array(np.ones(n)),
+            }
+        ),
+        f,
+        row_group_size=100,  # 8 row groups
+    )
+    plain = Feeder.__ray_metadata__.modified_class
+    fd = plain(2, 4, str(f), [], None, 100, 50, 50, 50)
+    batches = list(fd._my_batches())
+    rows = sum(b.num_rows for b in batches)
+    assert rows == 200  # row groups 2 and 6 only
+    seen = np.concatenate(
+        [b.column("ts").cast("int64").to_numpy(zero_copy_only=False) // 1_000_000 for b in batches]
+    )
+    # exactly the rows of row groups 2 and 6, in time order within the feeder
+    expected = np.concatenate([np.arange(200, 300), np.arange(600, 700)])
+    assert (seen == expected).all()
