@@ -319,11 +319,16 @@ class Feeder:
             for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
         ]
         if len(rgs) >= self.n:
-            own_rgs = rgs[self.fid :: self.n]
-            for f, rg in own_rgs:
+            # group own row groups by file (order-preserving: rgs is
+            # file-major so the i::n subsequence stays time-ordered after
+            # grouping) — one file open per file, not per row group
+            by_file: dict[str, list[int]] = {}
+            for f, rg in rgs[self.fid :: self.n]:
+                by_file.setdefault(f, []).append(rg)
+            for f, row_groups in by_file.items():
                 pf = pq.ParquetFile(f)
                 yield from pf.iter_batches(
-                    row_groups=[rg],
+                    row_groups=row_groups,
                     columns=self.COLUMNS,
                     batch_size=self.batch_rows,
                 )
