@@ -307,14 +307,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": text_analysis.doc_token_stats,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
-        "pii_scrub": hygiene.pii_scrub,
-        "quality_filter": text_analysis.quality_filter,
         "shingle_dupes": dedup.shingle_dupes,
         # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # ---- tier A: new in round 5 (never driver-checked -> window) ------
+        # Bloom-filter semi-join: OR-mergeable 16 KiB bitmap partials,
+        # broadcast pre-filter, exact co-partitioned verify on survivors
+        "orders_bloom_semi_join": relational.orders_bloom_semi_join,
+        # per-group z-score outliers in EXACT integer arithmetic (moment
+        # partials + broadcast; (n*x-S)^2 > z^2(nQ-S^2) — no float round-trip)
+        "events_value_outliers": relational.events_value_outliers,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
+        "pii_scrub": hygiene.pii_scrub,
+        "quality_filter": text_analysis.quality_filter,
         "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
         "events_user_hll": relational.events_user_hll,
         "doc_stratified_sample": text_analysis.doc_stratified_sample,
@@ -882,6 +889,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(ts, '%Y-%m-%d') AS day, "
             "COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # the Bloom pre-filter has no false negatives and survivors are
+        # exactly verified, so the plain semi-join IS the oracle
+        "orders_bloom_semi_join": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            f"CAST(SUM({_CENTS.format(col='o_totalprice')}) AS BIGINT) AS sum_cents "
+            "FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # identical exact-integer predicate on both sides: |x-mean| > 3*std
+        # as (n*x - S)^2 > 9*(n*Q - S^2), computed in HUGEINT so no float
+        # mean/stddev round-trip can flip a boundary row
+        "events_value_outliers": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(cents) AS HUGEINT) AS sm, "
+            "SUM(CAST(cents AS HUGEINT) * cents) AS q FROM e GROUP BY 1) "
+            "SELECT e.event_id, e.event_type, e.cents "
+            "FROM e JOIN s USING (event_type) "
+            "WHERE (s.n * e.cents - s.sm) * (s.n * e.cents - s.sm) "
+            "> 9 * (s.n * s.q - s.sm * s.sm) "
+            "ORDER BY e.event_id"
         ),
         "term_doc_frequency": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "

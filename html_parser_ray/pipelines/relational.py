@@ -1324,3 +1324,172 @@ def orders_cube(sf_dir: str) -> pd.DataFrame:
         .sort_values(["o_orderpriority", "o_orderstatus"])
         .reset_index(drop=True)
     )
+
+
+def orders_bloom_semi_join(
+    sf_dir: str, segment: str = "BUILDING", num_partitions: int = 16
+) -> pd.DataFrame:
+    """**Bloom-filtered semi-join** (round 5): orders whose customer sits in
+    one market segment, aggregated per priority — through a Bloom pre-filter
+    + exact co-partitioned verify.
+
+    The 100 TB join strategy this demonstrates: broadcasting the build
+    side's EXACT key set costs 8+ bytes per key (unbounded as the build side
+    grows); a Bloom filter is a FIXED 16 KiB bit array whose map-side
+    partials merge with bitwise OR (commutative — ``functions/sketches.py``),
+    so the probe side drops non-candidates map-only BEFORE the one exchange,
+    and the exact co-partitioned semi-join (``partitioned_lookup``) then
+    shuffles only the survivors. False positives cost a little verify work;
+    false negatives are impossible, so the result is EXACT — same oracle as
+    the plain semi-join.
+    """
+    from html_parser_ray.functions.sketches import (
+        bloom_add,
+        bloom_contains_many,
+        bloom_merge,
+        bloom_new,
+    )
+    from html_parser_ray.pipelines.shuffle import partitioned_lookup
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    build = read_table(cust_path, columns=["c_custkey", "c_mktsegment"])
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = bloom_new()
+        for key in df.loc[df["c_mktsegment"] == segment, "c_custkey"]:
+            bloom_add(bits, int(key))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    # one 16 KiB partial per block -> OR-combine on the driver (bounded by
+    # the BLOCK COUNT, not by the number of keys) -> broadcast once
+    parts = build.map_batches(bloom_partial, batch_format="pandas").to_pandas()
+    bloom = bloom_new()
+    for blob in parts["bits"]:
+        bloom = bloom_merge(bloom, np.frombuffer(blob, dtype=np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(bloom_ref)
+        mask = bloom_contains_many(bits, df["o_custkey"].astype("int64"))
+        sub = df[mask]
+        return pd.DataFrame(
+            {
+                "o_custkey": sub["o_custkey"].astype("int64"),
+                "o_orderpriority": sub["o_orderpriority"],
+                "cents": _cents(sub["o_totalprice"].to_numpy()),
+            }
+        )
+
+    survivors = orders.map_batches(prefilter, batch_format="pandas")
+
+    # exact verify: co-partitioned semi-join of the SURVIVORS only (the
+    # exact set is never broadcast — at scale it doesn't fit; the exchange
+    # carries candidates, already bloom-shrunk to ~the true matches)
+    def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["c_mktsegment"] == segment]
+        return pd.DataFrame(
+            {"c_custkey": sub["c_custkey"].astype("int64"), "one": np.uint8(1)}
+        )
+
+    seg_ds = build.map_batches(seg_keys, batch_format="pandas")
+    verified = partitioned_lookup(
+        survivors, "o_custkey", seg_ds, "c_custkey", "one", "__m", num_partitions
+    )
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        return g
+
+    parts2 = verified.map_batches(agg_partial, batch_format="pandas").to_pandas()
+    out = (
+        parts2.groupby("o_orderpriority", as_index=False)[["n_orders", "sum_cents"]]
+        .sum()
+        .astype({"n_orders": "int64", "sum_cents": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def events_value_outliers(sf_dir: str, z: int = 3) -> pd.DataFrame:
+    """**Per-group z-score outlier filter in EXACT integer arithmetic**
+    (round 5): events whose value sits more than ``z`` population standard
+    deviations from their event type's mean.
+
+    ``|x - mean| > z*std`` is algebraically ``(n*x - S)^2 > z^2*(n*Q - S^2)``
+    with S = sum, Q = sum of squares — all integers on cents, so the filter
+    is bit-exact against the SQL oracle (no float std/mean round-trip).
+    Shape: map-side moment partials (n, S, Q — three ints per (batch,
+    group)), driver combine in arbitrary-precision Python ints (group count
+    is the bound, not rows), broadcast, then one map-only filter pass. The
+    per-row side needs ``(n*x - S)^2`` to fit int64; groups too big for that
+    fall back to an exact per-row Python-int path (documented bound: fine
+    through sf100; shard the moments beyond that).
+    """
+    path = f"{sf_dir}/events.parquet"
+    ds = read_table(path, columns=["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"].to_numpy())
+        g = pd.DataFrame({"t": df["event_type"], "c": cents})
+        rows = []
+        for t, sub in g.groupby("t"):
+            c = sub["c"].to_numpy()
+            # per-batch sumsq fits int64 (rows_per_batch * max_cents^2)
+            rows.append((t, len(c), int(c.sum()), int((c * c).sum())))
+        return pd.DataFrame(rows, columns=["t", "n", "s", "q"])
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    stats: dict[str, tuple[int, int, int]] = {}
+    for t, sub in parts.groupby("t"):
+        n = int(sub["n"].sum())
+        s = int(sub["s"].sum())  # Python ints: exact at any magnitude
+        q = int(sub["q"].sum())
+        thresh = z * z * (n * q - s * s)  # exact, arbitrary precision
+        stats[str(t)] = (n, s, thresh)
+    stats_ref = ray.put(stats)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        cents = _cents(df["value"].to_numpy())
+        ids = df["event_id"].to_numpy()
+        out_id, out_t, out_c = [], [], []
+        for t, idx in df.groupby("event_type").indices.items():
+            n, s, thresh = st[str(t)]
+            c = cents[idx]
+            # |d| = |n*c - s| <= n*max|c| + |s|; vectorize iff d^2 fits int64
+            d_bound = n * int(np.abs(c).max(initial=0)) + abs(s)
+            if d_bound < 3_037_000_499:  # isqrt(2^63 - 1)
+                d = n * c.astype(np.int64) - s
+                mask = d * d > min(thresh, (1 << 63) - 1)
+            else:  # exact arbitrary-precision fallback for huge groups
+                mask = np.fromiter(
+                    ((n * int(x) - s) ** 2 > thresh for x in c),
+                    dtype=bool,
+                    count=len(c),
+                )
+            for j in np.nonzero(mask)[0]:
+                out_id.append(int(ids[idx[j]]))
+                out_t.append(t)
+                out_c.append(int(c[j]))
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(out_id, dtype="int64"),
+                "event_type": pd.Series(out_t, dtype="object"),
+                "cents": pd.Series(out_c, dtype="int64"),
+            }
+        )
+
+    from html_parser_ray.pipelines.shuffle import sort_output
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()), ("cents", pa.int64())]
+    )
+    return sort_output(ds.map_batches(filt, batch_format="pandas"), ["event_id"], out_schema)
