@@ -307,7 +307,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": text_analysis.doc_token_stats,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
-        "shingle_dupes": dedup.shingle_dupes,
         # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # ---- tier A: new in round 5 (never driver-checked -> window) ------
@@ -317,11 +316,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group z-score outliers in EXACT integer arithmetic (moment
         # partials + broadcast; (n*x-S)^2 > z^2(nQ-S^2) — no float round-trip)
         "events_value_outliers": relational.events_value_outliers,
+        # distributed table profiler: all-column exact distincts in ONE melt
+        # exchange; rows/nulls map-side
+        "events_profile": relational.events_profile,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
         "pii_scrub": hygiene.pii_scrub,
         "quality_filter": text_analysis.quality_filter,
+        "shingle_dupes": dedup.shingle_dupes,
         "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
         "events_user_hll": relational.events_user_hll,
         "doc_stratified_sample": text_analysis.doc_stratified_sample,
@@ -898,6 +901,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders WHERE o_custkey IN "
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # one UNION ALL branch per profiled column; COUNT(DISTINCT) excludes
+        # NULLs on both sides (the melt drops them)
+        "events_profile": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+                for c in (
+                    "event_id", "event_type", "props", "ts", "user_id", "value"
+                )
+            )
+            + ") ORDER BY col_name"
         ),
         # identical exact-integer predicate on both sides: |x-mean| > 3*std
         # as (n*x - S)^2 > 9*(n*Q - S^2), computed in HUGEINT so no float

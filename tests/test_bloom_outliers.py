@@ -107,3 +107,47 @@ def test_outlier_predicate_boundary_exact():
         d = np.int64(n) * np.int64(x) - np.int64(S)
         vec = int(d) * int(d) > 9 * (n * Q - S * S)
         assert exact == vec, x
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_profile_matches_oracle_and_handles_nulls(tmp_path):
+    import __ray_entry__ as entrymod
+
+    from html_parser_ray.pipelines.relational import events_profile
+
+    # sf0.001 oracle parity (second scale factor from the driver's sf0.01)
+    out = events_profile(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    oracle = con.execute(entrymod.oracle_sql()["events_profile"]).df()
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+
+    # nulls: dropped from distincts (SQL semantics), counted in n_null
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfp"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "event_type": pa.array(["a", None, "a", "b"]),
+                "props": pa.array([None, None, "x", "x"]),
+                "ts": pa.array([10**6, 2 * 10**6, None, 10**6], pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, None], pa.int64()),
+                "value": pa.array([1.5, 1.5, None, 2.25], pa.float64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = events_profile(str(d)).set_index("col_name")
+    assert got.loc["event_type"].tolist() == [4, 1, 2]  # rows, nulls, distinct
+    assert got.loc["props"].tolist() == [4, 2, 1]
+    assert got.loc["ts"].tolist() == [4, 1, 2]
+    assert got.loc["user_id"].tolist() == [4, 1, 1]
+    assert got.loc["value"].tolist() == [4, 1, 2]
