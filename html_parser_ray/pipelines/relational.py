@@ -1503,68 +1503,96 @@ def events_profile(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     count and EXACT distinct count over the events table — the schema-audit
     pass a training-data pipeline runs before ingesting a new source.
 
-    Scale shape: rows/nulls are map-side partials (6 ints per batch).
-    Exact distincts are the expensive part — computed for ALL columns in ONE
-    exchange by melting each batch to slim ``(column_id, value_key)`` pairs
-    (value_key is an injective per-dtype encoding: the int64 bit-view for
-    numeric/timestamp columns — exact, no string formatting of floats — and
-    the raw string otherwise), hash-partitioning by both, and emitting one
-    per-partition ``nunique`` partial per column; the driver combine is
-    bounded by partitions x columns, never by rows. SQL's COUNT(DISTINCT)
-    excludes NULLs; the melt drops them to match.
+    Scale shape: ONE melt exchange does everything. Each batch melts — in
+    ARROW format, where nulls are validity bits and a nullable int64 column
+    can never silently promote to float64 the way a per-block pandas
+    conversion does (that promotion made the distinct key block-dependent:
+    the same value hashed differently depending on whether its block held a
+    null) — to slim ``(column_id, key_i64, key_str)`` rows: the int64
+    bit-view for numeric/timestamp columns (8 bytes, no float formatting)
+    and the raw string otherwise. Floats are canonicalized to SQL DISTINCT
+    semantics first (-0.0 -> 0.0 merge, one NaN bit pattern; Arrow
+    null_count already matches SQL's NaN-is-a-value rule). One hash
+    partition per (cid, keys) then emits ``(cid, nd, n_seen)`` partials —
+    distincts AND non-null counts from the same exchange; n_rows comes from
+    dataset metadata. The driver combine is bounded by partitions x
+    columns, never by rows. A zero-row table yields the same
+    all-zeros-per-column rows the SQL aggregate does.
     """
     from html_parser_ray.pipelines.shuffle import hash_partitioned
 
     path = f"{sf_dir}/events.parquet"
     ds = read_table(path, columns=PROFILE_COLUMNS)
+    n_rows = ds.count()  # metadata-only
 
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    def melt(batch: "pa.Table") -> "pa.Table":
+        cids: list[np.ndarray] = []
+        keys_i: list[np.ndarray] = []
+        keys_s: list[list] = []
         for cid, c in enumerate(PROFILE_COLUMNS):
-            nn = int(df[c].notna().sum())
-            rows.append((cid, len(df), len(df) - nn))
-        return pd.DataFrame(rows, columns=["cid", "n_rows", "n_null"])
-
-    base = (
-        ds.map_batches(counts, batch_format="pandas")
-        .to_pandas()
-        .groupby("cid", as_index=False)[["n_rows", "n_null"]]
-        .sum()
-    )
-
-    def melt(df: pd.DataFrame) -> pd.DataFrame:
-        cids, keys = [], []
-        for cid, c in enumerate(PROFILE_COLUMNS):
-            v = df[c][df[c].notna()]
-            if v.dtype.kind in "ifM":  # int/float/datetime: injective bit view
-                key = v.to_numpy().view("int64").astype("U32")
+            col = batch.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = col.drop_null()  # validity nulls only — NaN stays (SQL rule)
+            if pa.types.is_floating(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=True)
+                v = v + 0.0  # IEEE: -0.0 + 0.0 == +0.0 -> signed-zero merge
+                v[np.isnan(v)] = np.nan  # one canonical NaN bit pattern
+                ki = v.view(np.int64)
+                ks = [""] * len(ki)
+            elif pa.types.is_integer(col.type) or pa.types.is_timestamp(col.type):
+                ki = col.to_numpy(zero_copy_only=False).view(np.int64)
+                ks = [""] * len(ki)
             else:
-                key = v.astype(str).to_numpy()
-            cids.append(np.full(len(key), cid, dtype=np.int64))
-            keys.append(key)
-        return pd.DataFrame(
-            {"cid": np.concatenate(cids), "key": np.concatenate(keys)}
+                ks = col.to_pylist()
+                ki = np.zeros(len(ks), dtype=np.int64)
+            cids.append(np.full(len(ki), cid, dtype=np.int64))
+            keys_i.append(np.asarray(ki, dtype=np.int64))
+            keys_s.append(ks)
+        return pa.table(
+            {
+                "cid": pa.array(np.concatenate(cids) if cids else [], type=pa.int64()),
+                "key_i": pa.array(
+                    np.concatenate(keys_i) if keys_i else [], type=pa.int64()
+                ),
+                "key_s": pa.array(
+                    [x for part in keys_s for x in part], type=pa.string()
+                ),
+            }
         )
 
-    melted = ds.map_batches(melt, batch_format="pandas")
+    melted = ds.map_batches(melt, batch_format="pyarrow")
 
     def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.drop_duplicates().groupby("cid", as_index=False).size()
-        return agg.rename(columns={"size": "nd"})
+        seen = g.groupby("cid", as_index=False).size().rename(columns={"size": "n_seen"})
+        nd = (
+            g.drop_duplicates()
+            .groupby("cid", as_index=False)
+            .size()
+            .rename(columns={"size": "nd"})
+        )
+        return seen.merge(nd, on="cid")
 
-    nd = (
-        hash_partitioned(melted, ["cid", "key"], distinct_partial, num_partitions)
-        .to_pandas()
-        .groupby("cid", as_index=False)["nd"]
-        .sum()
+    part_schema = pa.schema(
+        [("cid", pa.int64()), ("n_seen", pa.int64()), ("nd", pa.int64())]
     )
+    parts = hash_partitioned(
+        melted, ["cid", "key_i", "key_s"], distinct_partial, num_partitions,
+        out_schema=part_schema,
+    ).to_pandas()
+    if parts.empty or "cid" not in parts.columns:
+        # empty source: Dataset.to_pandas() drops the schema of a zero-row
+        # dataset (shuffle.py note) — rebuild the typed empty
+        parts = pd.DataFrame({"cid": [], "n_seen": [], "nd": []})
+    agg = parts.groupby("cid")[["n_seen", "nd"]].sum()
 
-    out = base.merge(nd, on="cid", how="left").fillna({"nd": 0})
-    out["col_name"] = [PROFILE_COLUMNS[int(i)] for i in out["cid"]]
-    return (
-        out[["col_name", "n_rows", "n_null", "nd"]]
-        .rename(columns={"nd": "n_distinct"})
-        .astype({"n_rows": "int64", "n_null": "int64", "n_distinct": "int64"})
-        .sort_values("col_name")
-        .reset_index(drop=True)
-    )
+    rows = []
+    for cid, c in enumerate(PROFILE_COLUMNS):
+        n_seen = int(agg["n_seen"].get(cid, 0))
+        nd = int(agg["nd"].get(cid, 0))
+        rows.append((c, n_rows, n_rows - n_seen, nd))
+    return pd.DataFrame(
+        rows, columns=["col_name", "n_rows", "n_null", "n_distinct"]
+    ).astype(
+        {"n_rows": "int64", "n_null": "int64", "n_distinct": "int64"}
+    ).sort_values("col_name").reset_index(drop=True)

@@ -151,3 +151,120 @@ def test_events_profile_matches_oracle_and_handles_nulls(tmp_path):
     assert got.loc["ts"].tolist() == [4, 1, 2]
     assert got.loc["user_id"].tolist() == [4, 1, 1]
     assert got.loc["value"].tolist() == [4, 1, 2]
+
+
+def _write_events(dirpath, cols: dict, row_group_size=None, name="events.parquet"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(cols)
+    pq.write_table(tbl, dirpath / name, **({"row_group_size": row_group_size} if row_group_size else {}))
+    return tbl
+
+
+def _profile_oracle(con, path, sql):
+    con.execute("DROP VIEW IF EXISTS events")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).df()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_nullable_int_block_promotion_regression(tmp_path):
+    """Code-review repro: a nullable int64 column whose nulls sit in SOME
+    blocks must not split one logical value into two distinct keys (the
+    per-block pandas int64->float64 promotion bug). Arrow-format melt keeps
+    the dtype stable; distinct(user_id) here is exactly 2."""
+    import pyarrow as pa
+
+    import __ray_entry__ as entrymod
+    from html_parser_ray.pipelines.relational import events_profile
+
+    d = tmp_path / "sfa"
+    ev = d / "events.parquet"  # directory source -> multiple blocks
+    ev.mkdir(parents=True)
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "props": pa.array(["{}", "{}"]),
+        "ts": pa.array([10**6, 2 * 10**6], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    }
+    _write_events(ev, {**base, "user_id": pa.array([7, 8], pa.int64())}, name="a.parquet")
+    _write_events(ev, {**base, "user_id": pa.array([7, None], pa.int64())}, name="b.parquet")
+
+    out = events_profile(str(d)).set_index("col_name")
+    assert out.loc["user_id"].tolist() == [4, 1, 2]  # rows, nulls, DISTINCT=2
+
+    import duckdb
+
+    con = duckdb.connect()
+    oracle = _profile_oracle(
+        con, f"{ev}/*.parquet", entrymod.oracle_sql()["events_profile"]
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index().astype({c: oracle[c].dtype for c in oracle.columns}),
+        oracle,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_nan_and_signed_zero_match_sql(tmp_path):
+    """SQL DISTINCT semantics for doubles: NaN is a VALUE (not null) and
+    0.0 == -0.0. The float canonicalization must reproduce both."""
+    import pyarrow as pa
+
+    import __ray_entry__ as entrymod
+    from html_parser_ray.pipelines.relational import events_profile
+
+    d = tmp_path / "sfb"
+    d.mkdir()
+    _write_events(
+        d,
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "props": pa.array(["{}"] * 4),
+            "ts": pa.array([10**6] * 4, pa.timestamp("us")),
+            "user_id": pa.array([7] * 4, pa.int64()),
+            "value": pa.array([0.0, -0.0, float("nan"), 1.5], pa.float64()),
+        },
+    )
+    out = events_profile(str(d)).set_index("col_name")
+    assert out.loc["value"].tolist() == [4, 0, 3]  # NaN non-null; ±0 merged
+
+    import duckdb
+
+    con = duckdb.connect()
+    oracle = _profile_oracle(
+        con, d / "events.parquet", entrymod.oracle_sql()["events_profile"]
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index().astype({c: oracle[c].dtype for c in oracle.columns}),
+        oracle,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_empty_table(tmp_path):
+    """An empty new source is a realistic profiling input: one all-zeros
+    row per column, same as the SQL aggregates."""
+    import pyarrow as pa
+
+    from html_parser_ray.pipelines.relational import events_profile
+
+    d = tmp_path / "sfc"
+    d.mkdir()
+    _write_events(
+        d,
+        {
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "props": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        },
+    )
+    out = events_profile(str(d))
+    assert len(out) == 6
+    assert (out[["n_rows", "n_null", "n_distinct"]].to_numpy() == 0).all()
