@@ -71,7 +71,7 @@ _install_empty_block_warning_filter()
 
 
 def read_blocks(
-    path: str, min_blocks: int = 16, target_block_bytes: int = 64 << 20
+    path: str, min_blocks: int = 8, target_block_bytes: int = 64 << 20
 ) -> int:
     """Size-aware read parallelism (``override_num_blocks`` for the read).
 
@@ -84,7 +84,11 @@ def read_blocks(
     parquet ≈ a few hundred MB in memory), floored at ``min_blocks`` so small
     inputs still use the pool. At 100 TB this returns the same many-blocks
     answer as the default; at verification scale it cuts the fixed exchange
-    cost ~4x.
+    cost ~4x. The floor moved 16 -> 8 in round 5 after an interleaved A/B at
+    32 CPUs (simhash 1.46-1.57 -> 1.22-1.48s, revenue_bucketed 1.07-1.18 ->
+    0.88-0.95s, q1 0.46 -> 0.41-0.45s, nothing slower): these inputs are
+    exchange-bound, not read-bound, so fewer blocks = less per-block
+    sampling/scheduling overhead with no read-parallelism cost.
     """
     import glob
     import os
