@@ -119,6 +119,27 @@ class HoppingWindowShard:
     def late_count(self) -> int:
         return self.late_events
 
+    def snapshot(self) -> dict:
+        """Complete shard state for a checkpoint (open windows, finalized
+        results, late count, finalize watermark). Taken at a micro-batch
+        boundary it is a consistent cut: adds are synchronous (feeders
+        ray.get their adds before reporting), so no in-flight update can
+        straddle the snapshot."""
+        return {
+            "size_s": self.size_s,
+            "open": [(k[0], k[1], v[0], v[1]) for k, v in self.open.items()],
+            "final": list(self.final),
+            "late_events": self.late_events,
+            "finalized_wm": self.finalized_wm,
+        }
+
+    def restore(self, snap: dict) -> None:
+        assert snap["size_s"] == self.size_s, "window size mismatch"
+        self.open = {(w, t): [n, c] for w, t, n, c in snap["open"]}
+        self.final = [tuple(row) for row in snap["final"]]
+        self.late_events = snap["late_events"]
+        self.finalized_wm = snap["finalized_wm"]
+
 
 @ray.remote(num_cpus=0)
 class WatermarkCoordinator:
@@ -230,6 +251,30 @@ class StreamingHoppingWindows:
 
     def late_dropped(self) -> int:
         return sum(ray.get([s.late_count.remote() for s in self.shards]))
+
+    def snapshot(self) -> dict:
+        """Checkpoint of the whole window state (per-shard snapshots + the
+        facade's watermark), taken at a micro-batch boundary. Pair it with
+        the SOURCE position (batch seq / Kafka offset) the ingest has acked
+        so a restore replays from exactly the next micro-batch — the
+        standard state-backend + source-offset checkpoint shape."""
+        return {
+            "shards": ray.get([s.snapshot.remote() for s in self.shards]),
+            "max_ts": self._max_ts,
+            "watermark": self._watermark,
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Load a checkpoint into this (fresh) shard set."""
+        assert len(snap["shards"]) == self.num_shards, "shard count mismatch"
+        ray.get(
+            [
+                s.restore.remote(sh)
+                for s, sh in zip(self.shards, snap["shards"])
+            ]
+        )
+        self._max_ts = snap["max_ts"]
+        self._watermark = snap["watermark"]
 
     def shutdown(self) -> None:
         for s in self.shards:

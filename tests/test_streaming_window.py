@@ -338,3 +338,49 @@ def test_row_group_partition_assignment(tmp_path):
     # exactly the rows of row groups 2 and 6, in time order within the feeder
     expected = np.concatenate([np.arange(200, 300), np.arange(600, 700)])
     assert (seen == expected).all()
+
+
+def test_snapshot_restore_kill_resume_equals_uninterrupted():
+    """Checkpoint story: feed half the stream, snapshot at the micro-batch
+    boundary, KILL every shard actor, restore the snapshot into a fresh
+    shard set, feed the rest — output and late counts must equal the
+    uninterrupted run exactly (including windows finalized before the
+    kill and lateness decisions after it)."""
+    import numpy as np
+
+    from html_parser_ray.state.streaming_window import StreamingHoppingWindows
+
+    rng = np.random.RandomState(21)
+    base = np.sort(rng.randint(0, 8000, size=400))
+    ts = base.copy()
+    ts[::5] = np.maximum(0, ts[::5] - rng.randint(0, 400, size=80))  # some late
+    types = [("a" if i % 3 else "b") for i in range(400)]
+    cents = rng.randint(0, 100, size=400).astype(np.int64)
+
+    def uninterrupted():
+        win = StreamingHoppingWindows(size_s=200, hop_s=100, lateness_s=100, num_shards=4)
+        try:
+            _feed_events(win, ts, types, cents, chunk=40)
+            return win.finish(), win.late_dropped()
+        finally:
+            win.shutdown()
+
+    def with_kill_restore():
+        win = StreamingHoppingWindows(size_s=200, hop_s=100, lateness_s=100, num_shards=4)
+        try:
+            _feed_events(win, ts[:200], types[:200], cents[:200], chunk=40)
+            snap = win.snapshot()
+        finally:
+            win.shutdown()  # the "failure"
+        win2 = StreamingHoppingWindows(size_s=200, hop_s=100, lateness_s=100, num_shards=4)
+        try:
+            win2.restore(snap)
+            _feed_events(win2, ts[200:], types[200:], cents[200:], chunk=40)
+            return win2.finish(), win2.late_dropped()
+        finally:
+            win2.shutdown()
+
+    out_a, late_a = uninterrupted()
+    out_b, late_b = with_kill_restore()
+    assert late_a == late_b
+    pd.testing.assert_frame_equal(out_a, out_b)
