@@ -69,6 +69,19 @@ class MinClaimShard:
     def size(self) -> int:
         return len(self._best)
 
+    def snapshot(self) -> "list[tuple[bytes, int]]":
+        """Full index state for a checkpoint. Min-claims are idempotent and
+        commutative, so a snapshot taken at ANY moment is safe: replaying
+        micro-batches that registered after it cannot change winners."""
+        return list(self._best.items())
+
+    def restore(self, items: "list[tuple[bytes, int]]") -> None:
+        best = self._best
+        for h, d in items:  # min-merge, so restore composes with new claims
+            cur = best.get(h)
+            if cur is None or d < cur:
+                best[h] = d
+
 
 def _shard_calls(hashes: list[bytes], doc_ids: np.ndarray, num_shards: int):
     """Group (hash, doc_id) pairs by shard; returns
@@ -115,6 +128,18 @@ class StreamingDeduper:
 
     def index_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self) -> "list[list[tuple[bytes, int]]]":
+        """Per-shard index checkpoint — unlike the window operator no
+        quiescence is needed at all (min-claim is a CRDT: any interleaving
+        of restore and replayed registers converges to the same winners)."""
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, snap: "list[list[tuple[bytes, int]]]") -> None:
+        assert len(snap) == self.num_shards, "shard count mismatch"
+        ray.get(
+            [s.restore.remote(items) for s, items in zip(self.shards, snap)]
+        )
 
     def shutdown(self) -> None:
         for s in self.shards:

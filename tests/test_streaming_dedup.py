@@ -70,3 +70,43 @@ def test_streaming_keep_first_matches_groupby_form(tmp_path):
     a = _ids(streaming_dedup_keep_first(str(tmp_path), num_shards=4))
     b = _ids(dedup_keep_first(str(tmp_path)))
     assert a == b == list(range(100, 107))
+
+
+def test_snapshot_restore_kill_resume_keeps_winners(ray_session):
+    """Checkpoint the shared index mid-stream, kill the shard actors,
+    restore into a fresh set, register the rest: winners equal the
+    uninterrupted run. Min-claims are a CRDT, so even replaying
+    already-registered batches after restore cannot change the outcome."""
+    import numpy as np
+
+    from html_parser_ray.state.streaming_dedup import StreamingDeduper, _hashes
+
+    rng = np.random.RandomState(13)
+    texts = [f"doc {i % 40}" for i in range(200)]  # heavy duplication
+    ids = rng.permutation(200).astype("int64")
+
+    def winners(dd):
+        mask = dd.winner_mask(_hashes(texts), ids)
+        return sorted(ids[mask].tolist())
+
+    ref = StreamingDeduper(num_shards=4)
+    try:
+        ref.register_batch(_hashes(texts), ids)
+        expected = winners(ref)
+    finally:
+        ref.shutdown()
+
+    dd = StreamingDeduper(num_shards=4)
+    try:
+        dd.register_batch(_hashes(texts[:100]), ids[:100])
+        snap = dd.snapshot()
+    finally:
+        dd.shutdown()  # the "failure"
+    dd2 = StreamingDeduper(num_shards=4)
+    try:
+        dd2.restore(snap)
+        # replay overlap (at-least-once delivery) + the remainder
+        dd2.register_batch(_hashes(texts[80:]), ids[80:])
+        assert winners(dd2) == expected
+    finally:
+        dd2.shutdown()
