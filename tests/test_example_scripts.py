@@ -11,6 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 from examples import (
     curation_pipeline,
+    profiling_and_skew,
     streaming_and_packing,
     warc_ingest,
     dedup_pipeline,
@@ -31,6 +32,7 @@ SCRIPTS = [
     curation_pipeline,
     hygiene_pipeline,
     streaming_and_packing,
+    profiling_and_skew,
 ]
 
 
