@@ -364,6 +364,11 @@ def oracle_sql() -> dict[str, str]:
         PII_PHONE as _pii_phone,
     )
 
+    # single source of truth for the profiled column set
+    from html_parser_ray.pipelines.relational import (
+        PROFILE_COLUMNS as _profile_columns,
+    )
+
     # golden parquets resolve relative to this file, not a hard-coded checkout
     # location — the oracle must work from any repo path
     golden = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
@@ -902,17 +907,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
             "GROUP BY 1 ORDER BY 1"
         ),
-        # one UNION ALL branch per profiled column; COUNT(DISTINCT) excludes
-        # NULLs on both sides (the melt drops them)
+        # one UNION ALL branch per profiled column (single source of truth:
+        # relational.PROFILE_COLUMNS); COUNT(DISTINCT) excludes NULLs on
+        # both sides (the melt drops them)
         "events_profile": (
             "SELECT * FROM ("
             + " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
                 f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
                 f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
-                for c in (
-                    "event_id", "event_type", "props", "ts", "user_id", "value"
-                )
+                for c in _profile_columns
             )
             + ") ORDER BY col_name"
         ),

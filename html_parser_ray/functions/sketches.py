@@ -116,7 +116,7 @@ def cms_query(sketch: np.ndarray, term: str) -> int:
 # pre-filter in front of an exact co-partitioned verify. md5-based hashing
 # keeps it deterministic across processes and partitionings.
 
-BLOOM_BITS = 1 << 17  # 16 KiB — fpr ~1e-8 at 300 keys, ~0.2% at 10k keys
+BLOOM_BITS = 1 << 17  # 16 KiB — fpr ~1e-8 at 300 keys, ~0.5% at 10k keys
 BLOOM_K = 4
 
 
@@ -125,10 +125,13 @@ def bloom_new(m_bits: int = BLOOM_BITS) -> np.ndarray:
 
 
 def _bloom_positions(key, m_bits: int, k: int) -> "list[int]":
+    """k probe positions via double hashing (Kirsch-Mitzenmacher: pos_i =
+    h1 + i*h2) over the md5 of the stringified key — valid for ANY k, not
+    just the 4 that fit md5's 16 bytes as independent slices."""
     h = hashlib.md5(str(key).encode()).digest()
-    return [
-        int.from_bytes(h[4 * i : 4 * i + 4], "big") % m_bits for i in range(k)
-    ]
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
 
 
 def bloom_add(bits: np.ndarray, key, k: int = BLOOM_K) -> None:
@@ -150,9 +153,64 @@ def bloom_contains(bits: np.ndarray, key, k: int = BLOOM_K) -> bool:
 
 
 def bloom_contains_many(bits: np.ndarray, keys, k: int = BLOOM_K) -> np.ndarray:
-    """Vectorized-ish membership for a batch of keys (bool[len(keys)])."""
+    """Membership for a batch of arbitrary keys (bool[len(keys)]); for
+    int64 key columns use the vectorized ``*_int64`` twins instead."""
     return np.fromiter(
         (bloom_contains(bits, key, k) for key in keys),
         dtype=bool,
         count=len(keys),
     )
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 -> uint64) — the same
+    deterministic, PYTHONHASHSEED-free property as the md5 path, at numpy
+    speed for integer key columns. Build and probe sides must use the SAME
+    family, so the int64 add/contains twins pair with each other only."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions_int64(keys: np.ndarray, m_bits: int, k: int):
+    h1 = _splitmix64_np(keys.astype(np.uint64))
+    h2 = _splitmix64_np(h1) | np.uint64(1)
+    m = np.uint64(m_bits)
+    for i in range(k):
+        yield (h1 + np.uint64(i) * h2) % m
+
+
+def bloom_add_many_int64(bits: np.ndarray, keys, k: int = BLOOM_K) -> None:
+    """Vectorized insert of an int64 key array (the map-side partial for
+    integer join keys — no per-row Python on the build side)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    m_bits = len(bits) * 8
+    with np.errstate(over="ignore"):
+        for pos in _bloom_positions_int64(keys, m_bits, k):
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+
+
+def bloom_contains_many_int64(
+    bits: np.ndarray, keys, k: int = BLOOM_K
+) -> np.ndarray:
+    """Vectorized membership for an int64 key array — the probe-side hot
+    path stays numpy end-to-end (no per-row hashing)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    m_bits = len(bits) * 8
+    mask = np.ones(len(keys), dtype=bool)
+    with np.errstate(over="ignore"):
+        for pos in _bloom_positions_int64(keys, m_bits, k):
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            bit = np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            )
+            mask &= (byte & bit) != 0
+    return mask

@@ -1344,20 +1344,22 @@ def orders_bloom_semi_join(
     the plain semi-join.
     """
     from html_parser_ray.functions.sketches import (
-        bloom_add,
-        bloom_contains_many,
+        bloom_add_many_int64,
+        bloom_contains_many_int64,
         bloom_merge,
         bloom_new,
     )
     from html_parser_ray.pipelines.shuffle import partitioned_lookup
 
     cust_path = f"{sf_dir}/customer.parquet"
-    build = read_table(cust_path, columns=["c_custkey", "c_mktsegment"])
+    # materialize once: the bloom partials AND the verify keys both read
+    # the build side (two lazy executions would scan the file twice)
+    build = read_table(cust_path, columns=["c_custkey", "c_mktsegment"]).materialize()
 
     def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = bloom_new()
-        for key in df.loc[df["c_mktsegment"] == segment, "c_custkey"]:
-            bloom_add(bits, int(key))
+        keys = df.loc[df["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+        bloom_add_many_int64(bits, keys)
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
     # one 16 KiB partial per block -> OR-combine on the driver (bounded by
@@ -1375,7 +1377,9 @@ def orders_bloom_semi_join(
 
     def prefilter(df: pd.DataFrame) -> pd.DataFrame:
         bits = ray.get(bloom_ref)
-        mask = bloom_contains_many(bits, df["o_custkey"].astype("int64"))
+        # vectorized probe: the pre-filter stays numpy end-to-end (a per-row
+        # Python md5 here would cost more than the exchange it avoids)
+        mask = bloom_contains_many_int64(bits, df["o_custkey"].to_numpy())
         sub = df[mask]
         return pd.DataFrame(
             {
@@ -1540,8 +1544,14 @@ def events_profile(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
                 v[np.isnan(v)] = np.nan  # one canonical NaN bit pattern
                 ki = v.view(np.int64)
                 ks = [""] * len(ki)
-            elif pa.types.is_integer(col.type) or pa.types.is_timestamp(col.type):
+            elif pa.types.is_timestamp(col.type):
                 ki = col.to_numpy(zero_copy_only=False).view(np.int64)
+                ks = [""] * len(ki)
+            elif pa.types.is_integer(col.type):
+                # astype, not view: sub-64-bit ints would byte-pack under a
+                # raw view; astype is value-preserving (and a bijective wrap
+                # for uint64), so distinct counts stay exact at every width
+                ki = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
                 ks = [""] * len(ki)
             else:
                 ks = col.to_pylist()

@@ -104,7 +104,7 @@ def read_blocks(
 
 
 def read_table(
-    path: str, columns: list[str] | None = None, min_blocks: int = 16
+    path: str, columns: list[str] | None = None, min_blocks: int = 8
 ) -> "ray.data.Dataset":
     """``read_parquet`` with size-aware block count (see ``read_blocks``) —
     use for any read that feeds a hash-partitioned exchange."""

@@ -262,11 +262,19 @@ class StreamingHoppingWindows:
             "shards": ray.get([s.snapshot.remote() for s in self.shards]),
             "max_ts": self._max_ts,
             "watermark": self._watermark,
+            "size_s": self.size_s,
+            "hop_s": self.hop_s,
+            "lateness_s": self.lateness_s,
         }
 
     def restore(self, snap: dict) -> None:
-        """Load a checkpoint into this (fresh) shard set."""
+        """Load a checkpoint into this (fresh) shard set. The full window
+        geometry must match — restoring onto a different hop/lateness would
+        silently mix two window grids in the output."""
         assert len(snap["shards"]) == self.num_shards, "shard count mismatch"
+        assert snap["size_s"] == self.size_s, "window size mismatch"
+        assert snap["hop_s"] == self.hop_s, "hop mismatch"
+        assert snap["lateness_s"] == self.lateness_s, "lateness mismatch"
         ray.get(
             [
                 s.restore.remote(sh)

@@ -268,3 +268,35 @@ def test_profile_empty_table(tmp_path):
     out = events_profile(str(d))
     assert len(out) == 6
     assert (out[["n_rows", "n_null", "n_distinct"]].to_numpy() == 0).all()
+
+
+def test_bloom_int64_twins_and_double_hashing():
+    """The vectorized int64 add/contains pair must be internally consistent
+    (no false negatives, OR-commutative partials) and double hashing must
+    give k distinct probes for any k — including k > 4, which the old
+    md5-slice scheme silently broke."""
+    import numpy as np
+
+    from html_parser_ray.functions.sketches import (
+        _bloom_positions,
+        bloom_add_many_int64,
+        bloom_contains_many_int64,
+        bloom_merge,
+        bloom_new,
+    )
+
+    rng = np.random.RandomState(17)
+    keys = rng.randint(-(10**12), 10**12, size=1000).astype(np.int64)
+    a, b = bloom_new(), bloom_new()
+    bloom_add_many_int64(a, keys[:500])
+    bloom_add_many_int64(b, keys[500:])
+    m1, m2 = bloom_merge(a, b), bloom_merge(b, a)
+    assert (m1 == m2).all()
+    assert bloom_contains_many_int64(m1, keys).all()  # no false negatives
+    probes = rng.randint(2 * 10**12, 3 * 10**12, size=5000).astype(np.int64)
+    assert bloom_contains_many_int64(m1, probes).sum() <= 25
+
+    # k > 4 positions are all derived (h1 + i*h2), never a degenerate 0
+    pos = _bloom_positions("some key", 1 << 17, 8)
+    assert len(set(pos)) == 8
+    assert pos[4:] != [0, 0, 0, 0]
