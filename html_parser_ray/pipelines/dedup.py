@@ -971,7 +971,16 @@ def part_name_fuzzy_pairs(
                         b_out.append(names[j])
         return pd.DataFrame({"name_a": a_out, "name_b": b_out})
 
-    pairs = hash_partitioned(variants, ["variant"], pair_in_bucket, num_partitions)
+    # out_schema: this exchange CHAINS into distinct_rows' exchange, and the
+    # 0-column empty blocks map_groups emits for empty sort ranges would
+    # KeyError the next with_part once block count exceeds partitions
+    pairs = hash_partitioned(
+        variants,
+        ["variant"],
+        pair_in_bucket,
+        num_partitions,
+        out_schema=pa.schema([("name_a", pa.string()), ("name_b", pa.string())]),
+    )
     uniq = distinct_rows(
         pairs,
         ["name_a", "name_b"],

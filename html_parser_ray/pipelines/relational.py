@@ -1406,10 +1406,19 @@ def orders_bloom_semi_join(
     )
 
     def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("o_orderpriority", as_index=False).agg(
+        if len(df) == 0 or "o_orderpriority" not in df.columns:
+            # partitioned_lookup's exchange can emit 0-column empty blocks
+            # for empty sort ranges — return the typed empty partial
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype="object"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "sum_cents": pd.Series(dtype="int64"),
+                }
+            )
+        return df.groupby("o_orderpriority", as_index=False).agg(
             n_orders=("cents", "size"), sum_cents=("cents", "sum")
         )
-        return g
 
     parts2 = verified.map_batches(agg_partial, batch_format="pandas").to_pandas()
     out = (

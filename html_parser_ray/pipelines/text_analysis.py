@@ -39,7 +39,11 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
             {
                 "lang": df["lang"],
                 "n_docs": 1,
-                "sum_tokens": [len(t.split(" ")) if t else 0 for t in texts],
+                # '' splits to [''] = 1 token in BOTH python and duckdb's
+                # string_split — no falsy-guard (it would diverge on '')
+                "sum_tokens": [
+                    len(t.split(" ")) if t is not None else 0 for t in texts
+                ],
                 "sum_chars": [len(t) for t in texts],
             }
         )
@@ -50,14 +54,26 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return result.sort_values("lang").reset_index(drop=True)
 
 
-def doc_quality(sf_dir: str) -> pd.DataFrame:
+def doc_quality(sf_dir: str) -> "ray.data.Dataset":
     """Per-document quality counters (integer features, SQL-mirrorable)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_stopwords": pd.Series(dtype="int64"),
+            "sum_token_len": pd.Series(dtype="int64"),
+        }
+    )
+
     def feats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # typed empty, not a 0-column frame
+            return _EMPTY
         rows = []
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            toks = text.split(" ") if text else []
+            # '' -> [''] (1 token) matches string_split; None -> no tokens
+            toks = text.split(" ") if text is not None else []
             rows.append(
                 {
                     "doc_id": doc_id,
@@ -91,12 +107,20 @@ def langid_counts(sf_dir: str) -> pd.DataFrame:
     return result.sort_values("predicted_lang").reset_index(drop=True)
 
 
-def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """Per-document rolling-hash fingerprint + BPE-ish token count (ours —
     rows-only check)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # typed empty (empty lists infer null-typed cols)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "fingerprint": pd.Series(dtype="object"),
+                    "bpe_tokens": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -111,6 +135,12 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 # ---- HTML-engine roundtrip queries (SQL-oracle-checked parser proofs) -----
+
+# PRECONDITION: the interpolated text is plain prose (the driver's synthetic
+# documents table — no '<', '&' or markup). The roundtrip oracle is the
+# ORIGINAL text, so markup-bearing text would be parsed as markup and break
+# equality by design; a corpus with metacharacters needs html-escaping here
+# plus the entity-decode path (which the parser tests pin separately).
 
 _PAGE_TEMPLATE = (
     "<html><head><title>doc</title><script>var x = 1 < 2;</script></head><body>"
@@ -193,7 +223,7 @@ def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
 
     def score(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        toks = [len(t.split(" ")) if t else 0 for t in texts]
+        toks = [len(t.split(" ")) if t is not None else 0 for t in texts]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -401,11 +431,24 @@ def tfidf_top_terms(
             {"rank": "int64"}
         )
 
+    # out_schema on the FIRST exchange too: its map_groups emits 0-row
+    # 0-column blocks for empty sort ranges, and the second exchange's
+    # with_part would KeyError on them once block count exceeds partitions
+    mid_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score_ppm", pa.int64()),
+        ]
+    )
     with_df = hash_partitioned(
         ds.map_batches(tf_partial, batch_format="pandas"),
         ["term"],
         annotate_df,
         num_partitions,
+        out_schema=mid_schema,
     )
     out_schema = pa.schema(
         [
@@ -474,23 +517,28 @@ def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
     from html_parser_ray.sources.warc import read_warc, write_warc
 
     src = f"{sf_dir}/documents.parquet"
-    tbl = _pq.read_table(src, columns=["doc_id", "text"])
-    # cache key carries a CONTENT fingerprint (size + mtime), not just the
-    # path/row-count — a regenerated corpus at the same path must not silently
-    # reuse a stale shard
+    # cache key carries a CONTENT fingerprint (size + mtime + footer row
+    # count — metadata only, no row bytes on the warm path), not just the
+    # path — a regenerated corpus at the same path must not silently reuse
+    # a stale shard
     st = os.stat(src)
+    n_rows = _pq.ParquetFile(src).metadata.num_rows
     key = _hashlib.md5(
-        f"{os.path.abspath(src)}:{tbl.num_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}:{n_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     warc_path = f"/tmp/graft_warc_{key}.warc.gz"
     if not os.path.exists(warc_path):
+        # cache miss: only now pull the rows to synthesize the shard
+        tbl = _pq.read_table(src, columns=["doc_id", "text"])
         recs = (
             (f"https://corpus.test/{d}", _PAGE_TEMPLATE.format(text=t).encode())
             for d, t in zip(
                 tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
             )
         )
-        tmp = warc_path + ".part"
+        # unique temp name: two concurrent cold-cache processes must not
+        # interleave writes on one inode and publish a corrupt shard
+        tmp = f"{warc_path}.{os.getpid()}.part"
         write_warc(tmp, recs, gzip_records=True)
         os.replace(tmp, warc_path)
 
@@ -640,20 +688,26 @@ def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as _pq
 
     src = f"{sf_dir}/documents.parquet"
-    tbl = _pq.read_table(src, columns=["doc_id", "text"])
     st = os.stat(src)
+    # metadata-only key on the warm path (footer row count, size, mtime)
+    n_rows = _pq.ParquetFile(src).metadata.num_rows
     key = _hashlib.md5(
-        f"{os.path.abspath(src)}:{tbl.num_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}:{n_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     shard_dir = f"/tmp/graft_jsonl_{key}"
     marker = os.path.join(shard_dir, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(shard_dir, exist_ok=True)
+        tbl = _pq.read_table(src, columns=["doc_id", "text"])  # cache miss only
         ids = tbl.column("doc_id").to_pylist()
         texts = tbl.column("text").to_pylist()
         per_shard = 200  # multiple files -> file-per-task read parallelism
         for s0 in range(0, len(ids), per_shard):
-            tmp = os.path.join(shard_dir, f"part-{s0 // per_shard:05d}.jsonl.part")
+            # pid-unique tmp: concurrent cold-cache writers then each
+            # os.replace byte-identical (deterministic) finals — benign
+            tmp = os.path.join(
+                shard_dir, f"part-{s0 // per_shard:05d}.jsonl.{os.getpid()}.part"
+            )
             with open(tmp, "w", encoding="utf-8") as f:
                 for d, t in zip(ids[s0 : s0 + per_shard], texts[s0 : s0 + per_shard]):
                     f.write(
@@ -663,7 +717,7 @@ def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
                         )
                     )
                     f.write("\n")
-            os.replace(tmp, tmp[: -len(".part")])
+            os.replace(tmp, tmp[: -len(f".{os.getpid()}.part")])
         with open(marker, "w") as f:
             f.write("ok")
 
@@ -745,7 +799,7 @@ def doc_pack_assignments(
 
     def slim(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
-        toks = [len(t.split(" ")) if t else 0 for t in df["text"]]
+        toks = [len(t.split(" ")) if t is not None else 0 for t in df["text"]]
         rng = ((ids - lo) * num_ranges // span).astype("int64")
         return pd.DataFrame(
             {"range_id": rng, "doc_id": ids, "n_tokens": pd.Series(toks, dtype="int64")}

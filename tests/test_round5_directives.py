@@ -172,3 +172,76 @@ def test_sort_output_keeps_large_results_distributed():
     assert isinstance(out, ray.data.Dataset)
     head = out.take(3)
     assert [r["doc_id"] for r in head] == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_chained_exchange_survives_empty_blocks():
+    """First-exchange out_schema regression: with fewer partitions than
+    blocks, the term exchange emits empty sort ranges whose 0-column blocks
+    previously KeyError'd the second exchange's with_part."""
+    from html_parser_ray.pipelines.text_analysis import tfidf_top_terms
+
+    base = tfidf_top_terms(SF)
+    if not isinstance(base, pd.DataFrame):
+        base = base.to_pandas()
+    tight = tfidf_top_terms(SF, num_partitions=2)
+    if not isinstance(tight, pd.DataFrame):
+        tight = tight.to_pandas()
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), tight.reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_string_text_matches_sql_token_convention(tmp_path):
+    """'' splits to [''] = 1 token in BOTH python and duckdb string_split;
+    the old falsy-guard counted 0 and silently shifted every downstream
+    aggregate (worst: the doc_pack prefix sum moves every later pack_id)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from html_parser_ray.pipelines.text_analysis import (
+        doc_pack_assignments,
+        doc_token_stats,
+    )
+
+    d = tmp_path / "sfe"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", "two words", "three little words"]),
+                "lang": pa.array(["en"] * 3),
+                "n_chars": pa.array([0, 9, 18], pa.int64()),
+                "source": pa.array(["t"] * 3),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+
+    stats = doc_token_stats(str(d))
+    oracle = con.execute(entrymod.oracle_sql()["doc_token_stats"]).df()
+    assert int(stats["sum_tokens"].iloc[0]) == int(oracle["sum_tokens"].iloc[0]) == 6
+
+    packs = doc_pack_assignments(str(d), budget_tokens=4)
+    if not isinstance(packs, pd.DataFrame):
+        packs = packs.to_pandas()
+    po = con.execute(
+        "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS before FROM t) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(before // 4 AS BIGINT) AS pack_id FROM c ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        packs.reset_index(drop=True).astype("int64"), po.astype("int64")
+    )
