@@ -299,12 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": media_audio_features,
         "media_layout_features": media_layout_features,
         "media_frame_samples": media_frame_samples,
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
-        "events_hourly": relational.events_hourly,
         "exact_dedup": dedup.exact_dedup,
         "knn_topk": similarity.knn_topk,
-        "doc_token_stats": text_analysis.doc_token_stats,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
         # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
@@ -319,10 +316,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed table profiler: all-column exact distincts in ONE melt
         # exchange; rows/nulls map-side
         "events_profile": relational.events_profile,
+        # ordinal windows (RANK/DENSE_RANK/ROW_NUMBER): one exchange by the
+        # PARTITION BY key, single-sort vectorized ranks per partition
+        "orders_rank_in_customer": temporal.orders_rank_in_customer,
+        # set operation (EXCEPT DISTINCT, composite key): per-batch-distinct
+        # tagged triples, one exchange, per-partition side-bit verdict
+        "events_purchase_no_click_days": relational.events_purchase_no_click_days,
+        # mode per group (holistic argmax-of-count): map-side pair combiners,
+        # one exchange by group key, deterministic tiebreak
+        "events_type_mode_user": relational.events_type_mode_user,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
         "pii_scrub": hygiene.pii_scrub,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "events_hourly": relational.events_hourly,
+        "doc_token_stats": text_analysis.doc_token_stats,
         "quality_filter": text_analysis.quality_filter,
         "shingle_dupes": dedup.shingle_dupes,
         "part_name_fuzzy_pairs": dedup.part_name_fuzzy_pairs,
@@ -426,6 +435,33 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "orders_rank_in_customer": (
+            "SELECT o_custkey, o_orderkey, "
+            "RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) "
+            "AS price_rank, "
+            "DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) "
+            "AS price_dense_rank, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS price_row_number "
+            "FROM orders ORDER BY o_custkey, o_orderkey"
+        ),
+        "events_purchase_no_click_days": (
+            "SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day "
+            "FROM events WHERE event_type = 'purchase' "
+            "EXCEPT "
+            "SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "FROM events WHERE event_type = 'click' "
+            "ORDER BY user_id, day"
+        ),
+        "events_type_mode_user": (
+            "WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY COUNT(*) DESC, user_id) AS rn "
+            "FROM events GROUP BY event_type, user_id) "
+            "SELECT event_type, user_id AS mode_user, "
+            "CAST(cnt AS BIGINT) AS n_events "
+            "FROM c WHERE rn = 1 ORDER BY event_type"
         ),
         "supplier_balance_by_nation": (
             "SELECT n_name, COUNT(*) AS n_suppliers, "

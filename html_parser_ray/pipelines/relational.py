@@ -1615,3 +1615,115 @@ def events_profile(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     ).astype(
         {"n_rows": "int64", "n_null": "int64", "n_distinct": "int64"}
     ).sort_values("col_name").reset_index(drop=True)
+
+
+def events_purchase_no_click_days(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Distributed set operation (EXCEPT DISTINCT)** over a composite key:
+    the ``(user_id, day)`` pairs with a purchase but no click that day — the
+    "converted without engagement" audit, i.e.
+    ``SELECT user, day WHERE purchase EXCEPT SELECT user, day WHERE click``.
+
+    Scale shape — ONE exchange of pre-deduplicated slim rows: each batch
+    filters to the two relevant event types, tags the side bit (purchase=1,
+    click=0) and emits per-batch-distinct ``(user_id, day, side)`` triples
+    (the combiner pattern: the shuffle carries at most 2 rows per key per
+    batch, never events). Hash-partitioning by the composite key co-locates
+    both sides of each pair, so the per-partition verdict (``min(side) ==
+    max(side) == 1`` — has a purchase row, has no click row) is globally
+    exact. INTERSECT / UNION DISTINCT fall out of the same partials by
+    changing only the verdict predicate. Per-partition memory is
+    distinct-keys/P; nothing corpus-sized touches the driver.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        keep = (et == "purchase") | (et == "click")
+        sub = df[keep]
+        days = sub["ts"].to_numpy("datetime64[us]").astype("datetime64[D]")
+        out = pd.DataFrame(
+            {
+                "user_id": sub["user_id"].to_numpy().astype("int64"),
+                "day": days.astype(str),
+                "side": (sub["event_type"].to_numpy() == "purchase").astype(
+                    np.uint8
+                ),
+            }
+        )
+        return out.drop_duplicates()
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "day"])["side"].agg(["min", "max"])
+        keep = agg.index[(agg["min"] == 1) & (agg["max"] == 1)]
+        out = pd.DataFrame(keep.to_list(), columns=["user_id", "day"])
+        return out.astype({"user_id": "int64", "day": "object"})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    out_schema = pa.schema([("user_id", pa.int64()), ("day", pa.string())])
+    return sort_output(
+        hash_partitioned(tagged, ["user_id", "day"], per_partition, num_partitions),
+        ["user_id", "day"],
+        out_schema,
+    )
+
+
+def events_type_mode_user(
+    sf_dir: str, num_partitions: int = 8
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Mode (most-frequent value) per group**: for every event type, the
+    user with the most events, ties broken by the smaller ``user_id`` — a
+    holistic aggregate (no constant-size partial exists for argmax-of-count,
+    unlike sum/min/max).
+
+    Scale shape — two-phase count-then-argmax in ONE exchange: map-side
+    combiners pre-aggregate each batch to ``(event_type, user_id, cnt)``
+    (the shuffle carries pairs, not events), hash-partitioning by
+    ``event_type`` co-locates every pair of a type, and the per-partition
+    pass finishes the count sum and takes the argmax with the deterministic
+    tiebreak. Per-partition memory is (type, user) pairs / P. Skew note: a
+    single hot event_type concentrates its PAIRS (already combined — bounded
+    by distinct users, not events) in one partition; salting by
+    ``user_id % k`` with a second tiny argmax pass is the documented hot-key
+    escape hatch, unnecessary at the tested cardinalities.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "user_id"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["event_type", "user_id"], as_index=False)["cnt"].sum()
+        full = full.sort_values(
+            ["event_type", "cnt", "user_id"], ascending=[True, False, True]
+        )
+        top = full.groupby("event_type", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "event_type": top["event_type"].to_numpy(),
+                "mode_user": top["user_id"].to_numpy().astype("int64"),
+                "n_events": top["cnt"].to_numpy().astype("int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("mode_user", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(partials, ["event_type"], per_partition, num_partitions),
+        ["event_type"],
+        out_schema,
+    )

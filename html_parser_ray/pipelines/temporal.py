@@ -339,6 +339,67 @@ def orders_trailing_spend(
     )
 
 
+def orders_rank_in_customer(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Ordinal window functions** (``RANK()`` / ``DENSE_RANK()`` /
+    ``ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+    DESC[, o_orderkey])``): each order's price rank within its customer.
+
+    Completes the window-function family (running total, frame-bounded
+    rolling, sessionized gaps) with the *ordinal* forms. Scale shape is the
+    same as ``orders_running_total``: hash-partition by the PARTITION BY key
+    (one exchange — every customer's orders co-locate), then one vectorized
+    pandas pass per partition: a single sort by (custkey, price DESC,
+    orderkey) makes ROW_NUMBER a ``cumcount`` and RANK/DENSE_RANK grouped
+    ``rank(method='min'|'dense')`` calls. Ties in RANK/DENSE_RANK share a
+    rank exactly as SQL does (double comparison is exact — no epsilon);
+    ROW_NUMBER breaks ties by ``o_orderkey`` so output is bit-deterministic.
+    Per-partition memory is orders/P, never the full table.
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        grp = g.groupby("o_custkey")
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy().astype("int64"),
+                "o_orderkey": g["o_orderkey"].to_numpy().astype("int64"),
+                "price_rank": grp["o_totalprice"]
+                .rank(method="min", ascending=False)
+                .to_numpy()
+                .astype("int64"),
+                "price_dense_rank": grp["o_totalprice"]
+                .rank(method="dense", ascending=False)
+                .to_numpy()
+                .astype("int64"),
+                "price_row_number": (grp.cumcount() + 1).to_numpy().astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("price_rank", pa.int64()),
+            ("price_dense_rank", pa.int64()),
+            ("price_row_number", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["o_custkey"], per_partition, num_partitions),
+        ["o_custkey", "o_orderkey"],
+        out_schema,
+    )
+
+
 def events_cohort_retention(
     sf_dir: str, num_partitions: int = 16
 ) -> "ray.data.Dataset | pd.DataFrame":

@@ -1,0 +1,159 @@
+"""Round-5 additions: ordinal windows (RANK/DENSE_RANK/ROW_NUMBER), the
+EXCEPT-DISTINCT set operation over a composite key, and mode-per-group —
+each sf0.001 oracle parity plus the semantic edge its SQL form pins
+(tie sharing, side-bit verdict, deterministic argmax tiebreak)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(con, views: dict[str, str], sql: str) -> pd.DataFrame:
+    for name, path in views.items():
+        con.execute(f"DROP VIEW IF EXISTS {name}")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).df()
+
+
+def _as_df(out) -> pd.DataFrame:
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return out.reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_matches_oracle_at_sf0001():
+    import __ray_entry__ as entrymod
+
+    from html_parser_ray.pipelines.temporal import orders_rank_in_customer
+
+    out = _as_df(orders_rank_in_customer(SF))
+    oracle = _oracle(
+        duckdb.connect(),
+        {"orders": f"{SF}/orders.parquet"},
+        entrymod.oracle_sql()["orders_rank_in_customer"],
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_tie_semantics(tmp_path):
+    """Tied prices: RANK shares and skips (1,1,3), DENSE_RANK compresses
+    (1,1,2), ROW_NUMBER breaks the tie by o_orderkey (1,2,3)."""
+    from html_parser_ray.pipelines.temporal import orders_rank_in_customer
+
+    d = tmp_path / "sfr"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderkey": pa.array([10, 11, 12, 20], pa.int64()),
+                "o_totalprice": pa.array([50.0, 50.0, 10.0, 7.0], pa.float64()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    out = _as_df(orders_rank_in_customer(str(d)))
+    got = out.set_index("o_orderkey")
+    assert got.loc[[10, 11, 12], "price_rank"].tolist() == [1, 1, 3]
+    assert got.loc[[10, 11, 12], "price_dense_rank"].tolist() == [1, 1, 2]
+    assert got.loc[[10, 11, 12], "price_row_number"].tolist() == [1, 2, 3]
+    assert got.loc[20].tolist() == [2, 1, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_except_matches_oracle_at_sf0001():
+    import __ray_entry__ as entrymod
+
+    from html_parser_ray.pipelines.relational import events_purchase_no_click_days
+
+    out = _as_df(events_purchase_no_click_days(SF))
+    assert len(out) > 0  # the sf0.001 result is non-trivial by construction
+    oracle = _oracle(
+        duckdb.connect(),
+        {"events": f"{SF}/events.parquet"},
+        entrymod.oracle_sql()["events_purchase_no_click_days"],
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_except_side_bit_verdict(tmp_path):
+    """purchase-only day kept; purchase+click day dropped; click-only day
+    dropped; other event types ignored entirely."""
+    from html_parser_ray.pipelines.relational import events_purchase_no_click_days
+
+    d = tmp_path / "sfe"
+    d.mkdir()
+    us = 86_400_000_000  # one day in microseconds
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [0, us, us, 2 * us, 0, 0], pa.timestamp("us")
+                ),
+                "event_type": pa.array(
+                    ["purchase", "purchase", "click", "click", "view", "purchase"]
+                ),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = _as_df(events_purchase_no_click_days(str(d)))
+    # user 1 day 0: purchase only -> kept; day 1: both -> dropped;
+    # day 2: click only -> dropped; user 2: view only -> ignored;
+    # user 3 day 0: purchase only -> kept
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, "1970-01-01"),
+        (3, "1970-01-01"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mode_matches_oracle_at_sf0001():
+    import __ray_entry__ as entrymod
+
+    from html_parser_ray.pipelines.relational import events_type_mode_user
+
+    out = _as_df(events_type_mode_user(SF))
+    oracle = _oracle(
+        duckdb.connect(),
+        {"events": f"{SF}/events.parquet"},
+        entrymod.oracle_sql()["events_type_mode_user"],
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mode_tiebreak_smaller_user(tmp_path):
+    """Equal counts must resolve to the smaller user_id — the rule that
+    makes a holistic argmax deterministic under any partitioning."""
+    from html_parser_ray.pipelines.relational import events_type_mode_user
+
+    d = tmp_path / "sfm"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "a", "b"]),
+                "user_id": pa.array([9, 9, 2, 2, 5], pa.int64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = _as_df(events_type_mode_user(str(d)))
+    assert list(map(tuple, out.to_numpy())) == [("a", 2, 2), ("b", 5, 1)]
