@@ -1646,23 +1646,38 @@ def events_purchase_no_click_days(
         et = df["event_type"].to_numpy()
         keep = (et == "purchase") | (et == "click")
         sub = df[keep]
-        days = sub["ts"].to_numpy("datetime64[us]").astype("datetime64[D]")
-        out = pd.DataFrame(
+        # dedupe on the compact (int64, datetime64[D], uint8) columns FIRST;
+        # stringize only the distinct rows (shrink-early: one 'YYYY-MM-DD'
+        # allocation per distinct key, not per event)
+        compact = pd.DataFrame(
             {
                 "user_id": sub["user_id"].to_numpy().astype("int64"),
-                "day": days.astype(str),
+                "day_d": sub["ts"].to_numpy("datetime64[us]").astype(
+                    "datetime64[D]"
+                ),
                 "side": (sub["event_type"].to_numpy() == "purchase").astype(
                     np.uint8
                 ),
             }
+        ).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "user_id": compact["user_id"].to_numpy(),
+                # pandas upcasts datetime64[D] to [s]/[ns] inside the frame;
+                # re-truncate so str() stays the bare 'YYYY-MM-DD'
+                "day": compact["day_d"].to_numpy().astype("datetime64[D]").astype(str),
+                "side": compact["side"].to_numpy(),
+            }
         )
-        return out.drop_duplicates()
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["user_id", "day"])["side"].agg(["min", "max"])
-        keep = agg.index[(agg["min"] == 1) & (agg["max"] == 1)]
-        out = pd.DataFrame(keep.to_list(), columns=["user_id", "day"])
-        return out.astype({"user_id": "int64", "day": "object"})
+        agg = g.groupby(["user_id", "day"])["side"].agg(["min", "max"]).reset_index()
+        keep = agg[(agg["min"] == 1) & (agg["max"] == 1)]
+        return (
+            keep[["user_id", "day"]]
+            .astype({"user_id": "int64", "day": "object"})
+            .reset_index(drop=True)
+        )
 
     tagged = ds.map_batches(tag, batch_format="pandas")
     out_schema = pa.schema([("user_id", pa.int64()), ("day", pa.string())])
@@ -1697,7 +1712,17 @@ def events_type_mode_user(
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["event_type", "user_id"], as_index=False).size()
+        # dtype-normalize BEFORE the exchange (per-block pandas conversion of
+        # a nullable int64 block yields float64 — mixed partial dtypes would
+        # hash to different partitions; a null user_id raises loudly here
+        # instead of silently dropping the NULL group the SQL oracle keeps)
+        slim = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "user_id": df["user_id"].to_numpy().astype("int64"),
+            }
+        )
+        out = slim.groupby(["event_type", "user_id"], as_index=False).size()
         return out.rename(columns={"size": "cnt"})
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
