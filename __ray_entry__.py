@@ -299,8 +299,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": media_audio_features,
         "media_layout_features": media_layout_features,
         "media_frame_samples": media_frame_samples,
-        "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
-        "exact_dedup": dedup.exact_dedup,
         "knn_topk": similarity.knn_topk,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
@@ -325,10 +323,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mode per group (holistic argmax-of-count): map-side pair combiners,
         # one exchange by group key, deterministic tiebreak
         "events_type_mode_user": relational.events_type_mode_user,
+        # offset window (LAG): one exchange by the PARTITION BY key,
+        # shift-with-same-key-mask per partition, non-null int64 end to end
+        "events_user_lag": temporal.events_user_lag,
+        # order-sensitive aggregate (string_agg ORDER BY): one exchange,
+        # sorted per-partition concat, broadcast dimension
+        "nation_supplier_names": relational.nation_supplier_names,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
         "pii_scrub": hygiene.pii_scrub,
+        "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
+        "exact_dedup": dedup.exact_dedup,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "events_hourly": relational.events_hourly,
         "doc_token_stats": text_analysis.doc_token_stats,
@@ -462,6 +468,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, user_id AS mode_user, "
             "CAST(cnt AS BIGINT) AS n_events "
             "FROM c WHERE rn = 1 ORDER BY event_type"
+        ),
+        "events_user_lag": (
+            "WITH l AS (SELECT event_id, ts, "
+            "LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_event_id, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_ts FROM events) "
+            "SELECT event_id, prev_event_id, "
+            "CAST(date_diff('microsecond', prev_ts, ts) AS BIGINT) AS gap_us "
+            "FROM l WHERE prev_event_id IS NOT NULL ORDER BY event_id"
+        ),
+        "nation_supplier_names": (
+            "SELECT n_name, "
+            "string_agg(s_name, ',' ORDER BY s_name) AS names, "
+            "CAST(COUNT(*) AS BIGINT) AS n_suppliers "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
         ),
         "supplier_balance_by_nation": (
             "SELECT n_name, COUNT(*) AS n_suppliers, "

@@ -1752,3 +1752,63 @@ def events_type_mode_user(
         ["event_type"],
         out_schema,
     )
+
+
+def nation_supplier_names(
+    sf_dir: str, num_partitions: int = 8
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Order-sensitive aggregate** (``string_agg(s_name, ',' ORDER BY
+    s_name)`` per nation): the concatenated, name-ordered supplier roster of
+    every nation — the aggregate family where ORDER inside the group is part
+    of the result, so unordered partial-merge (the sum/min/max combiner
+    trick) cannot apply.
+
+    Scale shape: hash-partition suppliers by ``s_nationkey`` (ONE exchange of
+    (nationkey, name) pairs; every nation's suppliers co-locate), one sorted
+    vectorized join per partition, nation names attached from a broadcast
+    ``ray.put`` dict (the dimension never shuffles). Result rows are
+    group-sized; per-partition memory is suppliers/P. At extreme group sizes
+    an ordered aggregate inherently holds one group's values at once — the
+    documented bound (suppliers per nation), the same one the SQL engine
+    pays.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    supplier = read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_map_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nation_map_ref)
+        g = g.sort_values(["s_nationkey", "s_name"])
+        agg = (
+            g.groupby("s_nationkey")["s_name"]
+            .agg(names=",".join, n_suppliers="size")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "n_name": agg["s_nationkey"].map(nmap),
+                "names": agg["names"],
+                "n_suppliers": agg["n_suppliers"].astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("names", pa.string()),
+            ("n_suppliers", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(supplier, ["s_nationkey"], per_partition, num_partitions),
+        ["n_name"],
+        out_schema,
+    )

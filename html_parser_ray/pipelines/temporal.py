@@ -400,6 +400,58 @@ def orders_rank_in_customer(
     )
 
 
+def events_user_lag(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Offset window function** (``LAG() OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)``): each event's predecessor id and the gap to it in
+    exact integer microseconds — the inter-arrival-time primitive under
+    sessionization and rate limiting.
+
+    Scale shape: hash-partition by the PARTITION BY key (one exchange,
+    every user's events co-locate), one vectorized pass per partition —
+    sort by (user, ts, event_id); the lag is then a plain shift-by-one with
+    a same-user mask (no per-group Python). Rows without a predecessor
+    (SQL's NULL lag) are excluded, keeping every column non-null int64 —
+    no NaN-as-float round-trip across the pandas/Arrow boundary. Ties on
+    ts break by event_id, making the lag chain bit-deterministic.
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts_us = _ts_us(g["ts"])
+        ids = g["event_id"].to_numpy().astype("int64")
+        users = g["user_id"].to_numpy().astype("int64")
+        # predecessor = previous row iff it belongs to the same user
+        has_prev = np.zeros(len(ids), dtype=bool)
+        if len(ids) > 1:
+            has_prev[1:] = users[1:] == users[:-1]
+        idx = np.nonzero(has_prev)[0]
+        return pd.DataFrame(
+            {
+                "event_id": ids[idx],
+                "prev_event_id": ids[idx - 1],
+                "gap_us": ts_us[idx] - ts_us[idx - 1],
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("prev_event_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["user_id"], per_partition, num_partitions),
+        ["event_id"],
+        out_schema,
+    )
+
+
 def events_cohort_retention(
     sf_dir: str, num_partitions: int = 16
 ) -> "ray.data.Dataset | pd.DataFrame":

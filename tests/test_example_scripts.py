@@ -20,6 +20,7 @@ from examples import (
     media_features,
     resumable_job,
     similarity_search,
+    windows_and_setops,
 )
 
 SCRIPTS = [
@@ -33,6 +34,7 @@ SCRIPTS = [
     hygiene_pipeline,
     streaming_and_packing,
     profiling_and_skew,
+    windows_and_setops,
 ]
 
 

@@ -157,3 +157,69 @@ def test_mode_tiebreak_smaller_user(tmp_path):
     )
     out = _as_df(events_type_mode_user(str(d)))
     assert list(map(tuple, out.to_numpy())) == [("a", 2, 2), ("b", 5, 1)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_matches_oracle_at_sf0001():
+    import __ray_entry__ as entrymod
+
+    from html_parser_ray.pipelines.temporal import events_user_lag
+
+    out = _as_df(events_user_lag(SF))
+    oracle = _oracle(
+        duckdb.connect(),
+        {"events": f"{SF}/events.parquet"},
+        entrymod.oracle_sql()["events_user_lag"],
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_first_event_excluded_and_gap_exact(tmp_path):
+    """A user's first event has no predecessor (SQL's NULL lag -> excluded);
+    ties on ts chain by event_id; gaps are exact microseconds."""
+    from html_parser_ray.pipelines.temporal import events_user_lag
+
+    d = tmp_path / "sfl"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 20], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                # events 10 and 11 tie on ts -> chain by event_id
+                "ts": pa.array([1000, 1000, 2500, 7], pa.timestamp("us")),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = _as_df(events_user_lag(str(d)))
+    # user 1: 10 (first, excluded), 11 lags 10 (gap 0), 12 lags 11 (gap 1500)
+    # user 2: single event -> excluded
+    assert list(map(tuple, out.to_numpy())) == [(11, 10, 0), (12, 11, 1500)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_string_agg_matches_oracle_at_sf0001():
+    import __ray_entry__ as entrymod
+
+    from html_parser_ray.pipelines.relational import nation_supplier_names
+
+    out = _as_df(nation_supplier_names(SF))
+    oracle = _oracle(
+        duckdb.connect(),
+        {
+            "supplier": f"{SF}/supplier.parquet",
+            "nation": f"{SF}/nation.parquet",
+        },
+        entrymod.oracle_sql()["nation_supplier_names"],
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+    # the ordered-aggregate property: every roster is name-sorted
+    for names in out["names"]:
+        parts = names.split(",")
+        assert parts == sorted(parts)
