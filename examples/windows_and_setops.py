@@ -11,12 +11,16 @@ and in-group ordering inside the concatenated aggregate.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _df(out) -> pd.DataFrame:
@@ -59,7 +63,9 @@ def run(smoke: bool = False) -> None:
         assert ranks.loc[[10, 11, 12], "price_rank"].tolist() == [1, 1, 3]
         assert ranks.loc[[10, 11, 12], "price_dense_rank"].tolist() == [1, 1, 2]
 
-        # events: lag chain with a ts tie; purchase/click day overlap; a mode tie
+        # events: per-user lag chains (ts strictly increasing within a user —
+        # the ts-tie edge is pinned by tests/test_setops_rank_mode.py);
+        # purchase/click day overlap for the EXCEPT verdict
         n = 60
         pq.write_table(
             pa.table(

@@ -28,6 +28,19 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
 
 
+def _nation_name_map(sf_dir: str) -> dict:
+    """``n_nationkey -> n_name`` lookup dict — THE broadcast-dimension idiom
+    (callers ``ray.put`` it once when batch UDFs need it; a driver-side
+    combine can use it directly). One definition so every site probes with
+    identical key types: ``.to_numpy()`` keys hash equal to plain ints, and
+    the single construction point prevents the per-site drift that caused a
+    dtype-probe bug in round 2."""
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+
+
 def _final_groupby(partials: "ray.data.Dataset", keys: list[str], sums: list[str]):
     """Global combine of per-batch partial aggregates (tiny shuffle)."""
     import pandas as _pd
@@ -97,15 +110,10 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
     cust_map_ref = ray.put(
         dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
     )
-    nation_map_ref = ray.put(
-        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
-    )
+    nation_map_ref = ray.put(_nation_name_map(sf_dir))
 
     def enrich_and_partial(df: pd.DataFrame) -> pd.DataFrame:
         cust_map = ray.get(cust_map_ref)
@@ -203,12 +211,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast-join supplier -> nation, grouped account balances."""
     ds = read_table(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nmap_ref = ray.put(
-        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
-    )
+    nmap_ref = ray.put(_nation_name_map(sf_dir))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nmap_ref)
@@ -249,11 +252,8 @@ def revenue_by_nation_bucketed(sf_dir: str, num_buckets: int = 16) -> pd.DataFra
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
     cust_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    nation_map_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    nation_map_ref = ray.put(_nation_name_map(sf_dir))
 
     # tag + align both big sides on a common schema, union, co-partition by
     # key. The probe side pre-aggregates per (batch, orderkey) BEFORE the
@@ -407,10 +407,7 @@ def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_nationkey", "s_acctbal"],
     )
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nmap = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    nmap = _nation_name_map(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -509,10 +506,7 @@ def customers_inactive_by_nation(
     result = _final_groupby(
         partials, ["nationkey"], ["n_inactive", "acctbal_cents_sum"]
     )
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nmap = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    nmap = _nation_name_map(sf_dir)
     result["n_name"] = result["nationkey"].map(nmap)
     return (
         result[["n_name", "n_inactive", "acctbal_cents_sum"]]
@@ -785,10 +779,7 @@ def supplier_balance_quantiles_by_nation(
     parts = hash_partitioned(
         supplier, ["s_nationkey"], per_partition, num_partitions
     ).to_pandas()
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nmap = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    nmap = _nation_name_map(sf_dir)
     parts["n_name"] = parts["nationkey"].map(nmap)
     return (
         parts[["n_name", "n_suppliers", "q25", "q50", "q75"]]
@@ -1777,15 +1768,14 @@ def nation_supplier_names(
     supplier = read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"]
     )
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nation_map_ref = ray.put(
-        dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
-    )
+    nation_map_ref = ray.put(_nation_name_map(sf_dir))
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         nmap = ray.get(nation_map_ref)
+        # SQL parity: string_agg skips NULL values; the inner JOIN drops
+        # suppliers whose nationkey has no nation row
+        g = g[g["s_name"].notna()]
+        g = g[g["s_nationkey"].isin(nmap)]
         g = g.sort_values(["s_nationkey", "s_name"])
         agg = (
             g.groupby("s_nationkey")["s_name"]
