@@ -50,6 +50,11 @@ def curated_corpus(
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL text can never pass the token floor (SQL: len(string_split(
+        # NULL)) is NULL -> filtered), and its md5(NULL) group contains only
+        # NULL-text rows — dropping here is oracle-equivalent and avoids a
+        # None.encode crash the sibling operators already guard against
+        df = df[df["text"].notna()]
         return pd.DataFrame(
             {
                 "text_hash": [textfns.md5_hex(t) for t in df["text"]],
@@ -69,9 +74,12 @@ def curated_corpus(
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of a content hash are co-located: keeper = min doc_id,
-        # then the keeper row's own features decide quality/sample fate
-        g = g.sort_values("doc_id", kind="mergesort")
-        k = g.groupby("text_hash", as_index=False, sort=False).first()
+        # then the keeper row's own features decide quality/sample fate.
+        # idxmin is O(n) — the former full-partition mergesort was the
+        # dominant per-partition cost at one-row-per-document scale
+        if g.empty:
+            return g[["doc_id", "n_tokens", "bucket"]]
+        k = g.loc[g.groupby("text_hash")["doc_id"].idxmin()]
         k = k[(k["n_tokens"] >= min_tokens) & (k["bucket"] < sample_pct)]
         return k[["doc_id", "n_tokens", "bucket"]]
 

@@ -97,9 +97,16 @@ def read_blocks(
     import glob
     import os
 
-    paths = (
-        glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
-    )
+    paths = [path]
+    if os.path.isdir(path):
+        paths = glob.glob(os.path.join(path, "*.parquet")) or glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+    if not paths:
+        # unknown layout (hive dirs, non-.parquet suffixes): read_parquet can
+        # still read it, but we can't size it — let Ray pick the block count
+        # rather than pinning a huge input at min_blocks
+        return None
     try:
         total = sum(os.path.getsize(p) for p in paths)
     except OSError:
@@ -112,9 +119,10 @@ def read_table(
 ) -> "ray.data.Dataset":
     """``read_parquet`` with size-aware block count (see ``read_blocks``) —
     use for any read that feeds a hash-partitioned exchange."""
-    return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=read_blocks(path, min_blocks)
-    )
+    nb = read_blocks(path, min_blocks)
+    if nb is None:
+        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
 def parquet_column_min_max(path: str, col: str):
@@ -133,6 +141,10 @@ def parquet_column_min_max(path: str, col: str):
     lo = hi = None
     for p in paths:
         md = pq.ParquetFile(p).metadata
+        if col not in md.schema.names:
+            # documented contract: degrade to the caller's distributed
+            # aggregate rather than dying in footer reading
+            return None, None
         idx = md.schema.names.index(col)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
@@ -161,6 +173,13 @@ def join_partitions(requested: int | None = None) -> int:
 def with_part(df: pd.DataFrame, key_cols: list[str], num_partitions: int) -> pd.DataFrame:
     """Add the deterministic hash-partition column (stable across processes:
     ``hash_pandas_object`` uses a fixed hash key, no PYTHONHASHSEED)."""
+    if "part" in df.columns:
+        # the bookkeeping column is reserved: assign() would silently
+        # clobber a business column and _run would strip it — fail loudly
+        raise ValueError(
+            "hash_partitioned input already has a 'part' column (reserved "
+            "for the exchange bookkeeping); rename it before partitioning"
+        )
     h = pd.util.hash_pandas_object(df[key_cols], index=False)
     return df.assign(part=(h % num_partitions).astype("int64"))
 
@@ -272,9 +291,18 @@ def partitioned_lookup(
         lhs = lhs.drop(columns=[new_col], errors="ignore")
         if left_prep is not None:
             lhs = left_prep(lhs)
+        if len(feats) and feats["__key"].duplicated().any():
+            # the docstring's (unique-key) contract — last-wins would return
+            # silently unstable results under block arrival order
+            raise ValueError(
+                "partitioned_lookup: duplicate right-side keys (the right "
+                "table must be unique on its key; drop_duplicates it first)"
+            )
         mapping = dict(zip(feats["__key"], feats[new_col])) if len(feats) else {}
+        # inner semantics by KEY MEMBERSHIP, not value-notna: a matched right
+        # row whose value is NULL keeps its left rows (as SQL would)
+        lhs = lhs[lhs["__key"].isin(mapping)]
         lhs = lhs.assign(**{new_col: lhs["__key"].map(mapping)})
-        lhs = lhs[lhs[new_col].notna()]
         return lhs.drop(columns=["__key"])
 
     return hash_partitioned(u, ["__key"], merge, num_partitions)
@@ -306,7 +334,12 @@ def sort_output(
         tbl = pa.Table.from_pandas(m.to_pandas(), preserve_index=False)
         tbl = tbl.select(out_schema.names).cast(out_schema)
         return tbl.to_pandas().sort_values(keys).reset_index(drop=True)
-    return m.sort(keys)
+    # large path: the same schema guarantee as the small path — normalize
+    # empty/upcast blocks (map_groups emits 0-column blocks for empty sort
+    # ranges) BEFORE the distributed sort sees them
+    return m.map_batches(
+        _schema_normalizer(out_schema), batch_format="pyarrow"
+    ).sort(keys)
 
 
 def distinct_rows(

@@ -245,3 +245,147 @@ def test_empty_string_text_matches_sql_token_convention(tmp_path):
     pd.testing.assert_frame_equal(
         packs.reset_index(drop=True).astype("int64"), po.astype("int64")
     )
+
+
+def test_parquet_column_min_max_missing_column_degrades(tmp_path):
+    """The documented contract: a column absent from the file schema returns
+    (None, None) so callers fall back to a distributed aggregate — never a
+    ValueError out of footer reading."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.shuffle import parquet_column_min_max
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": pa.array([1, 2, 3], pa.int64())}), p)
+    assert parquet_column_min_max(str(p), "nope") == (None, None)
+
+
+def test_read_blocks_unknown_layout_defers_to_ray(tmp_path):
+    """A directory whose parquet files sit in subdirectories (hive layout)
+    must not be pinned at min_blocks — read_blocks returns None (let Ray
+    size the read) and read_table still reads the data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.shuffle import read_blocks, read_table
+
+    d = tmp_path / "hive"
+    (d / "part=0").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64())}), d / "part=0" / "x.parquet"
+    )
+    # nested layout is still sized (recursive glob)...
+    assert read_blocks(str(d)) == 8
+    # ...and a dir with no .parquet anywhere defers to Ray
+    e = tmp_path / "opaque"
+    e.mkdir()
+    (e / "data.bin").write_bytes(b"x")
+    assert read_blocks(str(e)) is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_lookup_keeps_matched_null_values_and_rejects_dup_keys():
+    """Inner semantics are by KEY membership: a matched right row with a
+    NULL value keeps its left rows. Duplicate right keys violate the
+    documented unique-key contract and must fail loudly (last-wins would be
+    nondeterministic under block arrival order)."""
+    import pandas as pd
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import partitioned_lookup
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3], "payload": [10, 20, 30]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"rk": [1, 2], "v": [7.0, float("nan")]})
+    )
+    out = (
+        partitioned_lookup(left, "k", right, "rk", "v", "val", num_partitions=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=3 unmatched -> dropped; k=2 matched with NULL value -> KEPT
+    assert out["k"].tolist() == [1, 2]
+
+    dup_right = ray.data.from_pandas(
+        pd.DataFrame({"rk": [1, 1], "v": [7.0, 8.0]})
+    )
+    with pytest.raises(Exception, match="duplicate right-side keys"):
+        partitioned_lookup(
+            left, "k", dup_right, "rk", "v", "val", num_partitions=2
+        ).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_partitioned_rejects_reserved_part_column():
+    import pandas as pd
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    ds = ray.data.from_pandas(pd.DataFrame({"part": [1, 2], "x": [3, 4]}))
+    with pytest.raises(Exception, match="reserved"):
+        hash_partitioned(ds, ["x"], lambda g: g, 2).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curated_corpus_tolerates_null_text(tmp_path):
+    """A NULL-text document must be filtered (SQL: len(string_split(NULL))
+    NULL -> fails the token floor), not crash the featurize pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.curation import curated_corpus
+
+    d = tmp_path / "sfnull"
+    d.mkdir()
+    many = " ".join(["tok"] * 64)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([many, None, many + " x"]),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = curated_corpus(str(d), min_tokens=40, sample_pct=100)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert 2 not in set(out["doc_id"])
+    assert {1, 3}.issuperset(set(out["doc_id"])) and len(out) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_output_large_path_normalizes_empty_blocks():
+    """The large path must apply the same schema guarantee as the small
+    path: map_groups emits 0-row 0-COLUMN blocks for empty partitions, and
+    the distributed sort must see typed blocks, not crash or drift."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    n = 4000
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(n) % 7, "v": np.arange(n)})
+    ).repartition(8)
+
+    def maybe_empty(g: pd.DataFrame) -> pd.DataFrame:
+        # starve some partitions to force empty map_groups outputs
+        if int(g["k"].iloc[0]) % 3 == 0:
+            return g.iloc[0:0]
+        return g
+
+    parts = hash_partitioned(ds, ["k"], maybe_empty, num_partitions=12)
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    out = sort_output(parts, ["v"], schema, small_limit=100)
+    assert isinstance(out, ray.data.Dataset)
+    rows = out.take(3)
+    assert [r["v"] for r in rows] == sorted(r["v"] for r in rows)
+    assert set(rows[0].keys()) == {"k", "v"}
