@@ -519,7 +519,12 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "ngram_jaccard_dupes": (
-            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            # words = \S+ tokens (textfns.tokens parity): regex-split on
+            # whitespace runs, empties dropped — string_split(text, ' ')
+            # diverges on tabs/newlines/double spaces
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') "
+            "AS words FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
             "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
             "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS sh FROM w) "
@@ -584,7 +589,9 @@ def oracle_sql() -> dict[str, str]:
             "AND levenshtein(a.p_name, b.p_name) = 1 ORDER BY 1, 2"
         ),
         "dedup_clusters": (
-            "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "WITH RECURSIVE w AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') "
+            "AS words FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
             "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
             "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS sh FROM w), "
@@ -602,7 +609,9 @@ def oracle_sql() -> dict[str, str]:
         # SQL), so the connected components coincide — a genuine SQL check of
         # the full LSH -> distributed-label-propagation scale path
         "dedup_clusters_lsh": (
-            "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+            "WITH RECURSIVE w AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') "
+            "AS words FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
             "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
             "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS sh FROM w), "

@@ -46,6 +46,7 @@ from html_parser_ray.pipelines.shuffle import (
     read_table,
     sort_output,
 )
+from html_parser_ray.pipelines.similarity import _unit  # one zero-vector rule
 
 
 def exact_dedup(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
@@ -130,6 +131,8 @@ def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
         )
 
     df = ds.map_batches(sh, batch_format="pandas").to_pandas()
+    if df.empty or "doc_id" not in df.columns:
+        return {}  # empty corpus: to_pandas() of a zero-row dataset is 0-column
     return {d: set(s) for d, s in zip(df["doc_id"], df["shingles"])}
 
 
@@ -163,6 +166,11 @@ def ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5, k: int = 3) -> pd.D
         )
 
     df = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    if df.empty or "doc_a" not in df.columns:
+        # zero matching pairs: to_pandas() of a zero-row dataset is 0-column
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -261,6 +269,11 @@ def minhash_lsh_dupes(
     chained form pays two (the shingle table + the streaming plan), which is
     where the wall time went at verification scale.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "— the band bucketing reshapes the signature into equal chunks"
+        )
     rows_per_band = num_hashes // bands
     # one shingle pass, three consumers (sig + both feature sides)
     sh = _shingle_sets(sf_dir, k).materialize()
@@ -437,6 +450,15 @@ def simhash_dupes(
                         "simhash": h,
                     }
                 )
+        if not out:  # empty row groups: pd.DataFrame([]) has no columns
+            return pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "simhash": pd.Series(dtype="uint64"),
+                }
+            )
         return pd.DataFrame(out).astype({"simhash": "uint64", "bucket": "int64"})
 
     triples = ds.map_batches(sig, batch_format="pandas")
@@ -493,20 +515,26 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame
     all-pairs *baseline* (oracle-checkable); the bucketed scale path is
     ``embedding_neardup_lsh``."""
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if emb.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
     ids = emb["vec_id"].to_numpy()
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    unit = mat / np.where(norms == 0, 1, norms)
+    unit = _unit(mat)
     unit_ref = ray.put((ids, unit))
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # np.stack rejects empty input (empty row groups)
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
         all_ids, all_unit = ray.get(unit_ref)
         batch_ids = df["vec_id"].to_numpy()
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        mu = m / np.where(n == 0, 1, n)
+        mu = _unit(m)
         sims = mu @ all_unit.T  # (batch, all)
         rows = []
         for bi, a in enumerate(batch_ids):
@@ -547,8 +575,7 @@ def embedding_neardup_lsh(
                 }
             )
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        mu = m / np.where(n == 0, 1, n)
+        mu = _unit(m)
         # planes derived from (seed, dim) only — identical in every task
         planes = np.random.RandomState(seed).normal(size=(num_planes, mu.shape[1]))
         codes = (
@@ -643,7 +670,7 @@ def label_propagation_clusters(
     docs: "ray.data.Dataset",
     max_rounds: int = 50,
     num_partitions: int = 8,
-) -> "ray.data.Dataset":
+) -> "ray.data.Dataset | pd.DataFrame":
     """Distributed min-label propagation WITH POINTER JUMPING over the
     dup-pair graph — the 100 TB-scale connected components. Labels live in a
     Dataset keyed by doc_id; each round costs TWO task-based hash-partitioned
@@ -677,11 +704,16 @@ def label_propagation_clusters(
     ).materialize()
     if pairs is not None:
         pairs = pairs.materialize()  # count() + edges both consume it
+    cluster_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
     if pairs is None or pairs.count() == 0:
-        return labels.map_batches(
-            lambda df: df.rename(columns={"label": "cluster_id"}),
-            batch_format="pandas",
-        ).sort("doc_id")
+        return sort_output(
+            labels.map_batches(
+                lambda df: df.rename(columns={"label": "cluster_id"}),
+                batch_format="pandas",
+            ),
+            ["doc_id"],
+            cluster_schema,
+        )
 
     # undirected edge list (both directions)
     edges = pairs.map_batches(
@@ -773,12 +805,19 @@ def label_propagation_clusters(
             break
         prev_sum = s
 
-    return labels.map_batches(
-        lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
-    ).sort("doc_id")
+    # sort_output: DataFrame for output-sized results, distributed sort
+    # above small_limit — Dataset.sort's ~2.6s fixed cost was pure overhead
+    return sort_output(
+        labels.map_batches(
+            lambda df: df.rename(columns={"label": "cluster_id"}),
+            batch_format="pandas",
+        ),
+        ["doc_id"],
+        cluster_schema,
+    )
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data.Dataset":
+def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data.Dataset | pd.DataFrame":
     """Near-dup clusters over the EXACT pairwise-Jaccard baseline — an
     ORACLE TWIN, not a production operator. The pair stage
     (``ngram_jaccard_dupes``) is quadratic in corpus size by construction;
@@ -799,7 +838,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5, k: int = 3) -> "ray.data
 
 def dedup_clusters_lsh(
     sf_dir: str, threshold: float = 0.5, k: int = 3
-) -> "ray.data.Dataset":
+) -> "ray.data.Dataset | pd.DataFrame":
     """The 100 TB clustering path end-to-end: MinHash+LSH candidate pairs
     (co-partitioned pairing + distributed verify) feed the distributed
     label propagation — every stage a Dataset, nothing on the driver.
@@ -808,14 +847,9 @@ def dedup_clusters_lsh(
     ``dedup_clusters`` on the test corpora (pinned by tests and by the
     committed golden at sf0.01)."""
     pairs = minhash_lsh_dupes(sf_dir, threshold=threshold, k=k)
-    if isinstance(pairs, pd.DataFrame):  # empty-result typed frame
-        pairs_df = pairs
-    else:
-        pairs_df = None
     docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return label_propagation_clusters(
-        pairs_df if pairs_df is not None else pairs, docs
-    )
+    # label_propagation_clusters accepts Dataset | DataFrame directly
+    return label_propagation_clusters(pairs, docs)
 
 
 def _flatten_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:

@@ -65,6 +65,11 @@ def _query_matrix(sf_dir: str, num_queries: int):
         return df.nsmallest(num_queries, "vec_id")
 
     part = ds.map_batches(batch_min, batch_format="pandas").to_pandas()
+    if part.empty or "vec_id" not in part.columns:
+        # empty table: to_pandas() of a zero-row dataset is 0-column —
+        # zero queries make every kNN variant return the empty result
+        _query_cache[key] = (np.array([], dtype=np.int64), np.zeros((0, 1)))
+        return _query_cache[key]
     qdf = part.nsmallest(num_queries, "vec_id").sort_values("vec_id")
     ids = qdf["vec_id"].to_numpy()
     mat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
@@ -83,6 +88,8 @@ def _topk_frame(
     """Vectorized per-query top-k over a batch (or per-query candidate sets):
     one matmul + one ``np.lexsort`` per query — never a per-pair Python loop.
     Tie-break matches the oracle exactly: cosine DESC, neighbor_id ASC."""
+    if len(batch_ids) == 0:
+        return _EMPTY.copy()
     parts: list[pd.DataFrame] = []
     for qi in range(len(qids)):
         qid = int(qids[qi])
@@ -129,6 +136,9 @@ def _finalize(partials: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def _batch_unit(df: pd.DataFrame):
     batch_ids = df["vec_id"].to_numpy()
+    if len(batch_ids) == 0:
+        # np.stack rejects empty input (empty row groups / 0-row blocks)
+        return batch_ids.astype(np.int64), np.zeros((0, 1))
     m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return batch_ids, _unit(m)
 

@@ -33,13 +33,17 @@ def _docs_ds(ids):
     return ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
 
 
+def _df(out):
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_label_propagation_matches_union_find():
     ids = list(range(20))
     pairs_df = pd.DataFrame(
         {"doc_a": [0, 1, 5, 6, 10, 12], "doc_b": [1, 2, 6, 7, 11, 13]}
     )
-    lp = label_propagation_clusters(pairs_df, _docs_ds(ids)).to_pandas()
+    lp = _df(label_propagation_clusters(pairs_df, _docs_ds(ids)))
     uf = _union_find_clusters(
         list(zip(pairs_df["doc_a"], pairs_df["doc_b"])), ids
     )
@@ -49,9 +53,11 @@ def test_label_propagation_matches_union_find():
 
 @pytest.mark.usefixtures("ray_session")
 def test_label_propagation_no_pairs():
-    lp = label_propagation_clusters(
-        pd.DataFrame({"doc_a": [], "doc_b": []}), _docs_ds([3, 1, 2])
-    ).to_pandas()
+    lp = _df(
+        label_propagation_clusters(
+            pd.DataFrame({"doc_a": [], "doc_b": []}), _docs_ds([3, 1, 2])
+        )
+    )
     assert lp["doc_id"].tolist() == [1, 2, 3]
     assert lp["cluster_id"].tolist() == [1, 2, 3]
 
@@ -80,8 +86,8 @@ def test_clusters_lsh_matches_exact_path(tmp_path):
     pd.DataFrame(rows).assign(lang="en", source="t").to_parquet(
         tmp_path / "documents.parquet"
     )
-    exact = dedup_clusters(str(tmp_path), threshold=0.7).to_pandas()
-    lsh = dedup_clusters_lsh(str(tmp_path), threshold=0.7).to_pandas()
+    exact = _df(dedup_clusters(str(tmp_path), threshold=0.7))
+    lsh = _df(dedup_clusters_lsh(str(tmp_path), threshold=0.7))
     assert exact.values.tolist() == lsh.values.tolist()
     got = dict(zip(lsh["doc_id"], lsh["cluster_id"]))
     assert got[100] == got[101] == got[102] == 100
@@ -92,7 +98,7 @@ def test_label_propagation_chain_converges():
     """A 6-node path graph needs multiple propagation rounds (diameter > 1)."""
     ids = list(range(6))
     pairs_df = pd.DataFrame({"doc_a": [4, 3, 2, 1, 0], "doc_b": [5, 4, 3, 2, 1]})
-    lp = label_propagation_clusters(pairs_df, _docs_ds(ids)).to_pandas()
+    lp = _df(label_propagation_clusters(pairs_df, _docs_ds(ids)))
     assert lp["cluster_id"].tolist() == [0] * 6
 
 

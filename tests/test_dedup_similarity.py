@@ -259,7 +259,7 @@ def test_hot_bucket_star_pairing(tmp_path):
     # star through doc 0 connects the whole 30-doc cluster
     for b in range(1, 30):
         assert (0, b) in pairs, b
-    clusters = dedup_clusters_lsh(str(tmp_path), threshold=0.9).to_pandas()
+    clusters = _df(dedup_clusters_lsh(str(tmp_path), threshold=0.9))
     got = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert all(got[i] == 0 for i in range(30))
     assert got[500] == 500
@@ -416,3 +416,108 @@ def test_query_matrix_and_sample_bounded(ray_session):
     # deterministic across calls (cache cleared)
     similarity._sample_cache.clear()
     assert np.array_equal(sample, similarity._train_sample(sf, target=32))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_oracle_parity_on_irregular_whitespace(tmp_path):
+    """The Jaccard family shingles over \\S+ tokens; the oracle must
+    tokenize identically on tabs / newlines / double spaces (the former
+    string_split(text, ' ') oracle diverged on such corpora)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from html_parser_ray.pipelines.dedup import ngram_jaccard_dupes
+
+    d = tmp_path / "sfws"
+    d.mkdir()
+    # docs 1 and 2 are near-identical but differ in whitespace style;
+    # doc 3 is unrelated
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon",
+                        "alpha  beta\tgamma\ndelta epsilon",
+                        "zeta eta theta iota kappa",
+                    ]
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = ngram_jaccard_dupes(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    oracle = con.execute(entrymod.oracle_sql()["ngram_jaccard_dupes"]).df()
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
+    # and the whitespace-insensitive pair is actually found
+    assert [(1, 2)] == list(map(tuple, out.to_numpy()))
+
+
+def test_minhash_rejects_indivisible_bands():
+    from html_parser_ray.pipelines.dedup import minhash_lsh_dupes
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_dupes("/root/testdata/sf0.001", num_hashes=128, bands=24)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_and_pair_ops_survive_empty_blocks(tmp_path):
+    """Empty row groups / 0-row blocks must not crash the score or pair
+    UDFs (np.stack rejects empty input), and an empty table yields the
+    empty result, not a KeyError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.dedup import embedding_neardup_pairs
+    from html_parser_ray.pipelines.similarity import knn_topk
+
+    d = tmp_path / "sfemb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = knn_topk(str(d))
+    assert len(out) == 0
+    pairs = embedding_neardup_pairs(str(d))
+    assert len(pairs) == 0 and list(pairs.columns) == ["vec_a", "vec_b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_and_simhash_empty_corpus(tmp_path):
+    """A zero-row documents table returns typed empty results across the
+    dedup family (the 0-column to_pandas hazard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.dedup import ngram_jaccard_dupes, simhash_dupes
+
+    d = tmp_path / "sfdoc0"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        ),
+        d / "documents.parquet",
+    )
+    out = ngram_jaccard_dupes(str(d))
+    assert len(out) == 0 and list(out.columns) == ["doc_a", "doc_b"]
+    sd = simhash_dupes(str(d))
+    if not isinstance(sd, pd.DataFrame):
+        sd = sd.to_pandas()
+    assert len(sd) == 0
