@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import pyarrow as pa
+
 import ray.data
 
 from html_parser_ray.stages.extract_stage import ExtractFragmentsBatch, ExtractSpansBatch
@@ -64,7 +66,16 @@ def build_extraction_pipeline(
     emit_metrics: bool = False,
     extractor_kwargs: dict[str, Any] | None = None,
 ) -> "ray.data.Dataset":
-    """Compose the extraction pipeline over an input Dataset (lazy)."""
+    """Compose the extraction pipeline over an input Dataset.
+
+    The default path is fully lazy (streaming). The split path executes the
+    read+split+extract eagerly ONCE (``materialize()``) and pins the
+    output-sized extracted table in the object store, so its two consumers
+    (single-fragment passthrough, multi-fragment reassembly) don't each
+    re-execute the extraction; the store spills if the output exceeds
+    memory. ``emit_metrics`` is not supported on the split path (the column
+    would be lost in reassembly) — it warns and drops the flag.
+    """
     kwargs = dict(extractor_kwargs or {})
     kwargs["emit_metrics"] = emit_metrics
     if concurrency is None:
@@ -79,7 +90,14 @@ def build_extraction_pipeline(
             concurrency=concurrency,
         )
 
-    # metrics column would be lost in reassembly; keep the split path lean
+    if emit_metrics:
+        import warnings
+
+        warnings.warn(
+            "emit_metrics is not supported with split_giant_docs "
+            "(the metrics column would be lost in reassembly); dropping it",
+            stacklevel=2,
+        )
     kwargs["emit_metrics"] = False
     frags = ds.map_batches(
         split_batch,
@@ -108,11 +126,23 @@ def build_extraction_pipeline(
     def multis_only(batch):
         return batch.filter(pc.greater(batch.column("n_frags"), 1))
 
+    from html_parser_ray.stages.extract_stage import OUT_SCHEMA
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        # map_groups emits 0-row 0-COLUMN blocks for group-less input
+        # blocks (most multis blocks are empty — multi-frag docs are rare);
+        # rewrite them to the typed empty so downstream join/union/to_pandas
+        # consumers never see a schema-less block
+        if batch.num_columns == 0:
+            return OUT_SCHEMA.empty_table()
+        return batch.select(OUT_SCHEMA.names).cast(OUT_SCHEMA)
+
     singles = extracted.map_batches(singles_only, batch_format="pyarrow")
     multis = (
         extracted.map_batches(multis_only, batch_format="pyarrow")
         .groupby("doc_id")
         .map_groups(reassemble_group, batch_format="pyarrow")
+        .map_batches(normalize, batch_format="pyarrow")
     )
     return singles.union(multis)
 

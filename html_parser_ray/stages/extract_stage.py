@@ -232,11 +232,17 @@ class ExtractSpansBatch:
         np.cumsum(counts, out=cum[1:])
         total_out = int(cum[-1])
 
-        # source buffer = html blocks | normalized text | media JSON
-        b1 = len(mv)
+        # source buffer = html blocks | normalized text | media JSON.
+        # b1 = WRITTEN block bytes, not len(mv): the native scratch is
+        # grow-only capacity — copying it whole inflated every batch's
+        # memcpy (254x observed) and once the scratch grew past 2 GiB the
+        # int32 guard below would have pinned the actor on the Python
+        # fallback forever
+        b1 = int(block_bounds[-1])
         b2 = b1 + len(norm_data)
         src = np.empty(b2 + len(media_blob), dtype=np.uint8)
-        src[:b1] = np.frombuffer(mv, dtype=np.uint8) if b1 else 0
+        if b1:
+            src[:b1] = np.frombuffer(mv, dtype=np.uint8, count=b1)
         src[b1:b2] = norm_data
         src[b2:] = media_blob
 
@@ -299,8 +305,10 @@ class ExtractSpansBatch:
             total_out,
             [
                 None,
-                pa.py_buffer(val_offs.astype(np.int32).tobytes()),
-                pa.py_buffer(values.tobytes()),
+                # py_buffer wraps numpy arrays zero-copy (and keeps them
+                # alive); .tobytes() was one extra full copy per batch
+                pa.py_buffer(val_offs.astype(np.int32)),
+                pa.py_buffer(values),
             ],
         ).cast(pa.string())
         kind_arr = pa.DictionaryArray.from_arrays(

@@ -50,7 +50,13 @@ def split_batch(batch: pa.Table, max_bytes: int = 1_000_000, max_spans: int = 64
     n_rows = batch.num_rows
     counts = pc.list_value_length(spans_arr).to_numpy(zero_copy_only=False)
     flat_text = spans_arr.flatten().field("text")
-    tlens = pc.utf8_length(flat_text).to_numpy(zero_copy_only=False)
+    # BYTES (binary_length), not codepoints — multi-byte corpora exceeded
+    # the byte budget up to 4x under utf8_length; fill_null so one null
+    # text span can't NaN-poison its row's total (NaN > max_bytes is
+    # False, silently disabling the split for that doc)
+    tlens = pc.fill_null(
+        pc.binary_length(flat_text.cast(pa.binary())), 0
+    ).to_numpy(zero_copy_only=False)
     offsets = spans_arr.offsets.to_numpy(zero_copy_only=False)
     base = offsets[0]
     starts = (offsets[:-1] - base).astype(np.int64)
@@ -82,7 +88,8 @@ def split_batch(batch: pa.Table, max_bytes: int = 1_000_000, max_spans: int = 64
         cur: list[dict] = []
         cur_bytes = 0
         for sp in spans:
-            size = len(sp.get("text") or "")
+            # byte size, matching the vectorized binary_length fast path
+            size = len((sp.get("text") or "").encode("utf-8"))
             if cur and (cur_bytes + size > max_bytes or len(cur) >= max_spans):
                 frags.append(cur)
                 cur = []
@@ -103,7 +110,7 @@ def split_batch(batch: pa.Table, max_bytes: int = 1_000_000, max_spans: int = 64
             "frag_seq": pa.array(out_seq, type=pa.int32()),
             "n_frags": pa.array(out_n, type=pa.int32()),
         }
-    )
+    ).cast(FRAG_SCHEMA)
 
 
 def reassemble_group(group: pa.Table) -> pa.Table:

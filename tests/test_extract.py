@@ -129,3 +129,82 @@ def test_extract_stats_accumulate():
     assert ex.stats.docs == 2
     assert ex.stats.spans_in == 2
     assert ex.stats.html_bytes == len("<p>x</p>")
+
+
+def test_split_batch_counts_bytes_and_tolerates_null_text():
+    """The split budget is BYTES (multi-byte text must split at the same
+    byte threshold as ASCII) and a null text span must not NaN-poison its
+    row's total (which silently disabled the split)."""
+    import pyarrow as pa
+
+    from html_parser_ray.sources.corpus import SPAN_STRUCT
+    from html_parser_ray.stages.split import split_batch
+
+    big_cjk = "世" * 600_000  # 600k codepoints = 1.8 MB UTF-8
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["cjk", "withnull"], type=pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": "html", "text": big_cjk, "media_ref": "", "offset": 0},
+                        {"kind": "html", "text": big_cjk, "media_ref": "", "offset": 1},
+                    ],
+                    [
+                        {"kind": "html", "text": "x" * 3_000_000, "media_ref": "", "offset": 0},
+                        {"kind": "media", "text": None, "media_ref": "m", "offset": 1},
+                    ],
+                ],
+                type=pa.list_(SPAN_STRUCT),
+            ),
+        }
+    )
+    out = split_batch(batch, max_bytes=1_000_000, max_spans=64)
+    by_doc = {}
+    for row in out.to_pylist():
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    # 2 x 1.8MB spans at a 1MB budget -> one span per fragment
+    assert len(by_doc["cjk"]) == 2
+    # the null-text row is 3MB oversized and MUST still split
+    assert len(by_doc["withnull"]) == 2
+
+
+def test_native_scratch_growth_does_not_pin_fallback():
+    """A large batch grows the native scratch; subsequent small batches must
+    still take the native path (the old len(mv)-capacity sizing counted the
+    grown scratch against the int32 guard and copied it whole every batch)."""
+    import pyarrow as pa
+
+    from html_parser_ray.sources.corpus import SPAN_STRUCT
+    from html_parser_ray.stages.extract_stage import ExtractSpansBatch
+
+    stage = ExtractSpansBatch()
+    big_html = "<div><p>" + ("word " * 120_000) + "</p></div>"  # ~600 KB
+    big = pa.table(
+        {
+            "doc_id": pa.array(["big"], type=pa.string()),
+            "spans": pa.array(
+                [[{"kind": "html", "text": big_html, "media_ref": "", "offset": 0}]],
+                type=pa.list_(SPAN_STRUCT),
+            ),
+        }
+    )
+    small_html = "<p>alpha beta</p>"
+    small = pa.table(
+        {
+            "doc_id": pa.array(["small"], type=pa.string()),
+            "spans": pa.array(
+                [[{"kind": "html", "text": small_html, "media_ref": "", "offset": 0}]],
+                type=pa.list_(SPAN_STRUCT),
+            ),
+        }
+    )
+    before = stage.extractor.stats.native_fallbacks
+    out_big = stage(big)
+    out_small = stage(small)
+    assert out_big.num_rows == 1 and out_small.num_rows == 1
+    got = out_small.column("spans_out").to_pylist()[0]
+    assert [s["text"] for s in got] == ["alpha beta"]
+    # if the native kernel is available at all, neither batch fell back
+    if stage._batch_native is not None:
+        assert stage.extractor.stats.native_fallbacks == before
