@@ -864,7 +864,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM r WHERE \"rank\" <= 3 ORDER BY doc_id, \"rank\""
         ),
         "doc_hash_sample": (
-            "WITH b AS (SELECT doc_id, len(text) AS n_chars, "
+            # n_chars is the stored column (== len(text) by the generator
+            # invariant); both sides read it so neither scans the text bytes
+            "WITH b AS (SELECT doc_id, n_chars, "
             "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS UBIGINT) % 100 AS bucket FROM documents) "
             "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "

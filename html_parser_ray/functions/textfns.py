@@ -42,6 +42,15 @@ def token_count(text: str) -> int:
     return len(_RE_TOKEN.findall(text))
 
 
+def sql_token_count(text: "str | None") -> int:
+    """``len(string_split(text, ' '))`` parity — THE single-space token
+    convention every SQL-checked operator shares: '' counts as 1 token
+    (string_split('', ' ') = ['']), NULL counts as 0 (SUM skips NULL).
+    One definition so the convention can't drift per call site (the
+    round-5 falsy-guard bug had to be patched at three copies)."""
+    return len(text.split(" ")) if text is not None else 0
+
+
 def bpe_token_count(text: str) -> int:
     """Subword-ish token count (whitespace + BPE-ish regex)."""
     return len(_RE_BPE.findall(text))

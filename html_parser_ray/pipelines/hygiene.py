@@ -85,6 +85,11 @@ def pii_scrub(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     def scrub(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for doc_id, text in zip(df["doc_id"], df["text"]):
+            if text is None:
+                # SQL parity: NULL || '...' propagates NULL through the
+                # enrichment, the regex counts, and the md5
+                rows.append((int(doc_id), None, None, None, None))
+                continue
             t = pii_enrich(int(doc_id), text)
             n_email, n_ip, n_phone, red = scrub_text(t)
             rows.append(
@@ -96,16 +101,15 @@ def pii_scrub(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
                     hashlib.md5(red.encode()).hexdigest(),
                 )
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows, columns=["doc_id", "n_emails", "n_ipv4", "n_phones", "redacted_md5"]
-        ).astype(
-            {
-                "doc_id": "int64",
-                "n_emails": "int64",
-                "n_ipv4": "int64",
-                "n_phones": "int64",
-            }
         )
+        out["doc_id"] = out["doc_id"].astype("int64")
+        for c in ("n_emails", "n_ipv4", "n_phones"):
+            # nullable Int64 only when a NULL row exists (keeps the common
+            # path's plain int64 blocks; Arrow casts both to int64)
+            out[c] = out[c].astype("Int64" if out[c].isna().any() else "int64")
+        return out
 
     out_schema = pa.schema(
         [
@@ -128,8 +132,11 @@ def pii_scrub(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
 
 def _doc_shingles(text: str, n: int) -> set[str]:
     """Distinct n-token shingles (single-space tokens, matching the SQL
-    ``string_split(text, ' ')``); short docs contribute their whole text."""
-    words = text.split(" ") if text else []
+    ``string_split(text, ' ')``); short docs contribute their whole text.
+    NULL docs contribute nothing (SQL: unnest over a NULL list is no rows)."""
+    if text is None:
+        return set()
+    words = text.split(" ")
     if len(words) < n:
         return {text}
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
@@ -365,10 +372,18 @@ def ngram_topk_cms(
         return pd.DataFrame({"part_key": [part], "sketch": [sk.ravel()]})
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(depth * width, dtype=np.int64)
-        for arr in g["sketch"]:
-            acc += np.asarray(arr, dtype=np.int64)
-        return pd.DataFrame({"part_key": [int(g["part_key"].iloc[0])], "sketch": [acc]})
+        # a hash partition can hold SEVERAL part_keys — merge per key so the
+        # emitted part_key column is honest (the driver re-sums every row,
+        # but a mislabeled row would misattribute sketches on inspection)
+        out_keys: list[int] = []
+        out_sk: list[np.ndarray] = []
+        for key, grp in g.groupby("part_key", sort=False):
+            acc = np.zeros(depth * width, dtype=np.int64)
+            for arr in grp["sketch"]:
+                acc += np.asarray(arr, dtype=np.int64)
+            out_keys.append(int(key))
+            out_sk.append(acc)
+        return pd.DataFrame({"part_key": out_keys, "sketch": out_sk})
 
     parts = hash_partitioned(
         ds.map_batches(sketch_partial, batch_format="pandas"),

@@ -42,9 +42,10 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
                 # '' splits to [''] = 1 token in BOTH python and duckdb's
                 # string_split — no falsy-guard (it would diverge on '')
                 "sum_tokens": [
-                    len(t.split(" ")) if t is not None else 0 for t in texts
+                    textfns.sql_token_count(t) for t in texts
                 ],
-                "sum_chars": [len(t) for t in texts],
+                # SQL SUM skips NULL -> contributing 0 is value-identical
+                "sum_chars": [len(t) if t is not None else 0 for t in texts],
             }
         )
         return out.groupby("lang", as_index=False).sum()
@@ -124,10 +125,16 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
+                # None -> "" (documented: a NULL doc fingerprints as empty
+                # rather than crashing the whole pass)
                 "fingerprint": [
-                    format(textfns.fingerprint64(t), "016x") for t in df["text"]
+                    format(textfns.fingerprint64(t if t is not None else ""), "016x")
+                    for t in df["text"]
                 ],
-                "bpe_tokens": [textfns.bpe_token_count(t) for t in df["text"]],
+                "bpe_tokens": [
+                    textfns.bpe_token_count(t if t is not None else "")
+                    for t in df["text"]
+                ],
             }
         )
 
@@ -151,6 +158,31 @@ _PAGE_TEMPLATE = (
 )
 
 
+def _extract_main_text(page: bytes) -> str:
+    """parse -> boilerplate-strip -> joined main text: THE one extraction
+    decode policy every roundtrip source (parquet, WARC, JSONL) shares, so
+    a policy change cannot drift per source."""
+    return b" ".join(extract_text_blocks(parse_html(page))).decode(
+        "utf-8", "replace"
+    )
+
+
+def _corpus_cache_key(src_path: str) -> str:
+    """Content fingerprint for /tmp shard caches: abs path + parquet footer
+    row count + size + mtime — metadata only on the warm path. A regenerated
+    corpus at the same path must not silently reuse a stale shard."""
+    import hashlib as _hashlib
+    import os
+
+    import pyarrow.parquet as _pq
+
+    st = os.stat(src_path)
+    n_rows = _pq.ParquetFile(src_path).metadata.num_rows
+    return _hashlib.md5(
+        f"{os.path.abspath(src_path)}:{n_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
 class HtmlRoundtripExtract:
     """Actor stage: build a boilerplate page around each document's text, run
     the full tokenizer + DOM + boilerplate-strip, return the main text.
@@ -164,9 +196,7 @@ class HtmlRoundtripExtract:
         out = []
         for t in texts:
             page = _PAGE_TEMPLATE.format(text=t)
-            doc = parse_html(page)
-            blocks = extract_text_blocks(doc)
-            out.append(b" ".join(blocks).decode("utf-8", "replace"))
+            out.append(_extract_main_text(page.encode("utf-8")))
         return pa.table(
             {"doc_id": batch.column("doc_id"), "main_text": pa.array(out)}
         )
@@ -223,7 +253,7 @@ def quality_filter(sf_dir: str, min_tokens: int = 40) -> "ray.data.Dataset":
 
     def score(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        toks = [len(t.split(" ")) if t is not None else 0 for t in texts]
+        toks = [textfns.sql_token_count(t) for t in texts]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -443,13 +473,16 @@ def tfidf_top_terms(
             ("score_ppm", pa.int64()),
         ]
     )
+    # materialize between the two chained exchanges: the second exchange's
+    # sort sampling re-executes the whole upstream plan otherwise (same
+    # measured effect as dedup's _MINHASH_MATERIALIZE, 4.13 -> 3.25s)
     with_df = hash_partitioned(
         ds.map_batches(tf_partial, batch_format="pandas"),
         ["term"],
         annotate_df,
         num_partitions,
         out_schema=mid_schema,
-    )
+    ).materialize()
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -478,7 +511,10 @@ def doc_hash_sample(
     comes from the shared ``textfns.doc_sample_bucket`` primitive so this
     split and ``curated_corpus``'s sample cut agree bit-for-bit.
     """
-    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # n_chars is a stored column (== len(text), the generator invariant the
+    # oracle shares) — reading it instead of the text column prunes the
+    # dominant byte volume from the scan entirely
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         buckets = pd.Series(
@@ -488,7 +524,7 @@ def doc_hash_sample(
         )
         out = df.loc[buckets < rate_pct, ["doc_id"]].copy()
         out["bucket"] = buckets[buckets < rate_pct]
-        out["n_chars"] = df.loc[buckets < rate_pct, "text"].str.len().astype("int64")
+        out["n_chars"] = df.loc[buckets < rate_pct, "n_chars"].astype("int64")
         return out
 
     out_schema = pa.schema(
@@ -521,11 +557,7 @@ def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
     # count — metadata only, no row bytes on the warm path), not just the
     # path — a regenerated corpus at the same path must not silently reuse
     # a stale shard
-    st = os.stat(src)
-    n_rows = _pq.ParquetFile(src).metadata.num_rows
-    key = _hashlib.md5(
-        f"{os.path.abspath(src)}:{n_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
+    key = _corpus_cache_key(src)
     warc_path = f"/tmp/graft_warc_{key}.warc.gz"
     if not os.path.exists(warc_path):
         # cache miss: only now pull the rows to synthesize the shard
@@ -550,9 +582,7 @@ def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
         ids, texts = [], []
         for u, p in zip(uris, payloads):
             ids.append(int(u.rsplit("/", 1)[1]))
-            doc = parse_html(p)
-            blocks = extract_text_blocks(doc)
-            texts.append(b" ".join(blocks).decode("utf-8", "replace"))
+            texts.append(_extract_main_text(p))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -688,12 +718,7 @@ def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as _pq
 
     src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    # metadata-only key on the warm path (footer row count, size, mtime)
-    n_rows = _pq.ParquetFile(src).metadata.num_rows
-    key = _hashlib.md5(
-        f"{os.path.abspath(src)}:{n_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
+    key = _corpus_cache_key(src)
     shard_dir = f"/tmp/graft_jsonl_{key}"
     marker = os.path.join(shard_dir, "_DONE")
     if not os.path.exists(marker):
@@ -730,9 +755,7 @@ def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
         pages = batch.column("html").to_pylist()
         texts = []
         for p in pages:
-            doc = parse_html(p.encode("utf-8"))
-            blocks = extract_text_blocks(doc)
-            texts.append(b" ".join(blocks).decode("utf-8", "replace"))
+            texts.append(_extract_main_text(p.encode("utf-8")))
         return pa.table(
             {
                 "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
@@ -799,7 +822,7 @@ def doc_pack_assignments(
 
     def slim(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
-        toks = [len(t.split(" ")) if t is not None else 0 for t in df["text"]]
+        toks = [textfns.sql_token_count(t) for t in df["text"]]
         rng = ((ids - lo) * num_ranges // span).astype("int64")
         return pd.DataFrame(
             {"range_id": rng, "doc_id": ids, "n_tokens": pd.Series(toks, dtype="int64")}
@@ -807,14 +830,23 @@ def doc_pack_assignments(
 
     slim_ds = ds.map_batches(slim, batch_format="pandas").materialize()
 
-    # phase 1: per-range totals (bounded: num_ranges rows). NOTE a hash
-    # partition may hold SEVERAL range_ids — group inside the partition.
-    def range_total(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("range_id", as_index=False)["n_tokens"].sum()
+    # phase 1: per-range totals via the COMBINER pattern — each batch
+    # pre-sums to <= num_ranges rows map-side and the driver finishes the
+    # sum (bounded by batches x ranges), so the full slim table never pays
+    # a shuffle just to produce num_ranges numbers
+    def range_total(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("range_id", as_index=False)["n_tokens"].sum()
         return agg.rename(columns={"n_tokens": "total"})
 
-    totals = hash_partitioned(slim_ds, ["range_id"], range_total, num_ranges).to_pandas()
-    totals = totals.sort_values("range_id").reset_index(drop=True)
+    parts = slim_ds.map_batches(range_total, batch_format="pandas").to_pandas()
+    if parts.empty or "range_id" not in parts.columns:
+        parts = pd.DataFrame({"range_id": [], "total": []})
+    totals = (
+        parts.groupby("range_id", as_index=False)["total"]
+        .sum()
+        .sort_values("range_id")
+        .reset_index(drop=True)
+    )
     offsets = {}
     acc = 0
     for r, t in zip(totals["range_id"], totals["total"]):

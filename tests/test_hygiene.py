@@ -257,3 +257,49 @@ def test_decontaminate_correct_without_pushdown(tmp_path, ray_session, monkeypat
     out = _as_pandas(hygiene.decontaminate(sf))
     got = dict(zip(out["doc_id"], out["n_hit"]))
     assert got == {1: 1, 3: 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_documents_operators_tolerate_null_text(tmp_path):
+    """A NULL text row must not crash any documents-table operator — each
+    follows its SQL oracle's NULL rule (SUM skips, unnest(NULL) is no rows,
+    NULL || x propagates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.hygiene import pii_scrub
+    from html_parser_ray.pipelines.text_analysis import (
+        doc_fingerprints,
+        doc_token_stats,
+    )
+
+    d = tmp_path / "sfnulltext"
+    d.mkdir()
+    many = " ".join(["tok"] * 50)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([many, None, "short text"]),
+                "lang": pa.array(["en", "en", "de"]),
+                "source": pa.array(["s", "s", "s"]),
+                "n_chars": pa.array([len(many), 0, 10], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    stats = doc_token_stats(str(d))
+    # NULL contributes 0 tokens/0 chars but still counts as a doc (SQL SUM/COUNT)
+    en = stats.set_index("lang").loc["en"]
+    assert en["n_docs"] == 2 and en["sum_tokens"] == 50
+
+    fp = doc_fingerprints(str(d))
+    fp = fp if isinstance(fp, pd.DataFrame) else fp.to_pandas()
+    assert len(fp) == 3  # NULL doc fingerprints as "" rather than crashing
+
+    scrub = pii_scrub(str(d))
+    scrub = scrub if isinstance(scrub, pd.DataFrame) else scrub.to_pandas()
+    row = scrub.set_index("doc_id").loc[2]
+    assert pd.isna(row["redacted_md5"])  # SQL: NULL || '...' propagates
+    assert pd.isna(row["n_emails"])
+    assert scrub.set_index("doc_id").loc[1, "n_emails"] >= 1
