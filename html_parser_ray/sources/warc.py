@@ -187,7 +187,14 @@ def parse_warc_stream(data: bytes):
             body = bytes(buf[pos : pos + length])
             if fields.get(b"content-type", b"").startswith(b"application/http"):
                 split = body.find(_CRLF + _CRLF)
-                payload = body[split + 4 :] if split >= 0 else b""
+                if split >= 0:
+                    payload = body[split + 4 :]
+                else:
+                    # non-compliant origin servers emit LF-only separators
+                    # (crawls store raw bytes); silently yielding b"" for
+                    # them would be tail data loss
+                    lf = body.find(b"\n\n")
+                    payload = body[lf + 2 :] if lf >= 0 else b""
             else:
                 payload = body  # resource record: body IS the payload
             yield uri, payload
@@ -238,6 +245,10 @@ def read_warc(paths: "str | list[str]", concurrency: int | None = None):
                 }
             )
 
+    if concurrency is not None:
+        return ds.map_batches(
+            explode, batch_format="pyarrow", concurrency=concurrency
+        )
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
@@ -276,14 +287,25 @@ def write_warc_dataset(
             p if isinstance(p, (bytes, bytearray)) else str(p).encode("utf-8")
             for p in df[payload_col]
         ]
-        tag = hashlib.md5(f"{uris[0]}|{len(uris)}".encode()).hexdigest()[:16]
+        # content-address over EVERY (uri, payload length): two batches
+        # sharing a first uri and row count but differing in content must
+        # not collide (a collision means one block silently vanishes);
+        # byte-identical batches map to the same shard, which stays
+        # idempotent because the written bytes are deterministic
+        h = hashlib.md5()
+        for u, pl in zip(uris, payloads):
+            h.update(u.encode())
+            h.update(b"\x00")
+            h.update(str(len(pl)).encode())
+            h.update(b"\x00")
+        tag = h.hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{tag}.warc.gz" if gzip_records else f"part-{tag}.warc")
-        tmp = path + ".part"
+        # pid-unique tmp: concurrent writers of the same shard each stream
+        # to their own inode, then os.replace publishes atomically
+        tmp = f"{path}.{os.getpid()}.part"
         n = write_warc(tmp, zip(uris, payloads), gzip_records=gzip_records)
         os.replace(tmp, path)
         return pd.DataFrame({"n": [n]})
-
-    import pyarrow as pa  # noqa: F401  (schema stability of the count column)
 
     parts = ds.map_batches(write_shard, batch_format="pandas").to_pandas()
     return int(parts["n"].sum()) if len(parts) else 0

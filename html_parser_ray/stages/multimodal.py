@@ -256,7 +256,7 @@ class FrameSampleStage:
         payloads = batch.column("payload").to_pylist()
         out_id, out_ts, out_frame, out_dec = [], [], [], []
         for mid, t, dur, p in zip(ids, types, durs, payloads):
-            if t != "video" or not dur:
+            if t != "video":
                 continue
             clip = None
             if p is not None and gifcodec.is_gif(p):
@@ -269,6 +269,14 @@ class FrameSampleStage:
                     clip = avicodec.decode_avi(p)
                 except avicodec.AviError:
                     clip = None
+            if not dur:
+                # missing/zero duration metadata must not drop the video
+                # (the row stays total): recover the span from the decoded
+                # clip's last frame, else stub at ts=0
+                if clip is not None and clip["frames"]:
+                    dur = int(clip["frames"][-1]["ts_ms"]) + 1
+                else:
+                    dur = 0
             for k in range(self.num_frames):
                 ts = (dur * (k + 1)) // (self.num_frames + 1)
                 out_id.append(mid)
@@ -291,7 +299,9 @@ class FrameSampleStage:
                     out_dec.append(False)
         return pa.table(
             {
-                "media_id": out_id,
+                # explicit type: an empty list would infer a null column
+                # and diverge the block schema (the empty-block footgun)
+                "media_id": pa.array(out_id, type=pa.string()),
                 "frame_ts_ms": pa.array(out_ts, type=pa.int32()),
                 "frame": pa.array(out_frame, type=pa.binary()),
                 "decoded": pa.array(out_dec, type=pa.bool_()),

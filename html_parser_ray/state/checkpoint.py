@@ -47,7 +47,12 @@ def completed_partitions(output_root: str) -> set[int]:
     out = set()
     for name in os.listdir(mdir):
         if name.startswith("part-") and name.endswith(".json"):
-            out.add(int(name[5:-5]))
+            try:
+                out.add(int(name[5:-5]))
+            except ValueError:
+                # a stray non-numeric file beside the manifests must not
+                # make the whole checkpoint tree unreadable
+                continue
     return out
 
 
@@ -84,6 +89,23 @@ def run_resumable_extraction(
 
     os.makedirs(_manifest_dir(output_root), exist_ok=True)
     done = completed_partitions(output_root)
+    if done:
+        # the md5-mod doc->partition mapping is a function of
+        # num_partitions: resuming under a different count would skip some
+        # docs and duplicate others — refuse loudly
+        sample_part = next(iter(done))
+        with open(
+            os.path.join(_manifest_dir(output_root), f"part-{sample_part}.json")
+        ) as f:
+            rec = json.load(f)
+        prev_np = rec.get("num_partitions")
+        if prev_np is not None and prev_np != num_partitions:
+            raise ValueError(
+                f"resume with num_partitions={num_partitions} but the "
+                f"committed manifests were written with {prev_np}; the "
+                "doc->partition mapping would change (duplicates + gaps). "
+                "Re-run with the original count or start a fresh output root."
+            )
     todo = [p for p in range(num_partitions) if p not in done]
 
     total_rows = 0
@@ -136,6 +158,7 @@ def run_resumable_extraction(
                 p,
                 {
                     "partition_id": p,
+                    "num_partitions": num_partitions,
                     "row_count": rows,
                     "span_count": spans,
                     "wave_wall_s": wall,
@@ -189,36 +212,71 @@ def verify_sample(
     single-threaded SpanExtractor and compare span sequences
     (kind, text, media_ref, offset) against the committed output.
 
-    Returns {checked, mismatches} — mismatches must be 0.
+    The sample is drawn from the INPUT (the ``sample_docs`` smallest
+    seeded-md5 digests — deterministic under any batch order), so a
+    document missing from the output entirely counts as a mismatch
+    instead of being invisible to the check; driver memory is bounded by
+    the sample size, never the corpus (the former version held every
+    output row's spans in one dict).
+
+    Returns {checked, mismatches} — mismatches must be 0; ``checked`` <
+    the sample size means docs vanished from the output.
     """
-    import random
+    import hashlib
+    import heapq
 
     import ray.data
 
     from html_parser_ray.extract.extractor import SpanExtractor
 
-    out_rows = {}
+    def digest(doc_id) -> str:
+        return hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+
+    # pass 1 (ids only, column-pruned): global min-k by seeded digest
+    heap: list[tuple[str, object]] = []  # max-heap via negated compare
+    for batch in ray.data.read_parquet(
+        input_path, columns=["doc_id"]
+    ).iter_batches(batch_format="pyarrow", batch_size=8192):
+        for d in batch.column("doc_id").to_pylist():
+            item = (digest(d), d)
+            if len(heap) < sample_docs:
+                heapq.heappush(heap, (_neg(item[0]), d))
+            elif item[0] < _neg(heap[0][0]):
+                heapq.heapreplace(heap, (_neg(item[0]), d))
+    sample = {d for _, d in heap}
+
+    # pass 2: expected spans for the sample only (fresh serial extractor)
+    ex = SpanExtractor()
+    expected: dict = {}
+    for batch in ray.data.read_parquet(input_path).iter_batches(
+        batch_format="pyarrow", batch_size=1024
+    ):
+        for row in batch.to_pylist():
+            if row["doc_id"] in sample:
+                expected[row["doc_id"]] = ex.extract_document(row["spans"])
+
+    # pass 3: committed output spans for the sample only (bounded dict)
+    got: dict = {}
     for batch in read_extraction_output(output_root).iter_batches(
         batch_format="pyarrow", batch_size=4096
     ):
         for row in batch.select(["doc_id", "spans_out"]).to_pylist():
-            out_rows[row["doc_id"]] = row["spans_out"]
+            if row["doc_id"] in sample:
+                got[row["doc_id"]] = [dict(s) for s in row["spans_out"] or []]
 
-    rng = random.Random(seed)
-    ids = sorted(out_rows)
-    sample = set(rng.sample(ids, min(sample_docs, len(ids))))
-
-    ex = SpanExtractor()
     checked = 0
     mismatches = 0
-    in_ds = ray.data.read_parquet(input_path)
-    for batch in in_ds.iter_batches(batch_format="pyarrow", batch_size=1024):
-        for row in batch.to_pylist():
-            if row["doc_id"] not in sample:
-                continue
-            expected = ex.extract_document(row["spans"])
-            got = [dict(s) for s in out_rows[row["doc_id"]] or []]
-            checked += 1
-            if got != expected:
-                mismatches += 1
+    for d in sample:
+        if d not in got:  # vanished from the output = a mismatch
+            mismatches += 1
+            continue
+        checked += 1
+        if got[d] != expected.get(d):
+            mismatches += 1
     return {"checked": checked, "mismatches": mismatches}
+
+
+def _neg(hexdigest: str) -> str:
+    """Order-reversing involution over fixed-width hex (max-heap via min-heap):
+    maps each nibble c to 15-c, so a < b  <=>  _neg(a) > _neg(b)."""
+    return "".join("0123456789abcdef"[15 - int(c, 16)] for c in hexdigest)

@@ -84,3 +84,56 @@ def test_verify_sample_invariant(tmp_path):
     res = verify_sample(out, inp, sample_docs=20)
     assert res["checked"] == 20
     assert res["mismatches"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_with_different_num_partitions_refused(tmp_path):
+    """The md5-mod doc->partition mapping is a function of num_partitions;
+    a mismatched resume must fail loudly (it would duplicate and skip docs)."""
+    inp = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_parquet(inp, 20, seed=42, rows_per_file=10)
+    run_resumable_extraction(inp, out, num_partitions=4, wave_size=4, batch_size=8)
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_resumable_extraction(
+            inp, out, num_partitions=8, wave_size=4, batch_size=8
+        )
+    # stray non-numeric manifest files must not break the resume path either
+    mdir = os.path.join(out, "_manifest")
+    with open(os.path.join(mdir, "part-summary.json"), "w") as f:
+        f.write("{}")
+    assert completed_partitions(out) == {0, 1, 2, 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_sample_detects_vanished_doc(tmp_path):
+    """A document missing from the output entirely must count as a mismatch
+    (the former output-drawn sample could never see it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.state.checkpoint import verify_sample
+
+    inp = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_corpus_parquet(inp, 20, seed=42, rows_per_file=10)
+    run_resumable_extraction(inp, out, num_partitions=2, wave_size=2, batch_size=8)
+    clean = verify_sample(out, inp, sample_docs=20)
+    assert clean == {"checked": 20, "mismatches": 0}
+
+    # drop one sampled doc's rows from the committed output
+    victim = None
+    for f in sorted(glob.glob(os.path.join(out, "_part=*", "*.parquet"))):
+        t = pq.read_table(f)
+        if t.num_rows > 1:
+            victim = t.column("doc_id")[0].as_py()
+            import pyarrow.compute as pc
+
+            pq.write_table(
+                t.filter(pc.field("doc_id") != victim), f
+            )
+            break
+    assert victim is not None
+    res = verify_sample(out, inp, sample_docs=20)
+    assert res["mismatches"] >= 1

@@ -182,3 +182,31 @@ def test_media_pipelines_on_ray():
     frames = build_frame_sample_pipeline(ds3, concurrency=2, num_frames=2).take_all()
     n_videos = t.column("media_type").to_pylist().count("video")
     assert len(frames) == 2 * n_videos
+
+
+def test_frame_stage_total_on_missing_duration_and_typed_when_empty():
+    """A video with missing/zero duration metadata must still emit its
+    frames (duration recovered from the decoded clip, else stub at ts=0),
+    and a batch with no video rows must emit a TYPED empty table (a
+    null-typed media_id column diverges block schemas)."""
+    import pyarrow as pa
+
+    stage = FrameSampleStage(num_frames=2)
+    media = synth_media_table(30, seed=42)
+    vids = media.filter(
+        pa.compute.equal(media.column("media_type"), "video")
+    ).slice(0, 1)
+    # null out the duration metadata
+    cols = {c: vids.column(c) for c in vids.column_names}
+    cols["meta_duration_ms"] = pa.array([None], type=vids.schema.field("meta_duration_ms").type)
+    no_dur = pa.table(cols)
+    out = stage(no_dur)
+    assert out.num_rows == 2  # still total: frames recovered from the clip
+    assert out.column("media_id").to_pylist() == [vids.column("media_id")[0].as_py()] * 2
+
+    images_only = media.filter(
+        pa.compute.equal(media.column("media_type"), "image")
+    )
+    empty_out = stage(images_only)
+    assert empty_out.num_rows == 0
+    assert empty_out.schema.field("media_id").type == pa.string()  # not null-typed

@@ -186,3 +186,57 @@ def test_dataset_sink_roundtrip(tmp_path, ray_session):
     # idempotent re-run: same shard set, no duplicates
     write_warc_dataset(ray.data.from_items(rows).repartition(4), out)
     assert sorted(glob.glob(out + "/part-*.warc.gz")) == shards
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_sink_distinguishes_same_first_uri_batches(tmp_path):
+    """Two blocks sharing the same first uri and row count but different
+    content must write DIFFERENT shards (the old (first uri, count) tag
+    collided and silently lost one block)."""
+    import pandas as pd
+
+    import ray.data
+
+    from html_parser_ray.sources.warc import read_warc, write_warc_dataset
+
+    a = pd.DataFrame(
+        {"uri": ["https://x.test/1", "https://x.test/2"], "payload": [b"aa", b"bb"]}
+    )
+    b = pd.DataFrame(
+        {"uri": ["https://x.test/1", "https://x.test/3"], "payload": [b"cc", b"dd"]}
+    )
+    ds = ray.data.from_pandas([a, b])  # two blocks, same first uri + count
+    out_dir = str(tmp_path / "shards")
+    n = write_warc_dataset(ds, out_dir, uri_col="uri", payload_col="payload")
+    assert n == 4
+    import glob
+
+    shards = sorted(glob.glob(f"{out_dir}/part-*.warc.gz"))
+    assert len(shards) == 2  # no collision
+    back = read_warc(shards).to_pandas()
+    assert len(back) == 4
+    assert set(zip(back["uri"], back["payload"])) == {
+        ("https://x.test/1", b"aa"),
+        ("https://x.test/2", b"bb"),
+        ("https://x.test/1", b"cc"),
+        ("https://x.test/3", b"dd"),
+    }
+
+
+def test_http_response_lf_only_header_separator():
+    """Non-compliant origin servers emit LF-only header/body separators;
+    the payload must survive instead of silently becoming b''."""
+    from html_parser_ray.sources.warc import parse_warc_bytes
+
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>lf</html>"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://lf.test/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+        + b"\r\n\r\n"
+    )
+    out = parse_warc_bytes(rec)
+    assert out == [("https://lf.test/", b"<html>lf</html>")]
