@@ -121,7 +121,10 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # shut down only a session WE created: an embedding caller (bench,
+    # pytest fixture) owns its session and must get it back intact
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(include_dashboard=False)
     try:
         if args.cmd == "extract":
@@ -136,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 num_partitions=args.num_partitions,
                 wave_size=args.wave_size,
+                file_format=args.format,
                 batch_size=args.batch_size,
                 split_giant_docs=args.split_giant_docs,
             )
@@ -151,7 +155,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if res["mismatches"] == 0 else 2
         return 1
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

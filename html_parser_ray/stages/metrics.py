@@ -13,6 +13,19 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_FIELDS = ("spans_in", "spans_out", "html_bytes", "parse_errors")
+
+
+def _acc_table(acc: "dict[int, list[int]]") -> pa.Table:
+    """(partition -> [docs, *field sums]) -> the rollup table (one schema
+    definition shared by the partial and the driver combine)."""
+    keys = sorted(acc)
+    cols: dict = {"partition_id": pa.array(keys, type=pa.int32())}
+    cols["docs"] = pa.array([acc[k][0] for k in keys], type=pa.int64())
+    for i, name in enumerate(_FIELDS):
+        cols[name] = pa.array([acc[k][i + 1] for k in keys], type=pa.int64())
+    return pa.table(cols)
+
 
 def rollup_metrics(extracted, by_partition: int | None = None):
     """Aggregate the ``metrics`` column of an extraction output Dataset.
@@ -22,65 +35,41 @@ def rollup_metrics(extracted, by_partition: int | None = None):
     """
     from html_parser_ray.state.checkpoint import partition_of
 
+    if by_partition is not None and by_partition <= 0:
+        raise ValueError(f"by_partition must be a positive count, got {by_partition}")
+
     def partial(batch: pa.Table) -> pa.Table:
         m = batch.column("metrics")
         if isinstance(m, pa.ChunkedArray):
             m = m.combine_chunks()
-        fields = {
-            name: m.field(name)
-            for name in ("spans_in", "spans_out", "html_bytes", "parse_errors")
-        }
-        if by_partition:
-            parts = [
-                partition_of(d, by_partition)
-                for d in batch.column("doc_id").to_pylist()
-            ]
-        else:
-            parts = [-1] * batch.num_rows
+        if by_partition is None:
+            # totals: pure Arrow reductions, no per-row Python
+            acc = {
+                -1: [batch.num_rows]
+                + [int(pc.sum(m.field(name)).as_py() or 0) for name in _FIELDS]
+            }
+            return _acc_table(acc)
         import collections
 
-        acc: dict[int, list[int]] = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
-        spans_in = fields["spans_in"].to_pylist()
-        spans_out = fields["spans_out"].to_pylist()
-        html_bytes = fields["html_bytes"].to_pylist()
-        errs = fields["parse_errors"].to_pylist()
-        for p, si, so, hb, er in zip(parts, spans_in, spans_out, html_bytes, errs):
+        parts = [
+            partition_of(d, by_partition)
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        acc = collections.defaultdict(lambda: [0] * (len(_FIELDS) + 1))
+        columns = [m.field(name).to_pylist() for name in _FIELDS]
+        for p, vals in zip(parts, zip(*columns)):
             a = acc[p]
             a[0] += 1
-            a[1] += si or 0
-            a[2] += so or 0
-            a[3] += hb or 0
-            a[4] += er or 0
-        keys = sorted(acc)
-        return pa.table(
-            {
-                "partition_id": pa.array(keys, type=pa.int32()),
-                "docs": pa.array([acc[k][0] for k in keys], type=pa.int64()),
-                "spans_in": pa.array([acc[k][1] for k in keys], type=pa.int64()),
-                "spans_out": pa.array([acc[k][2] for k in keys], type=pa.int64()),
-                "html_bytes": pa.array([acc[k][3] for k in keys], type=pa.int64()),
-                "parse_errors": pa.array([acc[k][4] for k in keys], type=pa.int64()),
-            }
-        )
+            for i, v in enumerate(vals):
+                a[i + 1] += v or 0
+        return _acc_table(acc)
 
     partials = extracted.map_batches(partial, batch_format="pyarrow")
     combined: dict[int, list[int]] = {}
     for batch in partials.iter_batches(batch_format="pyarrow", batch_size=4096):
         for row in batch.to_pylist():
-            a = combined.setdefault(row["partition_id"], [0, 0, 0, 0, 0])
+            a = combined.setdefault(row["partition_id"], [0] * (len(_FIELDS) + 1))
             a[0] += row["docs"]
-            a[1] += row["spans_in"]
-            a[2] += row["spans_out"]
-            a[3] += row["html_bytes"]
-            a[4] += row["parse_errors"]
-    keys = sorted(combined)
-    return pa.table(
-        {
-            "partition_id": pa.array(keys, type=pa.int32()),
-            "docs": pa.array([combined[k][0] for k in keys], type=pa.int64()),
-            "spans_in": pa.array([combined[k][1] for k in keys], type=pa.int64()),
-            "spans_out": pa.array([combined[k][2] for k in keys], type=pa.int64()),
-            "html_bytes": pa.array([combined[k][3] for k in keys], type=pa.int64()),
-            "parse_errors": pa.array([combined[k][4] for k in keys], type=pa.int64()),
-        }
-    )
+            for i, name in enumerate(_FIELDS):
+                a[i + 1] += row[name]
+    return _acc_table(combined)

@@ -77,6 +77,7 @@ def run_resumable_extraction(
     output_root: str,
     num_partitions: int = 16,
     wave_size: int = 8,
+    file_format: str = "parquet",
     **pipeline_kwargs,
 ) -> dict:
     """Wave-checkpointed extraction; safe to re-run after a crash."""
@@ -124,7 +125,9 @@ def run_resumable_extraction(
             tagged = add_partition_column(batch, num_partitions)
             return tagged.filter(pc.is_in(tagged.column("_part"), wave_arr))
 
-        ds = read_corpus(input_path).map_batches(keep_wave, batch_format="pyarrow")
+        ds = read_corpus(input_path, file_format=file_format).map_batches(
+            keep_wave, batch_format="pyarrow"
+        )
         extracted = build_extraction_pipeline(
             ds.drop_columns(["_part"]), **pipeline_kwargs
         )

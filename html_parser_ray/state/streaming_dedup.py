@@ -118,11 +118,15 @@ class StreamingDeduper:
     def winner_mask(self, hashes: list[bytes], doc_ids) -> np.ndarray:
         by = _shard_calls(hashes, np.asarray(doc_ids), self.num_shards)
         mask = np.zeros(len(hashes), dtype=bool)
-        slots = list(by.values())
-        results = ray.get(
-            [self.shards[s].winners.remote(h, d) for s, (h, d, _) in by.items()]
-        )
-        for (_, _, pos), win in zip(slots, results):
+        # ONE iteration collects (positions, rpc) pairs together — two
+        # parallel iterations of the dict would couple on implicit order,
+        # the exact hazard _shard_calls carries positions to avoid
+        calls = [
+            (pos, self.shards[s].winners.remote(h, d))
+            for s, (h, d, pos) in by.items()
+        ]
+        results = ray.get([ref for _, ref in calls])
+        for (pos, _), win in zip(calls, results):
             mask[np.asarray(pos)] = win
         return mask
 
