@@ -95,7 +95,10 @@ def _class_id_marks_boilerplate(doc, idx: int, cfg: ExtractConfig) -> bool:
     if end <= start:
         return False
     region = doc.source[start:end]
-    if b"class" not in region and b"id" not in region:
+    # case-insensitive: attr NAMES are case-insensitive at the parse layer
+    # (attrs.py), so CLASS="advert" must not bypass the verdict
+    rl = region.lower()
+    if b"class" not in rl and b"id" not in rl:
         return False
     return _region_marks_boilerplate(
         region, cfg.drop_class_substrings, cfg.drop_class_tokens
@@ -203,7 +206,8 @@ def extract_text_blocks(doc, cfg: ExtractConfig | None = None) -> list[bytes]:
             aend = attr_end[i]
             if aend > nend:
                 region = src[nend:aend]
-                if (b"class" in region or b"id" in region) and region_marks(
+                rl = region.lower()
+                if (b"class" in rl or b"id" in rl) and region_marks(
                     region, drop_subs, drop_toks
                 ):
                     i = sub_end[i] + 1

@@ -241,7 +241,8 @@ def extract_blocks_fused(
                 dropped = True
             elif attr_end > attr_start:
                 region = source[attr_start:attr_end]
-                if (b"class" in region or b"id" in region) and region_marks(
+                rl = region.lower()
+                if (b"class" in rl or b"id" in rl) and region_marks(
                     region, drop_subs, drop_toks
                 ):
                     dropped = True

@@ -76,6 +76,11 @@ CMS_WIDTH = 4096
 
 
 def cms_new(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    if depth > 4:
+        # _cms_cols derives rows from 4 independent 32-bit md5 slices; a
+        # fifth row would hash every term to column 0 (int.from_bytes(b''))
+        # and silently deliver depth-4 error bounds at depth-N memory
+        raise ValueError(f"depth must be <= 4 (md5 gives 4 slices), got {depth}")
     return np.zeros((depth, width), dtype=np.int64)
 
 

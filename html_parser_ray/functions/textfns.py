@@ -34,12 +34,14 @@ _LANG_MARKERS = {
 }
 
 
-def tokens(text: str) -> list[str]:
-    return _RE_TOKEN.findall(text)
+def tokens(text: "str | None") -> list[str]:
+    """\\S+ tokens; NULL text has none (the documents-table null contract:
+    a NULL doc must not crash any operator — SQL drops it from token ops)."""
+    return _RE_TOKEN.findall(text) if text is not None else []
 
 
-def token_count(text: str) -> int:
-    return len(_RE_TOKEN.findall(text))
+def token_count(text: "str | None") -> int:
+    return len(tokens(text))
 
 
 def sql_token_count(text: "str | None") -> int:
@@ -81,8 +83,10 @@ def quality_features(text: str) -> dict:
     }
 
 
-def detect_language(text: str) -> str:
-    """Word-marker / codepoint heuristic language ID."""
+def detect_language(text: "str | None") -> str:
+    """Word-marker / codepoint heuristic language ID; NULL -> "unknown"."""
+    if text is None:
+        return "unknown"
     cjk = sum(1 for c in text[:400] if "一" <= c <= "鿿")
     if cjk > len(text[:400]) * 0.2:
         return "zh"
@@ -116,8 +120,9 @@ def md5_hex(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
-def word_shingles(text: str, k: int = 3) -> set[str]:
-    """Distinct k-word shingles."""
+def word_shingles(text: "str | None", k: int = 3) -> set[str]:
+    """Distinct k-word shingles; NULL text has none (SQL parity: the
+    Jaccard-family oracles' shingle CTE yields no rows for NULL docs)."""
     toks = tokens(text)
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
@@ -198,6 +203,5 @@ def doc_sample_bucket(doc_id: "int | str") -> int:
     must agree bit-for-bit on every document's fate, so both call this
     (oracle form: ``CAST(('0x' || substring(md5(id), 1, 8)) AS UBIGINT) % 100``).
     """
-    import hashlib
 
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100

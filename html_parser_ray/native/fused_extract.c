@@ -532,13 +532,18 @@ static int blob_marks(const uint8_t *blob, int64_t bl) {
  * + first id (lowercase names), build blob, verdict. */
 static int class_id_marks(const uint8_t *s, int64_t start, int64_t end) {
     if (end <= start) return 0;
-    /* precheck: case-sensitive "class"/"id" substring (boilerplate.py) */
+    /* precheck: case-INSENSITIVE "class"/"id" substring (boilerplate.py —
+     * attr names are case-insensitive at the parse layer, so CLASS=...
+     * must not bypass the verdict; |32 folds ASCII letters, and a false
+     * positive only costs the precise attr parse below) */
     int has = 0;
     for (int64_t i = start; i + 5 <= end; i++)
-        if (memcmp(s + i, "class", 5) == 0) { has = 1; break; }
+        if ((s[i] | 32) == 'c' && (s[i + 1] | 32) == 'l' &&
+            (s[i + 2] | 32) == 'a' && (s[i + 3] | 32) == 's' &&
+            (s[i + 4] | 32) == 's') { has = 1; break; }
     if (!has)
         for (int64_t i = start; i + 2 <= end; i++)
-            if (s[i] == 'i' && s[i + 1] == 'd') { has = 1; break; }
+            if ((s[i] | 32) == 'i' && (s[i + 1] | 32) == 'd') { has = 1; break; }
     if (!has) return 0;
 
     uint8_t blob_stack[4096];

@@ -123,6 +123,9 @@ def _load_shingles(sf_dir: str, k: int = 3) -> dict[int, set]:
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL docs are excluded from the pair space (SQL: the shingle CTE
+        # yields no rows for them)
+        df = df[df["text"].notna()]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -219,6 +222,7 @@ def _shingle_sets(sf_dir: str, k: int) -> "ray.data.Dataset":
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]  # NULL docs: no shingles, no pairs (SQL)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -440,6 +444,8 @@ def simhash_dupes(
     def sig(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for doc_id, text in zip(df["doc_id"], df["text"]):
+            if text is None:  # NULL docs never pair (SQL exclusion)
+                continue
             h = textfns.simhash64(text)
             for band in range(4):
                 out.append(

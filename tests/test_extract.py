@@ -208,3 +208,20 @@ def test_native_scratch_growth_does_not_pin_fallback():
     # if the native kernel is available at all, neither batch fell back
     if stage._batch_native is not None:
         assert stage.extractor.stats.native_fallbacks == before
+
+
+def test_boilerplate_class_id_precheck_case_insensitive():
+    """Attr NAMES are case-insensitive at the parse layer, so CLASS=/Id=
+    must mark boilerplate exactly like their lowercase twins (the old
+    byte precheck silently bypassed the verdict for them)."""
+    from html_parser_ray.extract.boilerplate import extract_text_blocks
+    from html_parser_ray.html.document import parse_html
+
+    for attr in ('class="advert"', 'CLASS="advert"', 'Class="advert"'):
+        html = f'<div {attr}><p>junk nav</p></div><p>real content</p>'
+        got = extract_text_blocks(parse_html(html))
+        assert got == [b"real content"], attr
+    for attr in ('id="footer"', 'ID="footer"', 'Id="footer"'):
+        html = f'<div {attr}><p>foot junk</p></div><p>keep me</p>'
+        got = extract_text_blocks(parse_html(html))
+        assert got == [b"keep me"], attr
