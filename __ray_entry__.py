@@ -293,15 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": hygiene.decontaminate,
         # r5: min/max from row-group statistics; distributed prefix-sum scan
         "doc_pack_assignments": text_analysis.doc_pack_assignments,
-        # ---- tier A: multimodal + relational + dedup/knn core -------------
-        # multimodal (real PNG/WAV/GIF/PDF decodes; golden-pinned)
-        "media_image_features": media_image_features,
-        "media_audio_features": media_audio_features,
-        "media_layout_features": media_layout_features,
-        "media_frame_samples": media_frame_samples,
-        "knn_topk": similarity.knn_topk,
-        # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
-        "curated_corpus": _curated_corpus,
+        # ---- tier A: relational + dedup/knn core ---------------------------
         # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # ---- tier A: new in round 5 (never driver-checked -> window) ------
@@ -329,9 +321,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-sensitive aggregate (string_agg ORDER BY): one exchange,
         # sorted per-partition concat, broadcast dimension
         "nation_supplier_names": relational.nation_supplier_names,
+        # ---- tier A: new in round 5, second batch (never driver-checked) --
+        # passage-level exact dedup (non-overlapping k-word chunk hashing —
+        # the scalable EXACTSUBSTR approximation): map-side chunking, one
+        # chunk-partitioned exchange, distinct-doc counting
+        "doc_chunk_dupes": dedup.doc_chunk_dupes,
+        # decorrelated correlated subquery (x > its group's AVG): one
+        # exchange by the correlation key, exact-integer c*n > sum compare
+        "orders_above_customer_avg": relational.orders_above_customer_avg,
+        # skyline / Pareto front (minimize price, maximize size): block-local
+        # fronts then a front-of-fronts pass — never corpus-quadratic
+        "part_pareto_front": relational.part_pareto_front,
+        # Markov transition counts (bigram over each user's ordered stream):
+        # one exchange by user, |types|^2-bounded partial combine
+        "events_type_transitions": temporal.events_type_transitions,
+        # NTILE equi-depth bucketing window: one exchange by the PARTITION BY
+        # key, closed-form boundary arithmetic per group
+        "events_value_ntile": temporal.events_value_ntile,
+        # gaps-and-islands (consecutive-day streaks): map-side pre-distinct,
+        # one exchange by user, cumsum segment reduction
+        "events_user_active_islands": temporal.events_user_active_islands,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
+        # multimodal (real PNG/WAV/GIF/PDF decodes; golden-pinned) — rotated
+        # out of the window to make room for the round-5 second batch; all
+        # four carry r4 driver rows and golden-pinned pytest parity
+        "media_image_features": media_image_features,
+        "media_audio_features": media_audio_features,
+        "media_layout_features": media_layout_features,
+        "media_frame_samples": media_frame_samples,
+        "knn_topk": similarity.knn_topk,
+        # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
+        "curated_corpus": _curated_corpus,
         "pii_scrub": hygiene.pii_scrub,
         "revenue_by_nation_bucketed": relational.revenue_by_nation_bucketed,
         "exact_dedup": dedup.exact_dedup,
@@ -485,6 +507,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_suppliers "
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "doc_chunk_dupes": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) AS ord "
+            "FROM documents), "
+            "c AS (SELECT doc_id, (ord-1)//8 AS ci, "
+            "string_agg(word, ' ' ORDER BY ord) AS chunk, COUNT(*) AS wl "
+            "FROM w GROUP BY 1, 2) "
+            "SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+            "FROM c WHERE wl = 8 GROUP BY 1 "
+            "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY chunk"
+        ),
+        "orders_above_customer_avg": (
+            "WITH o AS (SELECT o_orderkey, o_custkey, "
+            f"{_CENTS.format(col='o_totalprice')} AS cents FROM orders), "
+            "a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS s FROM o GROUP BY 1) "
+            "SELECT o.o_orderkey, o.o_custkey, o.cents "
+            "FROM o JOIN a USING (o_custkey) "
+            "WHERE o.cents * a.n > a.s ORDER BY o_orderkey"
+        ),
+        "part_pareto_front": (
+            "WITH p AS (SELECT p_partkey, "
+            f"{_CENTS.format(col='p_retailprice')} AS cents, "
+            "CAST(p_size AS BIGINT) AS psize FROM part) "
+            "SELECT p_partkey, cents, psize FROM p a WHERE NOT EXISTS ("
+            "SELECT 1 FROM p b WHERE b.cents <= a.cents "
+            "AND b.psize >= a.psize "
+            "AND (b.cents < a.cents OR b.psize > a.psize)) "
+            "ORDER BY p_partkey"
+        ),
+        "events_type_transitions": (
+            "WITH l AS (SELECT event_type, LAG(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events) "
+            "SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_value_ntile": (
+            "WITH t AS (SELECT event_id, event_type, NTILE(4) OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) AS tile "
+            "FROM events) "
+            "SELECT event_id, event_type, CAST(tile AS BIGINT) AS tile "
+            "FROM t ORDER BY event_id"
+        ),
+        "events_user_active_islands": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events), "
+            "i AS (SELECT user_id, day, day - ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS grp FROM d) "
+            "SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_days "
+            "FROM i GROUP BY user_id, grp ORDER BY user_id, start_day"
         ),
         "supplier_balance_by_nation": (
             "SELECT n_name, COUNT(*) AS n_suppliers, "

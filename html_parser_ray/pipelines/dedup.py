@@ -1032,3 +1032,83 @@ def part_name_fuzzy_pairs(
         ["name_a", "name_b"],
         pa.schema([("name_a", pa.string()), ("name_b", pa.string())]),
     )
+
+
+def doc_chunk_dupes(
+    sf_dir: str, k: int = 8, min_docs: int = 2, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Passage-level exact dedup** (round 5): non-overlapping ``k``-word
+    chunks repeated across documents — the scalable chunk-hash approximation
+    of suffix-array EXACTSUBSTR dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"), the form production LLM pipelines
+    run when the corpus is too large for suffix arrays.
+
+    Map side: one flat object-array pass per batch chunks every doc at fixed
+    ``k``-word strides (trailing partials dropped — only FULL chunks are
+    comparable across docs) and pre-aggregates to (chunk, doc_id, cnt).
+    Unlike ``shingle_dupes``' sliding windows this emits n/k rows, not n —
+    the exchange is k-fold slimmer, which is what makes passage dedup
+    affordable at 100 TB. One hash exchange by chunk, then per-partition
+    distinct-doc counting keeps chunks seen in ``min_docs``+ documents.
+    Boilerplate chunks concentrate on one partition but reduce to one output
+    row each — skew is count-sized.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "chunk": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        words_lists = [t.split(" ") for t in df["text"].to_numpy()]
+        lens = np.fromiter(
+            (len(ws) for ws in words_lists), dtype=np.int64, count=len(words_lists)
+        )
+        n = int(lens.sum())
+        if n < k:
+            return empty
+        flat = np.array([w for ws in words_lists for w in ws], dtype=object)
+        docs = np.repeat(df["doc_id"].to_numpy(), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(n, dtype=np.int64) - starts  # position within doc
+        doclen = np.repeat(lens, lens)
+        # chunk anchors: stride-k positions with a FULL chunk left in the doc
+        idx = np.nonzero((pos % k == 0) & (pos + k <= doclen))[0]
+        if len(idx) == 0:
+            return empty
+        sh = flat[idx]
+        for j in range(1, k):
+            sh = sh + (" " + flat[idx + j])  # elementwise object-str concat
+        out = pd.DataFrame({"chunk": sh, "doc_id": docs[idx].astype("int64")})
+        return (
+            out.groupby(["chunk", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("chunk", as_index=False).agg(
+            n_docs=("doc_id", "nunique"), n_occurrences=("cnt", "sum")
+        )
+        agg = agg[agg["n_docs"] >= min_docs]
+        return agg.astype({"n_docs": "int64", "n_occurrences": "int64"})
+
+    out_schema = pa.schema(
+        [
+            ("chunk", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_occurrences", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(parts, ["chunk"], per_partition, num_partitions),
+        ["chunk"],
+        out_schema,
+    )

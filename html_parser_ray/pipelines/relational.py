@@ -1802,3 +1802,131 @@ def nation_supplier_names(
         ["n_name"],
         out_schema,
     )
+
+
+def orders_above_customer_avg(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Decorrelated correlated subquery** (round 5): orders whose total
+    price strictly exceeds their own customer's average order price — the
+    canonical ``WHERE x > (SELECT AVG(..) .. WHERE correlated)`` shape,
+    decorrelated into an aggregate + self-join as modern planners do.
+
+    Scale shape — ONE exchange, ZERO joins: hash-partition orders by
+    ``o_custkey``; every customer's orders co-locate, so the per-customer
+    aggregate AND the filter both happen inside one vectorized pass
+    (``groupby(...).transform`` for count/sum, then an exact integer
+    comparison ``cents * n > sum_cents`` — no float average round-trip).
+    The exchange carries only (orderkey, custkey, cents) slim rows; skew
+    bound = orders of the single largest customer.
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "cents": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("o_custkey")["cents"]
+        n = grp.transform("count").to_numpy().astype("int64")
+        s = grp.transform("sum").to_numpy().astype("int64")
+        c = g["cents"].to_numpy()
+        # c*n fits int64 comfortably (cents < 6e7, n < 1e5 per customer)
+        return g[c * n > s]
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("cents", pa.int64())]
+    )
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    return sort_output(
+        hash_partitioned(
+            ds.map_batches(slim, batch_format="pandas"),
+            ["o_custkey"],
+            per_partition,
+            num_partitions,
+        ),
+        ["o_orderkey"],
+        out_schema,
+    )
+
+
+def _pareto_front_block(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline of one block: rows not strictly dominated on
+    (minimize cents, maximize psize). Dominance keeps ties: two identical
+    points never eliminate each other. One sort + two vectorized maxes."""
+    if len(g) == 0:
+        return g
+    g = g.sort_values(["cents", "psize"], ascending=[True, False]).reset_index(
+        drop=True
+    )
+    cents = g["cents"].to_numpy()
+    size = g["psize"].to_numpy()
+    # per-equal-cents-group max size, then running max over STRICTLY
+    # cheaper groups: dominated iff size < own-group max (same price,
+    # bigger size exists) or size <= best strictly-cheaper size
+    new_grp = np.ones(len(g), dtype=bool)
+    new_grp[1:] = cents[1:] != cents[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    starts = np.nonzero(new_grp)[0]
+    # sorted desc within group -> each group's max size is its first element
+    grp_firsts = size[starts]
+    grp_max = grp_firsts[grp_id]
+    prev_best = np.empty(len(starts), dtype="int64")
+    prev_best[0] = np.iinfo("int64").min
+    if len(starts) > 1:
+        np.maximum.accumulate(grp_firsts[:-1], out=prev_best[1:])
+    prev_strict = prev_best[grp_id]
+    keep = (size >= grp_max) & (size > prev_strict)
+    return g[keep]
+
+
+def part_pareto_front(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
+    """**Skyline (Pareto front) operator** (round 5): parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria shortlist
+    query relational engines express as an anti-``NOT EXISTS`` self-join
+    (quadratic if executed naively).
+
+    Scale shape — block-local skyline then a front-of-fronts pass, ZERO
+    all-to-all shuffles: each block reduces to its local Pareto front
+    (strict domination is transitive, so any point eliminated locally is
+    also dominated by some SURVIVOR of its block — the union of local
+    fronts provably contains the global front); the union (expected
+    O(log n) per block on non-adversarial data) repartitions to one block
+    for the exact final pass. Never corpus-quadratic, never driver-side.
+    """
+    ds = read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].astype("int64"),
+                "cents": _cents(df["p_retailprice"].to_numpy()),
+                "psize": df["p_size"].astype("int64"),
+            }
+        )
+
+    local = ds.map_batches(slim, batch_format="pandas").map_batches(
+        _pareto_front_block, batch_format="pandas"
+    )
+    # front-of-fronts: tiny by construction; repartition(1) rebuilds clean
+    # blocks (and at true scale this pass is still one small task)
+    final = local.repartition(1).map_batches(
+        _pareto_front_block, batch_format="pandas"
+    )
+    out_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("cents", pa.int64()), ("psize", pa.int64())]
+    )
+    from html_parser_ray.pipelines.shuffle import sort_output
+
+    return sort_output(final, ["p_partkey"], out_schema)

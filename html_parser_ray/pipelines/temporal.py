@@ -504,3 +504,188 @@ def events_cohort_retention(
         .sort_values(["cohort_day", "week_offset"])
         .reset_index(drop=True)
     )
+
+
+def events_type_transitions(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Markov transition counts** over each user's event stream: global
+    counts of consecutive (prev_type -> type) pairs, ordering each user's
+    events by (ts, event_id) — the bigram statistic under session-behavior
+    models and anomaly scoring.
+
+    Scale shape — ONE exchange plus a cardinality-bounded combine:
+    hash-partition by ``user_id`` (every user's chain co-locates), one
+    vectorized pass per partition (sort, shift-by-one with a same-user
+    mask — the same primitive as ``events_user_lag``), then per-partition
+    PARTIAL counts. Partials are bounded by ``|types|^2`` per partition
+    (25 here), so the final combine touches partitions x 25 rows no matter
+    how many events exist — at 100 TB the driver pull stays a few KB.
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        users = g["user_id"].to_numpy().astype("int64")
+        types = g["event_type"].to_numpy()
+        has_prev = np.zeros(len(users), dtype=bool)
+        if len(users) > 1:
+            has_prev[1:] = users[1:] == users[:-1]
+        idx = np.nonzero(has_prev)[0]
+        pairs = pd.DataFrame(
+            {"prev_type": types[idx - 1], "event_type": types[idx]}
+        )
+        out = (
+            pairs.groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"n": "int64"})
+
+    parts = hash_partitioned(ds, ["user_id"], per_partition, num_partitions)
+    # |types|^2-bounded combine (NOT corpus-sized): sum partials driver-side
+    df = parts.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype="object"),
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    return (
+        df.groupby(["prev_type", "event_type"], as_index=False)["n"]
+        .sum()
+        .astype({"n": "int64"})
+        .sort_values(["prev_type", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+def events_value_ntile(
+    sf_dir: str, tiles: int = 4, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**NTILE window function** (``NTILE(4) OVER (PARTITION BY event_type
+    ORDER BY value, event_id)``): equi-depth bucket assignment per group —
+    the primitive under quantile bucketing and stratified train/eval splits.
+
+    Scale shape: one exchange by the PARTITION BY key; each partition holds
+    whole groups, so the tile assignment is a single argsort + closed-form
+    boundary arithmetic per group (SQL's NTILE: the first ``n % tiles``
+    buckets get ``ceil(n/tiles)`` rows) — no per-row Python. Ties on value
+    break by event_id, making assignments bit-deterministic. Skew bound =
+    largest single group, the same bound SQL engines accept for windows.
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_id = np.empty(len(g), dtype="int64")
+        out_t: list[str] = []
+        out_tile = np.empty(len(g), dtype="int64")
+        pos = 0
+        for t, sub in g.groupby("event_type", sort=False):
+            order = np.lexsort(
+                (sub["event_id"].to_numpy(), sub["value"].to_numpy())
+            )
+            ids = sub["event_id"].to_numpy()[order]
+            n = len(ids)
+            q, r = divmod(n, tiles)
+            # ranks 0..n-1 -> tile: first r buckets hold q+1 rows
+            ranks = np.arange(n, dtype="int64")
+            cut = (q + 1) * r
+            tile = np.where(
+                ranks < cut,
+                ranks // (q + 1) if q + 1 > 0 else 0,
+                r + (ranks - cut) // q if q > 0 else r,
+            ) + 1
+            out_id[pos : pos + n] = ids
+            out_t.extend([t] * n)
+            out_tile[pos : pos + n] = tile
+            pos += n
+        return pd.DataFrame(
+            {
+                "event_id": out_id[:pos],
+                "event_type": pd.Series(out_t, dtype="object"),
+                "tile": out_tile[:pos],
+            }
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()), ("tile", pa.int64())]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["event_type"], per_partition, num_partitions),
+        ["event_id"],
+        out_schema,
+    )
+
+
+def events_user_active_islands(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Gaps-and-islands**: each user's runs of consecutive active days
+    (UTC epoch days), with run start/end/length — the classic
+    streak/contiguity operator (SQL: ``day - ROW_NUMBER()`` grouping).
+
+    Scale shape — ONE exchange: hash-partition by ``user_id``; each
+    partition dedups its users' (user, day) pairs locally (map-side
+    pre-distinct keeps the exchange slim: bounded by users x active-days,
+    not events), then one vectorized pass finds run breaks with a
+    diff!=1-or-new-user mask and aggregates runs by cumsum segment ids.
+    All integers end to end (epoch days), bit-exact vs the SQL oracle.
+    """
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        days = _ts_us(df["ts"]) // (86_400 * _US_PER_S)
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "day": days}
+        ).drop_duplicates()
+
+    slim = ds.map_batches(to_days, batch_format="pandas")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["user_id", "day"])
+        users = g["user_id"].to_numpy()
+        days = g["day"].to_numpy()
+        if len(days) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "start_day": pd.Series(dtype="int64"),
+                    "end_day": pd.Series(dtype="int64"),
+                    "n_days": pd.Series(dtype="int64"),
+                }
+            )
+        new_run = np.ones(len(days), dtype=bool)
+        new_run[1:] = (users[1:] != users[:-1]) | (days[1:] != days[:-1] + 1)
+        seg = np.cumsum(new_run) - 1
+        starts = np.nonzero(new_run)[0]
+        ends = np.r_[starts[1:] - 1, len(days) - 1]
+        return pd.DataFrame(
+            {
+                "user_id": users[starts],
+                "start_day": days[starts],
+                "end_day": days[ends],
+                "n_days": (ends - starts + 1).astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("start_day", pa.int64()),
+            ("end_day", pa.int64()),
+            ("n_days", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(slim, ["user_id"], per_partition, num_partitions),
+        ["user_id", "start_day"],
+        out_schema,
+    )
