@@ -278,8 +278,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_li_count": lambda sf: text_analysis.html_li_count(sf),
         "extract_corpus": extract_corpus,
         "extract_corpus_split": extract_corpus_split,
-        "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
-        "html_roundtrip_extract_jsonl": text_analysis.html_roundtrip_extract_jsonl,
         "html_link_extract": text_analysis.html_link_extract,
         # ---- tier A: implementation changed in round 5 --------------------
         # streaming-window tier: watermark-driven shard actors, ingested by
@@ -294,8 +292,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5: min/max from row-group statistics; distributed prefix-sum scan
         "doc_pack_assignments": text_analysis.doc_pack_assignments,
         # ---- tier A: relational + dedup/knn core ---------------------------
-        # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # ---- tier A: new in round 5 (never driver-checked -> window) ------
         # Bloom-filter semi-join: OR-mergeable 16 KiB bitmap partials,
         # broadcast pre-filter, exact co-partitioned verify on survivors
@@ -341,6 +337,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gaps-and-islands (consecutive-day streaks): map-side pre-distinct,
         # one exchange by user, cumsum segment reduction
         "events_user_active_islands": temporal.events_user_active_islands,
+        # ---- tier A: new in round 5, third batch (never driver-checked) ---
+        # range (band) join: attribution-window click counts per purchase —
+        # one exchange by user, two sort-merge rank sweeps per partition
+        "events_click_attribution": temporal.events_click_attribution,
+        # co-occurrence pair counts per (user, day) context: map-side
+        # pre-distinct, one exchange, |types|^2-bounded partials
+        "events_type_cooccurrence": temporal.events_type_cooccurrence,
+        # deterministic weighted sampling (integer Efraimidis–Spirakis):
+        # map-side min-k partials, blocks x k bounded combine
+        "doc_weighted_sample": text_analysis.doc_weighted_sample,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
@@ -352,6 +358,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_layout_features": media_layout_features,
         "media_frame_samples": media_frame_samples,
         "knn_topk": similarity.knn_topk,
+        # source-format roundtrips (r4 driver rows; the shared extraction
+        # path keeps its fresh row via html_roundtrip_extract in tier A)
+        "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
+        "html_roundtrip_extract_jsonl": text_analysis.html_roundtrip_extract_jsonl,
+        # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
         "curated_corpus": _curated_corpus,
         "pii_scrub": hygiene.pii_scrub,
@@ -562,6 +574,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day, "
             "CAST(COUNT(*) AS BIGINT) AS n_days "
             "FROM i GROUP BY user_id, grp ORDER BY user_id, start_day"
+        ),
+        "events_click_attribution": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks "
+            "FROM p LEFT JOIN c ON c.user_id = p.user_id "
+            "AND c.ts >= p.ts - INTERVAL 1 DAY AND c.ts < p.ts "
+            "GROUP BY p.event_id ORDER BY p.event_id"
+        ),
+        "events_type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, event_type "
+            "FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM d a JOIN d b ON a.user_id = b.user_id AND a.day = b.day "
+            "AND a.event_type < b.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "doc_weighted_sample": (
+            "WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT) // GREATEST(CAST(n_chars AS BIGINT), 1) AS pkey "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n_chars FROM k ORDER BY pkey, doc_id "
+            "LIMIT 100) "
+            "SELECT doc_id, n_chars FROM s ORDER BY doc_id"
         ),
         "supplier_balance_by_nation": (
             "SELECT n_name, COUNT(*) AS n_suppliers, "

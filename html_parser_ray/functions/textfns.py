@@ -205,3 +205,20 @@ def doc_sample_bucket(doc_id: "int | str") -> int:
     """
 
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+
+def doc_priority_key(doc_id: "int | str", weight: int) -> int:
+    """Deterministic weighted-sampling priority: the first 15 hex digits of
+    ``md5(str(doc_id))`` (60 bits, always a positive int64) integer-divided
+    by the weight — the exact-integer analog of Efraimidis–Spirakis
+    u^(1/w) priority sampling: a doc with twice the weight halves its key
+    and doubles its selection odds, and because the arithmetic is pure
+    int64 the Ray side and the SQL oracle agree bit-for-bit (no float pow
+    or log round-trip). Oracle form:
+    ``CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+    // GREATEST(w, 1)``.
+    """
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) // max(
+        int(weight), 1
+    )

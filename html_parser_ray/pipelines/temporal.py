@@ -689,3 +689,165 @@ def events_user_active_islands(
         ["user_id", "start_day"],
         out_schema,
     )
+
+
+def events_click_attribution(
+    sf_dir: str, window_s: int = 86_400, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Range (band) join** (round 5): for every ``purchase`` event, the
+    number of ``click`` events by the same user in the preceding
+    ``window_s`` seconds (``c.ts >= p.ts - W AND c.ts < p.ts``) — the
+    attribution-window join, the canonical inequality join neither Ray Data
+    nor most engines ship natively.
+
+    Scale shape — ONE exchange, fully vectorized, never quadratic: both
+    sides hash-partition by ``user_id`` (shipped together as tagged slim
+    rows), then each partition runs TWO sort-merge rank sweeps instead of a
+    nested-loop probe: with clicks and probe points lexsorted by
+    (user, ts, probe-before-click), a cumsum of the click indicator gives
+    F_u(t) = #clicks of user u strictly before t, and the window count is
+    exactly F_u(p.ts) - F_u(p.ts - W). Cost is O(n log n) per partition in
+    numpy kernels — no per-user Python loop, no composite-key overflow.
+    Skew bound = events of the single largest user, the same bound the
+    as-of join and sessionize accept.
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(("purchase", "click"))
+        d = df.loc[keep]
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].astype("int64"),
+                "user_id": d["user_id"].astype("int64"),
+                "ts_us": _ts_us(d["ts"]),
+                "is_purchase": (d["event_type"] == "purchase").to_numpy(),
+            }
+        )
+
+    window_us = window_s * _US_PER_S
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "n_clicks": pd.Series(dtype="int64"),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        p = g[g["is_purchase"]]
+        if len(p) == 0:
+            return empty
+        c = g[~g["is_purchase"]]
+        pid = p["event_id"].to_numpy()
+        pu = p["user_id"].to_numpy()
+        pt = p["ts_us"].to_numpy()
+        cu = np.sort(c["user_id"].to_numpy())
+        ct = c["ts_us"].to_numpy()
+        # clicks of users ordered before each purchase's user (to localize
+        # the global cumsum to the user's own block)
+        before_user = np.searchsorted(cu, pu, side="left")
+
+        def rank_sweep(probe_ts: np.ndarray) -> np.ndarray:
+            """F_u(t) per probe: clicks of the probe's user strictly before
+            t. One lexsort of clicks+probes, one cumsum, no loops."""
+            users = np.concatenate([c["user_id"].to_numpy(), pu])
+            times = np.concatenate([ct, probe_ts])
+            # kind 0 = probe, 1 = click: at equal ts the probe sorts FIRST,
+            # so an equal-ts click is NOT counted (strict '<' bound)
+            kind = np.concatenate(
+                [np.ones(len(ct), dtype=np.int8), np.zeros(len(pu), dtype=np.int8)]
+            )
+            order = np.lexsort((kind, times, users))
+            is_click = kind[order] == 1
+            cum = np.cumsum(is_click)  # clicks at-or-before each position
+            pos_of = np.empty(len(order), dtype=np.int64)
+            pos_of[order] = np.arange(len(order))
+            probe_pos = pos_of[len(ct):]
+            # clicks strictly before the probe position, any user
+            f_global = np.where(probe_pos > 0, cum[probe_pos - 1], 0)
+            return f_global - before_user
+
+        n = rank_sweep(pt) - rank_sweep(pt - window_us)
+        return pd.DataFrame({"event_id": pid, "n_clicks": n.astype("int64")})
+
+    out_schema = pa.schema([("event_id", pa.int64()), ("n_clicks", pa.int64())])
+    return sort_output(
+        hash_partitioned(
+            ds.map_batches(slim, batch_format="pandas"),
+            ["user_id"],
+            per_partition,
+            num_partitions,
+        ),
+        ["event_id"],
+        out_schema,
+    )
+
+
+def events_type_cooccurrence(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Co-occurrence pair counts** (round 5): for every unordered pair of
+    event types, the number of (user, day) contexts where BOTH occurred —
+    the context-window co-occurrence statistic under association mining and
+    embedding pre-training (PMI matrices).
+
+    Scale shape — map-side pre-distinct then ONE exchange: each batch
+    reduces to distinct (user, day, type) triples (bounded by
+    users x days x |types|, far under event count), one hash exchange by
+    ``user_id`` co-locates every context, and the per-partition pair
+    expansion is a vectorized self-merge whose output is capped at
+    C(|types|, 2) rows per context. Partials are |types|^2-bounded, so the
+    driver combine stays a few KB at any corpus size (same contract as
+    ``events_type_transitions``).
+    """
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def to_triples(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": _ts_us(df["ts"]) // (86_400 * _US_PER_S),
+                "event_type": df["event_type"].astype("object"),
+            }
+        ).drop_duplicates()
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # batches may repeat triples across blocks
+        m = g.merge(g, on=["user_id", "day"], suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = (
+            m.groupby(["event_type_a", "event_type_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"event_type_a": "type_a", "event_type_b": "type_b"})
+        )
+        return out.astype({"n": "int64"})
+
+    parts = hash_partitioned(
+        ds.map_batches(to_triples, batch_format="pandas"),
+        ["user_id"],
+        per_partition,
+        num_partitions,
+    )
+    # |types|^2-bounded combine (NOT corpus-sized): sum partials driver-side
+    df = parts.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "type_a": pd.Series(dtype="object"),
+                "type_b": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    return (
+        df.groupby(["type_a", "type_b"], as_index=False)["n"]
+        .sum()
+        .astype({"n": "int64"})
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )

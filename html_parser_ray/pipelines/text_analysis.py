@@ -882,3 +882,49 @@ def doc_pack_assignments(
     )
     out = hash_partitioned(slim_ds, ["range_id"], assign, num_ranges, out_schema=out_schema)
     return sort_output(out, ["doc_id"], out_schema)
+
+
+def doc_weighted_sample(
+    sf_dir: str, k: int = 100
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Deterministic weighted sampling** (round 5): the ``k`` documents
+    with the smallest ``md5(doc_id) // n_chars`` priority key — weighted
+    sampling without replacement where selection odds scale with document
+    length (the up-weight-long-documents curation primitive), made
+    reproducible by replacing the classic Efraimidis–Spirakis ``u^(1/w)``
+    float key with an exact-integer division of a 60-bit id hash
+    (``textfns.doc_priority_key``). No RNG state: any worker anywhere
+    computes the same key, the same doc keeps its fate across re-shards,
+    and the SQL oracle reproduces the arithmetic bit-for-bit.
+
+    Scale shape — distributed top-k, NO sort barrier, NO corpus-sized
+    pull: each batch reduces to its local k smallest keys (map-side
+    partial), so the driver combine is bounded by blocks x k rows — the
+    same block-count-bounded min-k contract as ``similarity.py``'s query
+    selection. Reads only (doc_id, n_chars): the text column never leaves
+    storage.
+    """
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+            }
+        )
+        out["pkey"] = [
+            textfns.doc_priority_key(i, w)
+            for i, w in zip(out["doc_id"], out["n_chars"])
+        ]
+        return out.nsmallest(k, ["pkey", "doc_id"]).astype({"pkey": "int64"})
+
+    # blocks x k rows — bounded driver combine, never corpus-sized
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    top = cand.nsmallest(k, ["pkey", "doc_id"])
+    return (
+        top[["doc_id", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
