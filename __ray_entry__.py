@@ -277,8 +277,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
         "html_li_count": lambda sf: text_analysis.html_li_count(sf),
         "extract_corpus": extract_corpus,
-        "extract_corpus_split": extract_corpus_split,
-        "html_link_extract": text_analysis.html_link_extract,
         # ---- tier A: implementation changed in round 5 --------------------
         # streaming-window tier: watermark-driven shard actors, ingested by
         # CONCURRENT partition feeders with per-feeder watermarks + MIN
@@ -288,7 +286,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
         "streaming_dedup_keep_first": _streaming_dedup_keep_first,
         # r5: public-API parquet pushdown (+ post-scan fallback predicate)
-        "decontaminate": hygiene.decontaminate,
         # r5: min/max from row-group statistics; distributed prefix-sum scan
         "doc_pack_assignments": text_analysis.doc_pack_assignments,
         # ---- tier A: relational + dedup/knn core ---------------------------
@@ -347,6 +344,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic weighted sampling (integer Efraimidis–Spirakis):
         # map-side min-k partials, blocks x k bounded combine
         "doc_weighted_sample": text_analysis.doc_weighted_sample,
+        # ---- tier A: new in round 5, fourth batch (never driver-checked) --
+        # FULL OUTER join: map-side combiners, one exchange, pivot fill —
+        # completes the join family (inner/left/semi/anti/as-of/band)
+        "events_user_day_activity": relational.events_user_day_activity,
+        # robust stats: median + MAD per group (doubly holistic — the
+        # group-as-partition-key co-location shape, exact .0/.5 doubles)
+        "supplier_balance_mad_by_nation": relational.supplier_balance_mad_by_nation,
+        # CSV source family (fourth beside parquet/WARC/JSONL): RFC-4180
+        # QUOTE_ALL shards -> ray.data.read_csv -> full extraction stack
+        "html_roundtrip_extract_csv": text_analysis.html_roundtrip_extract_csv,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
@@ -362,6 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path keeps its fresh row via html_roundtrip_extract in tier A)
         "html_roundtrip_extract_warc": text_analysis.html_roundtrip_extract_warc,
         "html_roundtrip_extract_jsonl": text_analysis.html_roundtrip_extract_jsonl,
+        "extract_corpus_split": extract_corpus_split,
+        "html_link_extract": text_analysis.html_link_extract,
+        # r5: public-API parquet pushdown (+ post-scan fallback predicate) —
+        # the pushdown change carries its own pruning pytest
+        "decontaminate": hygiene.decontaminate,
         # TPC-H Q5 star join (fact-fact co-partition + dimension broadcast)
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # composed corpus curation (dedup keepers ∩ quality ∩ sample, 1 exchange)
@@ -602,6 +614,36 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT doc_id, n_chars FROM k ORDER BY pkey, doc_id "
             "LIMIT 100) "
             "SELECT doc_id, n_chars FROM s ORDER BY doc_id"
+        ),
+        "events_user_day_activity": (
+            "WITH p AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2), "
+            "c AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_clicks FROM events "
+            "WHERE event_type = 'click' GROUP BY 1, 2) "
+            "SELECT COALESCE(p.user_id, c.user_id) AS user_id, "
+            "COALESCE(p.day, c.day) AS day, "
+            "COALESCE(p.n_purchases, 0) AS n_purchases, "
+            "COALESCE(c.n_clicks, 0) AS n_clicks "
+            "FROM p FULL JOIN c ON p.user_id = c.user_id AND p.day = c.day "
+            "ORDER BY user_id, day"
+        ),
+        "supplier_balance_mad_by_nation": (
+            "WITH s AS (SELECT n_name, "
+            "CAST(round(s_acctbal*100) AS BIGINT) AS cents "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey), "
+            "m AS (SELECT n_name, median(cents) AS med FROM s GROUP BY 1) "
+            "SELECT s.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "m.med AS median_cents, "
+            "median(abs(s.cents - m.med)) AS mad_cents "
+            "FROM s JOIN m USING (n_name) GROUP BY s.n_name, m.med "
+            "ORDER BY s.n_name"
+        ),
+        "html_roundtrip_extract_csv": (
+            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
         ),
         "supplier_balance_by_nation": (
             "SELECT n_name, COUNT(*) AS n_suppliers, "

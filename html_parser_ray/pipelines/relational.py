@@ -1930,3 +1930,153 @@ def part_pareto_front(sf_dir: str) -> "ray.data.Dataset | pd.DataFrame":
     from html_parser_ray.pipelines.shuffle import sort_output
 
     return sort_output(final, ["p_partkey"], out_schema)
+
+
+def events_user_day_activity(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**FULL OUTER join** (round 5): per-(user, day) purchase counts
+    full-outer-joined with per-(user, day) click counts — every context
+    that has EITHER side keeps a row, missing sides coalesce to 0. This
+    completes the join family (inner, left-outer in
+    ``orders_late_ship_counts``, semi via Bloom, anti in
+    ``customers_inactive_by_nation``, as-of, band).
+
+    Scale shape — map-side combiners then ONE exchange: each batch
+    pre-counts (user, day, side) so only slim partial-count rows move,
+    one hash exchange by ``user_id`` co-locates every context's both
+    sides, and the per-partition pivot (side -> column, fillna 0) realizes
+    outer semantics exactly because co-partitioning guarantees a key's
+    rows from BOTH sides land together. Output is contexts-sized.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(("purchase", "click"))
+        d = df.loc[keep]
+        out = pd.DataFrame(
+            {
+                "user_id": d["user_id"].astype("int64"),
+                "day": d["ts"].to_numpy().astype("datetime64[us]").view("int64")
+                // 86_400_000_000,
+                "is_purchase": (d["event_type"] == "purchase").to_numpy(),
+            }
+        )
+        return (
+            out.groupby(["user_id", "day", "is_purchase"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+            .astype({"cnt": "int64"})
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # schema-stable empty partial (shuffle.py contract)
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "day": pd.Series(dtype="int64"),
+                    "n_purchases": pd.Series(dtype="int64"),
+                    "n_clicks": pd.Series(dtype="int64"),
+                }
+            )
+        agg = g.groupby(["user_id", "day", "is_purchase"], as_index=False)[
+            "cnt"
+        ].sum()
+        wide = agg.pivot_table(
+            index=["user_id", "day"],
+            columns="is_purchase",
+            values="cnt",
+            fill_value=0,
+            aggfunc="sum",
+        ).reset_index()
+        # a partition may see only one side globally — make both columns total
+        for side in (False, True):
+            if side not in wide.columns:
+                wide[side] = 0
+        return pd.DataFrame(
+            {
+                "user_id": wide["user_id"].astype("int64"),
+                "day": wide["day"].astype("int64"),
+                "n_purchases": wide[True].astype("int64"),
+                "n_clicks": wide[False].astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("day", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("n_clicks", pa.int64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id"],
+            per_partition,
+            num_partitions,
+        ),
+        ["user_id", "day"],
+        out_schema,
+    )
+
+
+def supplier_balance_mad_by_nation(
+    sf_dir: str, num_partitions: int = 16
+) -> pd.DataFrame:
+    """**Robust statistics: median + MAD per group** (round 5) — the
+    outlier-resistant spread measure (median absolute deviation from the
+    median) quality pipelines prefer over stddev on heavy-tailed data.
+    MAD is doubly holistic (a median OF deviations from a median), so no
+    mergeable partial exists — the correct distributed shape is the same
+    group-as-partition-key co-location ``supplier_balance_quantiles_by_nation``
+    uses: hash-partition by nationkey (one exchange), then per partition a
+    vectorized segment pass computes both medians per nation. Integer
+    cents keep every median an exact ``x.0``/``x.5`` double, so the DuckDB
+    compare is bit-exact with no float-sum drift.
+    """
+    from html_parser_ray.pipelines.shuffle import hash_partitioned
+
+    supplier = read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        cents = _cents(g["s_acctbal"].to_numpy())
+        nk = g["s_nationkey"].to_numpy()
+        order = np.lexsort((cents, nk))
+        nk, cents = nk[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
+        ends = np.r_[starts[1:], len(nk)]
+        for s, e in zip(starts, ends):
+            vals = cents[s:e].astype("float64")
+            med = float(np.median(vals))  # sorted already; exact .0/.5
+            mad = float(np.median(np.abs(vals - med)))
+            rows.append((int(nk[s]), int(e - s), med, mad))
+        return pd.DataFrame(
+            rows, columns=["nationkey", "n_suppliers", "median_cents", "mad_cents"]
+        ).astype(
+            {
+                "nationkey": "int64",
+                "n_suppliers": "int64",
+                "median_cents": "float64",
+                "mad_cents": "float64",
+            }
+        )
+
+    parts = hash_partitioned(
+        supplier, ["s_nationkey"], per_partition, num_partitions
+    ).to_pandas()
+    nmap = _nation_name_map(sf_dir)
+    parts["n_name"] = parts["nationkey"].map(nmap)
+    return (
+        parts[["n_name", "n_suppliers", "median_cents", "mad_cents"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )

@@ -928,3 +928,66 @@ def doc_weighted_sample(
         .reset_index(drop=True)
         .astype({"doc_id": "int64", "n_chars": "int64"})
     )
+
+
+def html_roundtrip_extract_csv(sf_dir: str) -> "ray.data.Dataset":
+    """The roundtrip-extract semantics through the **CSV ingestion path**
+    (the fourth source family beside parquet, WARC and JSONL): documents
+    are serialized to RFC-4180 CSV shards (written once per sf_dir under
+    /tmp, deterministic bytes, QUOTE_ALL so embedded commas/quotes in
+    markup survive), read back with ``ray.data.read_csv`` (Arrow CSV
+    reader, file-per-task), and each payload runs the full tokenizer +
+    DOM + boilerplate strip. The SQL oracle is the original text — the
+    writer's quoting, the Arrow reader's unquoting AND the extraction
+    stack must all roundtrip exactly.
+    """
+    import csv as _csv
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    src = f"{sf_dir}/documents.parquet"
+    key = _corpus_cache_key(src)
+    shard_dir = f"/tmp/graft_csv_{key}"
+    marker = os.path.join(shard_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        tbl = _pq.read_table(src, columns=["doc_id", "text"])  # cache miss only
+        ids = tbl.column("doc_id").to_pylist()
+        texts = tbl.column("text").to_pylist()
+        per_shard = 200  # multiple files -> file-per-task read parallelism
+        for s0 in range(0, len(ids), per_shard):
+            # pid-unique tmp then os.replace of byte-identical finals —
+            # concurrent cold-cache writers are benign (same as JSONL)
+            tmp = os.path.join(
+                shard_dir, f"part-{s0 // per_shard:05d}.csv.{os.getpid()}.part"
+            )
+            with open(tmp, "w", encoding="utf-8", newline="") as f:
+                w = _csv.writer(f, quoting=_csv.QUOTE_ALL, lineterminator="\n")
+                w.writerow(["doc_id", "html"])
+                for d, t in zip(ids[s0 : s0 + per_shard], texts[s0 : s0 + per_shard]):
+                    w.writerow([int(d), _PAGE_TEMPLATE.format(text=t)])
+            os.replace(tmp, tmp[: -len(f".{os.getpid()}.part")])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = ray.data.read_csv(sorted(_glob.glob(os.path.join(shard_dir, "*.csv"))))
+
+    def extract_from_csv(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pages = batch.column("html").to_pylist()
+        texts = [_extract_main_text(p.encode("utf-8")) for p in pages]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "main_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    out = ds.map_batches(extract_from_csv, batch_format="pyarrow")
+    return sort_output(
+        out,
+        ["doc_id"],
+        pa.schema([("doc_id", pa.int64()), ("main_text", pa.string())]),
+    )

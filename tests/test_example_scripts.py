@@ -11,6 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 from examples import (
     curation_pipeline,
+    joins_and_sampling,
     profiling_and_skew,
     streaming_and_packing,
     warc_ingest,
@@ -35,6 +36,7 @@ SCRIPTS = [
     streaming_and_packing,
     profiling_and_skew,
     windows_and_setops,
+    joins_and_sampling,
 ]
 
 
