@@ -285,10 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_hopping_counts": _streaming_hopping_counts,
         # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
         "streaming_dedup_keep_first": _streaming_dedup_keep_first,
-        # r5: public-API parquet pushdown (+ post-scan fallback predicate)
         # r5: min/max from row-group statistics; distributed prefix-sum scan
         "doc_pack_assignments": text_analysis.doc_pack_assignments,
-        # ---- tier A: relational + dedup/knn core ---------------------------
         # ---- tier A: new in round 5 (never driver-checked -> window) ------
         # Bloom-filter semi-join: OR-mergeable 16 KiB bitmap partials,
         # broadcast pre-filter, exact co-partitioned verify on survivors

@@ -858,10 +858,12 @@ def dedup_clusters_lsh(
     return label_propagation_clusters(pairs, docs)
 
 
-def _flatten_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _flatten_words(df: pd.DataFrame, with_lens: bool = False):
     """Explode space-split words into one flat object array + parallel doc-id
     array. ``str.split(" ")`` with the explicit separator (empty text -> one
     empty word) so the SQL oracle's ``string_split(text, ' ')`` is bit-equal.
+    With ``with_lens`` also returns the per-document word counts (for callers
+    that need within-doc positions, e.g. ``doc_chunk_dupes``).
     """
     words_lists = [t.split(" ") for t in df["text"].to_numpy()]
     lens = np.fromiter(
@@ -871,6 +873,8 @@ def _flatten_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         [w for ws in words_lists for w in ws], dtype=object
     )
     docs = np.repeat(df["doc_id"].to_numpy(), lens)
+    if with_lens:
+        return flat, docs, lens
     return flat, docs
 
 
@@ -1065,15 +1069,10 @@ def doc_chunk_dupes(
         )
         if len(df) == 0:
             return empty
-        words_lists = [t.split(" ") for t in df["text"].to_numpy()]
-        lens = np.fromiter(
-            (len(ws) for ws in words_lists), dtype=np.int64, count=len(words_lists)
-        )
-        n = int(lens.sum())
+        flat, docs, lens = _flatten_words(df, with_lens=True)
+        n = len(flat)
         if n < k:
             return empty
-        flat = np.array([w for ws in words_lists for w in ws], dtype=object)
-        docs = np.repeat(df["doc_id"].to_numpy(), lens)
         starts = np.repeat(np.cumsum(lens) - lens, lens)
         pos = np.arange(n, dtype=np.int64) - starts  # position within doc
         doclen = np.repeat(lens, lens)

@@ -737,6 +737,23 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _balance_segments(g: pd.DataFrame):
+    """Yield ``(nationkey, sorted_cents)`` per nation from one vectorized
+    lexsort + segment pass — the shared scaffolding of the per-group
+    holistic statistics (grouped quantiles, median+MAD). Empty partitions
+    yield nothing (the shuffle.py empty-block contract)."""
+    if len(g) == 0:
+        return
+    cents = _cents(g["s_acctbal"].to_numpy())
+    nk = g["s_nationkey"].to_numpy()
+    order = np.lexsort((cents, nk))
+    nk, cents = nk[order], cents[order]
+    starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
+    ends = np.r_[starts[1:], len(nk)]
+    for s, e in zip(starts, ends):
+        yield int(nk[s]), cents[s:e]
+
+
 def supplier_balance_quantiles_by_nation(
     sf_dir: str, num_partitions: int = 16
 ) -> pd.DataFrame:
@@ -759,19 +776,12 @@ def supplier_balance_quantiles_by_nation(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        cents = _cents(g["s_acctbal"].to_numpy())
-        nk = g["s_nationkey"].to_numpy()
-        order = np.lexsort((cents, nk))
-        nk, cents = nk[order], cents[order]
-        starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
-        ends = np.r_[starts[1:], len(nk)]
-        for s, e in zip(starts, ends):
-            vals = cents[s:e]
-            n = e - s
+        for key, vals in _balance_segments(g):
+            n = len(vals)
             q = [
                 int(vals[int(np.ceil(n * p)) - 1]) for p in (0.25, 0.5, 0.75)
             ]
-            rows.append((int(nk[s]), int(n), q[0], q[1], q[2]))
+            rows.append((key, n, q[0], q[1], q[2]))
         return pd.DataFrame(
             rows, columns=["nationkey", "n_suppliers", "q25", "q50", "q75"]
         ).astype("int64")
@@ -1950,6 +1960,7 @@ def events_user_day_activity(
     rows from BOTH sides land together. Output is contexts-sized.
     """
     from html_parser_ray.pipelines.shuffle import hash_partitioned, sort_output
+    from html_parser_ray.pipelines.temporal import _ts_us, _US_PER_S
 
     ds = read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
@@ -1961,8 +1972,7 @@ def events_user_day_activity(
         out = pd.DataFrame(
             {
                 "user_id": d["user_id"].astype("int64"),
-                "day": d["ts"].to_numpy().astype("datetime64[us]").view("int64")
-                // 86_400_000_000,
+                "day": _ts_us(d["ts"]) // (86_400 * _US_PER_S),
                 "is_purchase": (d["event_type"] == "purchase").to_numpy(),
             }
         )
@@ -2048,17 +2058,11 @@ def supplier_balance_mad_by_nation(
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        cents = _cents(g["s_acctbal"].to_numpy())
-        nk = g["s_nationkey"].to_numpy()
-        order = np.lexsort((cents, nk))
-        nk, cents = nk[order], cents[order]
-        starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
-        ends = np.r_[starts[1:], len(nk)]
-        for s, e in zip(starts, ends):
-            vals = cents[s:e].astype("float64")
+        for key, seg in _balance_segments(g):
+            vals = seg.astype("float64")
             med = float(np.median(vals))  # sorted already; exact .0/.5
             mad = float(np.median(np.abs(vals - med)))
-            rows.append((int(nk[s]), int(e - s), med, mad))
+            rows.append((key, len(vals), med, mad))
         return pd.DataFrame(
             rows, columns=["nationkey", "n_suppliers", "median_cents", "mad_cents"]
         ).astype(

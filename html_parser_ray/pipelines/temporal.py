@@ -636,7 +636,7 @@ def events_user_active_islands(
     partition dedups its users' (user, day) pairs locally (map-side
     pre-distinct keeps the exchange slim: bounded by users x active-days,
     not events), then one vectorized pass finds run breaks with a
-    diff!=1-or-new-user mask and aggregates runs by cumsum segment ids.
+    diff!=1-or-new-user mask and aggregates each run from its break span.
     All integers end to end (epoch days), bit-exact vs the SQL oracle.
     """
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -664,7 +664,6 @@ def events_user_active_islands(
             )
         new_run = np.ones(len(days), dtype=bool)
         new_run[1:] = (users[1:] != users[:-1]) | (days[1:] != days[:-1] + 1)
-        seg = np.cumsum(new_run) - 1
         starts = np.nonzero(new_run)[0]
         ends = np.r_[starts[1:] - 1, len(days) - 1]
         return pd.DataFrame(
@@ -751,28 +750,26 @@ def events_click_attribution(
         # clicks of users ordered before each purchase's user (to localize
         # the global cumsum to the user's own block)
         before_user = np.searchsorted(cu, pu, side="left")
-
-        def rank_sweep(probe_ts: np.ndarray) -> np.ndarray:
-            """F_u(t) per probe: clicks of the probe's user strictly before
-            t. One lexsort of clicks+probes, one cumsum, no loops."""
-            users = np.concatenate([c["user_id"].to_numpy(), pu])
-            times = np.concatenate([ct, probe_ts])
-            # kind 0 = probe, 1 = click: at equal ts the probe sorts FIRST,
-            # so an equal-ts click is NOT counted (strict '<' bound)
-            kind = np.concatenate(
-                [np.ones(len(ct), dtype=np.int8), np.zeros(len(pu), dtype=np.int8)]
-            )
-            order = np.lexsort((kind, times, users))
-            is_click = kind[order] == 1
-            cum = np.cumsum(is_click)  # clicks at-or-before each position
-            pos_of = np.empty(len(order), dtype=np.int64)
-            pos_of[order] = np.arange(len(order))
-            probe_pos = pos_of[len(ct):]
-            # clicks strictly before the probe position, any user
-            f_global = np.where(probe_pos > 0, cum[probe_pos - 1], 0)
-            return f_global - before_user
-
-        n = rank_sweep(pt) - rank_sweep(pt - window_us)
+        # ONE lexsort over clicks + BOTH probe sets (upper bound p.ts and
+        # lower bound p.ts - W together, so the dominant sort is paid once).
+        # kind 0 = probe, 1 = click: at equal (user, ts) the probe sorts
+        # FIRST, so an equal-ts click is NOT counted — the strict '<' bound.
+        npb = len(pu)
+        users = np.concatenate([c["user_id"].to_numpy(), pu, pu])
+        times = np.concatenate([ct, pt, pt - window_us])
+        kind = np.concatenate(
+            [np.ones(len(ct), dtype=np.int8), np.zeros(2 * npb, dtype=np.int8)]
+        )
+        order = np.lexsort((kind, times, users))
+        cum = np.cumsum(kind[order] == 1)  # clicks at-or-before each position
+        pos_of = np.empty(len(order), dtype=np.int64)
+        pos_of[order] = np.arange(len(order))
+        probe_pos = pos_of[len(ct):]
+        # F_u(t) per probe = clicks anywhere strictly before the probe's
+        # position, minus clicks belonging to earlier-sorted users
+        f_global = np.where(probe_pos > 0, cum[probe_pos - 1], 0)
+        f = f_global - np.concatenate([before_user, before_user])
+        n = f[:npb] - f[npb:]  # count in [p.ts - W, p.ts)
         return pd.DataFrame({"event_id": pid, "n_clicks": n.astype("int64")})
 
     out_schema = pa.schema([("event_id", pa.int64()), ("n_clicks", pa.int64())])

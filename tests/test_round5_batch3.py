@@ -7,37 +7,11 @@ from __future__ import annotations
 
 import hashlib
 
-import duckdb
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-SF = "/root/testdata/sf0.001"
-
-
-def _oracle(con, views: dict[str, str], sql: str) -> pd.DataFrame:
-    for name, path in views.items():
-        con.execute(f"DROP VIEW IF EXISTS {name}")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
-    return con.execute(sql).df()
-
-
-def _as_df(out) -> pd.DataFrame:
-    if not isinstance(out, pd.DataFrame):
-        out = out.to_pandas()
-    return out.reset_index(drop=True)
-
-
-def _parity(query: str, fn, views: dict[str, str]) -> None:
-    import __ray_entry__ as entrymod
-
-    out = _as_df(fn(SF))
-    assert len(out) > 0
-    oracle = _oracle(duckdb.connect(), views, entrymod.oracle_sql()[query])
-    pd.testing.assert_frame_equal(
-        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
-    )
+from _parity import SF, _as_df, _parity
 
 
 @pytest.mark.usefixtures("ray_session")

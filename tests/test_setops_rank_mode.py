@@ -11,20 +11,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-SF = "/root/testdata/sf0.001"
-
-
-def _oracle(con, views: dict[str, str], sql: str) -> pd.DataFrame:
-    for name, path in views.items():
-        con.execute(f"DROP VIEW IF EXISTS {name}")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
-    return con.execute(sql).df()
-
-
-def _as_df(out) -> pd.DataFrame:
-    if not isinstance(out, pd.DataFrame):
-        out = out.to_pandas()
-    return out.reset_index(drop=True)
+from _parity import SF, _as_df, _oracle
 
 
 @pytest.mark.usefixtures("ray_session")
