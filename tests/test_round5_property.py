@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -212,3 +210,160 @@ def test_ntile_matches_sql_rule(tmp_path_factory, values, tiles):
                 want[order[rank] + 1] = tile
                 rank += 1
     assert {i: int(out.loc[i, "tile"]) for i in want} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_EVENTS)
+def test_transitions_match_brute_force(tmp_path_factory, rows):
+    """events_type_transitions == per-user sorted consecutive-pair count."""
+    from collections import Counter
+
+    from html_parser_ray.pipelines.temporal import events_type_transitions
+
+    d = tmp_path_factory.mktemp("tr")
+    _write_events(d, rows)
+    out = _as_df(events_type_transitions(str(d)))
+    want: Counter = Counter()
+    for u in {r[0] for r in rows}:
+        ev = sorted(
+            (t, i + 1, k) for i, (u2, t, k) in enumerate(rows) if u2 == u
+        )
+        for (_, _, a), (_, _, b) in zip(ev, ev[1:]):
+            want[(a, b)] += 1
+    assert list(map(tuple, out.to_numpy())) == [
+        (a, b, n) for (a, b), n in sorted(want.items())
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_EVENTS)
+def test_cooccurrence_matches_brute_force(tmp_path_factory, rows):
+    """events_type_cooccurrence == distinct-triple pair count."""
+    from collections import Counter
+    from itertools import combinations
+
+    from html_parser_ray.pipelines.temporal import events_type_cooccurrence
+
+    d = tmp_path_factory.mktemp("co")
+    _write_events(d, rows)
+    out = _as_df(events_type_cooccurrence(str(d)))
+    contexts: dict = {}
+    for u, t, k in rows:
+        contexts.setdefault((u, t // 4), set()).add(k)
+    want: Counter = Counter()
+    for types in contexts.values():
+        for a, b in combinations(sorted(types), 2):
+            want[(a, b)] += 1
+    assert list(map(tuple, out.to_numpy())) == [
+        (a, b, n) for (a, b), n in sorted(want.items())
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_EVENTS)
+def test_full_outer_matches_brute_force(tmp_path_factory, rows):
+    """events_user_day_activity == dict-count FULL OUTER with 0 fills."""
+    from collections import Counter
+
+    from html_parser_ray.pipelines.relational import events_user_day_activity
+
+    d = tmp_path_factory.mktemp("fo")
+    _write_events(d, rows)
+    out = _as_df(events_user_day_activity(str(d)))
+    p: Counter = Counter()
+    c: Counter = Counter()
+    for u, t, k in rows:
+        if k == "purchase":
+            p[(u, t // 4)] += 1
+        elif k == "click":
+            c[(u, t // 4)] += 1
+    keys = sorted(set(p) | set(c))
+    want = [(u, day, p.get((u, day), 0), c.get((u, day), 0)) for u, day in keys]
+    assert list(map(tuple, out.to_numpy())) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 400)),  # (custkey, cents)
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_above_avg_matches_exact_rational(tmp_path_factory, orders):
+    """orders_above_customer_avg == the exact-rational strict compare."""
+    from fractions import Fraction
+
+    from html_parser_ray.pipelines.relational import orders_above_customer_avg
+
+    d = tmp_path_factory.mktemp("avg")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, len(orders) + 1), pa.int64()),
+                "o_custkey": pa.array([c for c, _ in orders], pa.int64()),
+                "o_totalprice": pa.array([v / 100 for _, v in orders]),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    out = _as_df(orders_above_customer_avg(str(d)))
+    sums: dict = {}
+    for c, v in orders:
+        n, s = sums.get(c, (0, 0))
+        sums[c] = (n + 1, s + v)
+    want = [
+        (i + 1, c, v)
+        for i, (c, v) in enumerate(orders)
+        if Fraction(v) > Fraction(sums[c][1], sums[c][0])
+    ]
+    assert list(map(tuple, out.to_numpy())) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (nation, cents)
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_mad_matches_statistics_median(tmp_path_factory, balances):
+    """supplier_balance_mad_by_nation == statistics.median twins."""
+    from statistics import median
+
+    from html_parser_ray.pipelines.relational import supplier_balance_mad_by_nation
+
+    d = tmp_path_factory.mktemp("mad")
+    pq.write_table(
+        pa.table(
+            {
+                "s_nationkey": pa.array([n for n, _ in balances], pa.int32()),
+                "s_acctbal": pa.array([v / 100 for _, v in balances]),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                "n_name": pa.array(["N_A", "N_B", "N_C"]),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    out = _as_df(supplier_balance_mad_by_nation(str(d)))
+    want = []
+    for idx, name in enumerate(["N_A", "N_B", "N_C"]):
+        vals = [float(v) for n, v in balances if n == idx]
+        if not vals:
+            continue
+        med = median(vals)
+        want.append((name, len(vals), med, median(abs(v - med) for v in vals)))
+    assert list(map(tuple, out.to_numpy())) == want
