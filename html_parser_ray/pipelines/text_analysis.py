@@ -972,7 +972,15 @@ def html_roundtrip_extract_csv(sf_dir: str) -> "ray.data.Dataset":
         with open(marker, "w") as f:
             f.write("ok")
 
-    ds = ray.data.read_csv(sorted(_glob.glob(os.path.join(shard_dir, "*.csv"))))
+    from pyarrow import csv as _pacsv
+
+    # newlines_in_values: a quoted payload MAY legally contain newlines
+    # (RFC 4180); Arrow's default reader rejects them, so opt in — the
+    # shard writer QUOTE_ALLs every field, making this always safe
+    ds = ray.data.read_csv(
+        sorted(_glob.glob(os.path.join(shard_dir, "*.csv"))),
+        parse_options=_pacsv.ParseOptions(newlines_in_values=True),
+    )
 
     def extract_from_csv(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

@@ -124,7 +124,9 @@ def test_csv_roundtrip_matches_oracle_at_sf0001():
 @pytest.mark.usefixtures("ray_session")
 def test_csv_quoting_survives_hostile_text(tmp_path):
     """Commas, double quotes and the full page markup must survive the
-    CSV writer -> Arrow reader -> extraction roundtrip byte-for-byte."""
+    CSV writer -> Arrow reader -> extraction roundtrip byte-for-byte, and
+    a quoted NEWLINE payload must parse (newlines_in_values) — the parser
+    then whitespace-normalizes it, same as any in-markup newline."""
     from html_parser_ray.pipelines.text_analysis import html_roundtrip_extract_csv
 
     d = tmp_path / "sfcsv"
@@ -133,16 +135,17 @@ def test_csv_quoting_survives_hostile_text(tmp_path):
         'she said ""hello"", twice',
         "commas, everywhere, always",
         "plain words only",
+        "line one\nline two",  # RFC-4180 quoted newline
     ]
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
                 "text": pa.array(texts),
             }
         ),
         d / "documents.parquet",
     )
     out = _as_df(html_roundtrip_extract_csv(str(d)))
-    assert out["doc_id"].tolist() == [1, 2, 3]
-    assert out["main_text"].tolist() == texts
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["main_text"].tolist() == texts[:3] + ["line one line two"]
