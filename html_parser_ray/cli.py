@@ -49,6 +49,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_conf.add_argument("--max-cases", type=int, default=None)
 
+    p_query = sub.add_parser(
+        "query",
+        help="run any named pipeline from the contract over an sf dir "
+        "(--list to enumerate all of them)",
+    )
+    p_query.add_argument("name", nargs="?", help="query name (see --list)")
+    p_query.add_argument("--list", action="store_true", help="list query names")
+    p_query.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="input table directory"
+    )
+    p_query.add_argument(
+        "--out", default=None, help="write the full result here as parquet"
+    )
+    p_query.add_argument(
+        "--head", type=int, default=10, help="rows to print (default 10)"
+    )
+
     args = parser.parse_args(argv)
 
     if args.cmd == "conformance":
@@ -119,6 +136,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.num_docs, "path": args.output}))
         return 0
 
+    if args.cmd == "query" and args.list:
+        # enumeration needs no Ray session
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "__ray_entry__.py",
+            ),
+        )
+        entrymod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entrymod)
+        for name in entrymod.queries():
+            print(name)
+        return 0
+
     import ray
 
     # shut down only a session WE created: an embedding caller (bench,
@@ -153,6 +188,49 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
             return 0 if res["mismatches"] == 0 else 2
+        if args.cmd == "query":
+            import importlib.util
+            import os
+
+            import pandas as pd
+
+            import ray.data
+
+            if not args.name:
+                print("query: a name is required (or --list)")
+                return 1
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__",
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "__ray_entry__.py",
+                ),
+            )
+            entrymod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(entrymod)
+            qs = entrymod.queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; see --list")
+                return 1
+            result = qs[args.name](args.sf_dir)
+            if isinstance(result, ray.data.Dataset):
+                if args.out:
+                    # partitioned parquet dir: resumable, never one giant file
+                    result.write_parquet(args.out)
+                    n = ray.data.read_parquet(args.out).count()
+                else:
+                    n = result.count()
+                    head = result.limit(args.head).to_pandas()
+                    print(head.to_string(index=False))
+            else:
+                df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+                n = len(df)
+                if args.out:
+                    df.to_parquet(args.out)
+                else:
+                    print(df.head(args.head).to_string(index=False))
+            print(json.dumps({"query": args.name, "rows": int(n), "out": args.out}))
+            return 0
         return 1
     finally:
         if owns_session:

@@ -77,3 +77,37 @@ def test_cli_conformance(tmp_path):
     )
     for s in rep["suites"].values():
         assert s["failures"]  # honest failures recorded with expected/actual
+
+
+def test_cli_query_list_and_run(tmp_path):
+    """The generic query runner: --list enumerates the full contract,
+    a run prints rows + a JSON tail, --out writes readable parquet."""
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    ls = subprocess.run(
+        [sys.executable, "-m", "html_parser_ray.cli", "query", "--list"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert ls.returncode == 0, ls.stderr[-1500:]
+    names = ls.stdout.split()
+    assert len(names) >= 90 and "doc_weighted_sample" in names
+
+    out = str(tmp_path / "res.parquet")
+    p = subprocess.run(
+        [sys.executable, "-m", "html_parser_ray.cli", "query",
+         "doc_weighted_sample", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-1500:]
+    tail = json.loads(p.stdout.splitlines()[-1])
+    assert tail["rows"] == 100 and tail["out"] == out
+
+    import pandas as pd
+
+    assert len(pd.read_parquet(out)) == 100
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "html_parser_ray.cli", "query", "nope"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert bad.returncode == 1
