@@ -334,7 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_active_islands": temporal.events_user_active_islands,
         # ---- tier A: new in round 5, third batch (never driver-checked) ---
         # range (band) join: attribution-window click counts per purchase —
-        # one exchange by user, two sort-merge rank sweeps per partition
+        # one exchange by user, one combined sort-merge rank sweep/partition
         "events_click_attribution": temporal.events_click_attribution,
         # co-occurrence pair counts per (user, day) context: map-side
         # pre-distinct, one exchange, |types|^2-bounded partials

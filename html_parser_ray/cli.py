@@ -11,6 +11,24 @@ import argparse
 import json
 
 
+def _load_entry_queries() -> dict:
+    """Load the driver contract's queries() without importing Ray (the repo
+    root isn't a package; __ray_entry__ lives beside it)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py",
+        ),
+    )
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+    return entrymod.queries()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="html_parser_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -136,23 +154,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.num_docs, "path": args.output}))
         return 0
 
-    if args.cmd == "query" and args.list:
-        # enumeration needs no Ray session
-        import importlib.util
-        import os
-
-        spec = importlib.util.spec_from_file_location(
-            "__ray_entry__",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "__ray_entry__.py",
-            ),
-        )
-        entrymod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(entrymod)
-        for name in entrymod.queries():
-            print(name)
-        return 0
+    queries = None
+    if args.cmd == "query":
+        # load + validate BEFORE paying a Ray session (a typo'd name or a
+        # plain --list must not spin a cluster connection)
+        queries = _load_entry_queries()
+        if args.list:
+            for name in queries:
+                print(name)
+            return 0
+        if not args.name:
+            print("query: a name is required (or --list)")
+            return 1
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see --list")
+            return 1
 
     import ray
 
@@ -189,39 +205,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res))
             return 0 if res["mismatches"] == 0 else 2
         if args.cmd == "query":
-            import importlib.util
-            import os
-
             import pandas as pd
 
             import ray.data
 
-            if not args.name:
-                print("query: a name is required (or --list)")
-                return 1
-            spec = importlib.util.spec_from_file_location(
-                "__ray_entry__",
-                os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "__ray_entry__.py",
-                ),
-            )
-            entrymod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(entrymod)
-            qs = entrymod.queries()
-            if args.name not in qs:
-                print(f"unknown query {args.name!r}; see --list")
-                return 1
-            result = qs[args.name](args.sf_dir)
+            result = queries[args.name](args.sf_dir)
             if isinstance(result, ray.data.Dataset):
                 if args.out:
-                    # partitioned parquet dir: resumable, never one giant file
-                    result.write_parquet(args.out)
+                    # partitioned parquet dir (never one giant file);
+                    # overwrite — Ray's default APPEND would silently
+                    # duplicate rows on a re-run of the same command
+                    result.write_parquet(args.out, mode="overwrite")
                     n = ray.data.read_parquet(args.out).count()
                 else:
-                    n = result.count()
-                    head = result.limit(args.head).to_pandas()
-                    print(head.to_string(index=False))
+                    # materialize once: count + head off the same execution
+                    m = result.materialize()
+                    n = m.count()
+                    print(m.limit(args.head).to_pandas().to_string(index=False))
             else:
                 df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
                 n = len(df)

@@ -701,14 +701,15 @@ def events_click_attribution(
 
     Scale shape — ONE exchange, fully vectorized, never quadratic: both
     sides hash-partition by ``user_id`` (shipped together as tagged slim
-    rows), then each partition runs TWO sort-merge rank sweeps instead of a
-    nested-loop probe: with clicks and probe points lexsorted by
-    (user, ts, probe-before-click), a cumsum of the click indicator gives
-    F_u(t) = #clicks of user u strictly before t, and the window count is
-    exactly F_u(p.ts) - F_u(p.ts - W). Cost is O(n log n) per partition in
-    numpy kernels — no per-user Python loop, no composite-key overflow.
-    Skew bound = events of the single largest user, the same bound the
-    as-of join and sessionize accept.
+    rows), then each partition runs ONE combined sort-merge rank sweep
+    instead of a nested-loop probe: clicks and BOTH probe sets (p.ts and
+    p.ts - W) lexsort together by (user, ts, probe-before-click), a cumsum
+    of the click indicator gives F_u(t) = #clicks of user u strictly before
+    t, and the window count is exactly F_u(p.ts) - F_u(p.ts - W). Cost is
+    one O(n log n) lexsort per partition in numpy kernels — no per-user
+    Python loop, no composite-key overflow. Skew bound = events of the
+    single largest user, the same bound the as-of join and sessionize
+    accept.
     """
     ds = read_table(
         f"{sf_dir}/events.parquet",

@@ -22,12 +22,14 @@ def _as_df(out) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _parity(query: str, fn, views: dict[str, str], sf: str = SF) -> None:
+def _parity(query: str, fn, views: dict[str, str]) -> None:
     """Run the Ray operator and its committed oracle SQL side-by-side at
-    sf0.001 and require exact frame equality (and a non-trivial result)."""
+    sf0.001 and require exact frame equality (and a non-trivial result).
+    Both sides are pinned to SF: the operator reads SF directly and the
+    caller's `views` must point at the same SF parquet files."""
     import __ray_entry__ as entrymod
 
-    out = _as_df(fn(sf))
+    out = _as_df(fn(SF))
     assert len(out) > 0  # sf0.001 is non-trivial for every parity-tested query
     oracle = _oracle(duckdb.connect(), views, entrymod.oracle_sql()[query])
     pd.testing.assert_frame_equal(
