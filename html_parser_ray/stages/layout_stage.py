@@ -40,7 +40,14 @@ class LayoutFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        metas = [self.parser.parse(r or "") for r in refs]
+        # Parse each distinct ref once per batch — real corpora repeat media
+        # refs across documents, and the parse is the whole cost here.
+        memo: dict[str, dict] = {}
+        for r in refs:
+            key = r or ""
+            if key not in memo:
+                memo[key] = self.parser.parse(key)
+        metas = [memo[r or ""] for r in refs]
         return pa.table(
             {
                 "media_ref": pa.array(refs, type=pa.string()),
@@ -65,9 +72,11 @@ class LayoutFeatureStage:
 
 
 def build_layout_feature_pipeline(ds, concurrency: int = 4, batch_size: int | None = None):
+    # (1, N) autoscaling pool: small inputs (one block) run on one actor
+    # without Ray's under-utilization warning; full-corpus runs ramp to N.
     return ds.map_batches(
         LayoutFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size or 64,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if concurrency > 1 else concurrency,
     )
