@@ -406,7 +406,14 @@ _RE_FUSED_TAG = __import__("re").compile(
     # one C-level match for the common case: name + attr region (quoted values
     # may contain '>') + terminating '>'. Falls back to the general scanner
     # when unmatched (leading whitespace, unterminated tag, '<' in attrs).
-    rb"([^ \n\r\t\x0c/>\x00]+)((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
+    # The name group is ATOMIC ((?>...), maximal munch): the reference scans
+    # the name with TagNameCharTable and never gives bytes back
+    # (src/html/parser.zig:142, src/html/tables.zig:41), but a backtracking
+    # name group let inputs like <v' <>'> re-split as name=v + quoted attr
+    # ' <>' — moving the tag end AND the tag identity vs the reference
+    # (found by a 100k-case parity soak; pinned in
+    # tests/test_extraction_hypothesis.py::test_atomic_name_parity_regressions).
+    rb"((?>[^ \n\r\t\x0c/>\x00]+))((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
 )
 
 

@@ -50,6 +50,30 @@ def test_three_way_parity(data: bytes):
         assert _NAT(data) == dom, data
 
 
+def test_atomic_name_parity_regressions():
+    """r5 soak finding (100k seeded soup cases): the fused-tag regex's
+    BACKTRACKING name group could re-split ``<v' <>'>`` as name=``v`` +
+    quoted attr ``' <>'``, moving the tag end (and on ``<li'x'>`` the tag
+    identity) vs the reference's maximal-munch TagNameCharTable scan
+    (src/html/parser.zig:142). The name group is atomic now; these inputs
+    pin DOM == fused == native on the exact divergence shapes."""
+    cases = [
+        b"<v' <>'>",
+        b"<li'x'>item</li>",
+        b"<div'foo'>t</div>",
+        b"<p id=<br/>'/><textarea></address>;text",
+        b"<a b=\"x>",
+        b"<a b=\"x\" c='y>",
+    ]
+    for data in cases:
+        for dw in (False, True):
+            dom = extract_text_blocks(parse_html(data, dw), _CFG)
+            fused = extract_blocks_fused(data, _CFG, drop_whitespace_text=dw)
+            assert fused == dom, (data, dw)
+            if _NAT is not None:
+                assert _NAT(data, dw) == dom, (data, dw)
+
+
 @settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_BLOB)
 def test_three_way_parity_drop_whitespace(data: bytes):
