@@ -30,6 +30,10 @@ _FRAGMENTS = st.sampled_from(
         b"<address>", b"</address>", b"<caption>",
         b"<div class='" + b"y" * 64 + b" sidebar'>", b"<p id=", b"sidebar",
         b"'",
+        # r5 soak additions: quote-in-name and closing-tag bait (the shapes
+        # that exposed the fused-tag backtracking divergence)
+        b"<v'", b"<a'b>", b"</div x='>'>", b"</v'", b"</ div>", b"</>",
+        b'"', b"=", b"</li", b"<li'x'>",
     ]
 )
 _SOUP = st.lists(_FRAGMENTS, min_size=0, max_size=40).map(b"".join)
