@@ -21,6 +21,18 @@ _STOPWORDS_SQL = (
 
 _CENTS = "CAST(round({col}*100) AS BIGINT)"
 
+# The roundtrip contract stated honestly: extraction normalizes HTML
+# whitespace (runs of [ \n\r\t\f] collapse to one space; leading/trailing
+# runs drop — html/text.py:33, ref src/html/node.zig:203-260), so
+# extract(synthesize(text)) == ws_normalize(text), NOT text verbatim.
+# Identity on the committed testdata (already normalized); the distinction
+# only bites on adversarial text (tools/random_differential.py).
+_ROUNDTRIP_ORACLE = (
+    "SELECT doc_id, "
+    r"trim(regexp_replace(text, '[ \n\r\t\f]+', ' ', 'g'), ' ') "
+    "AS main_text FROM documents ORDER BY doc_id"
+)
+
 
 def entry() -> Any:
     """Flagship: full HTML engine over sf0.001 documents (tokenize + DOM +
@@ -434,9 +446,7 @@ def oracle_sql() -> dict[str, str]:
     cents_price = _CENTS.format(col="l_extendedprice")
     cents_disc = _CENTS.format(col="l_discount")
     return {
-        "html_roundtrip_extract": (
-            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
-        ),
+        "html_roundtrip_extract": _ROUNDTRIP_ORACLE,
         "html_li_count": (
             "SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS li_count "
             "FROM documents ORDER BY doc_id"
@@ -640,9 +650,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s JOIN m USING (n_name) GROUP BY s.n_name, m.med "
             "ORDER BY s.n_name"
         ),
-        "html_roundtrip_extract_csv": (
-            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
-        ),
+        "html_roundtrip_extract_csv": _ROUNDTRIP_ORACLE,
         "supplier_balance_by_nation": (
             "SELECT n_name, COUNT(*) AS n_suppliers, "
             "CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
@@ -1170,12 +1178,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, df, tf FROM g WHERE df >= 5 "
             "ORDER BY df DESC, term LIMIT 100"
         ),
-        "html_roundtrip_extract_jsonl": (
-            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
-        ),
-        "html_roundtrip_extract_warc": (
-            "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id"
-        ),
+        "html_roundtrip_extract_jsonl": _ROUNDTRIP_ORACLE,
+        "html_roundtrip_extract_warc": _ROUNDTRIP_ORACLE,
         "html_link_extract": (
             "SELECT doc_id, '/ref/' || doc_id AS internal_href, "
             "'https://ex.com/' || doc_id AS external_href "

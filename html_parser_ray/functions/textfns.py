@@ -168,8 +168,14 @@ def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]
 
 
 def jaccard(a: set[str], b: set[str]) -> float:
+    """Set Jaccard with the 0/0 case pinned to 0.0: a zero-token document
+    carries no similarity evidence, so two empty docs are NOT duplicates.
+    This is the SQL oracles' semantics — their shingle CTE gives empty docs
+    ``[array_to_string([], ' ')]`` = ``[NULL]``, and NULL never equals NULL,
+    so the intersection is empty (found by the randomized differential,
+    seed 0: the fixed testdata has no empty docs)."""
     if not a and not b:
-        return 1.0
+        return 0.0
     inter = len(a & b)
     union = len(a) + len(b) - inter
     return inter / union if union else 0.0

@@ -23,6 +23,15 @@ import ray.data
 from html_parser_ray.pipelines.shuffle import read_table
 
 
+def _sql_cast_int(x: np.ndarray) -> np.ndarray:
+    """DuckDB ``CAST(double AS BIGINT)`` semantics: round half to EVEN
+    (rint), unlike numpy's truncating ``astype`` and unlike SQL ``round()``
+    which is half-away (probed: CAST 0.5->0, 1.5->2, 2.5->2, -1.5->-2;
+    round(2.5)=3). Pinned by the randomized differential — seed 0 caught
+    the truncation divergence, seed 1 caught the half-away overcorrection."""
+    return np.rint(np.asarray(x, dtype=np.float64)).astype(np.int64)
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     """Exact integer cents from a 2-decimal double (values never land on .5)."""
     return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
@@ -71,7 +80,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "sum_qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+                # match the oracle's CAST(double AS BIGINT): half-to-even
+                # rounding, not truncation — identical on the integral
+                # quantities TPC-H generates, divergent on fractional ones
+                # (found by the randomized differential, seeds 0 and 1)
+                "sum_qty": _sql_cast_int(df["l_quantity"].to_numpy(np.float64)),
                 "sum_base_cents": _cents(df["l_extendedprice"].to_numpy()),
                 "sum_disc_bp": _cents(df["l_extendedprice"].to_numpy())
                 * (100 - _cents(df["l_discount"].to_numpy())),

@@ -100,7 +100,14 @@ def _topk_frame(
             ids_q, m_q = batch_ids[rows], mu[rows]
         else:
             ids_q, m_q = batch_ids, mu
-        sims = m_q @ qmat[qi]
+        # per-row pairwise reduction, NOT a BLAS gemv: gemv partial-sum
+        # layout depends on the matrix SHAPE, so bit-identical duplicate
+        # vectors landing in different batches could score ulp-apart and
+        # break the cross-batch tie-break in _finalize (found by the
+        # randomized differential, seed 3: planted duplicate vectors tied
+        # in DuckDB but not across my batch boundaries). (m_q * q).sum(1)
+        # reduces each row independently of how many rows share the batch.
+        sims = (m_q * qmat[qi]).sum(axis=1)
         order = np.lexsort((ids_q, -sims))
         order = order[ids_q[order] != qid][:k]
         if len(order) == 0:

@@ -158,6 +158,25 @@ _PAGE_TEMPLATE = (
 )
 
 
+def _escape_text(t: str) -> str:
+    """HTML-escape a document's text for synthesis into a page body.
+
+    The roundtrip contract (extract(synthesize(text)) == text) only holds
+    for arbitrary text if markup metacharacters are escaped on the way IN —
+    the extraction side's entity decode undoes it on the way OUT. Without
+    this, text containing ``<`` or ``&`` (ubiquitous at web scale) is
+    parsed as markup and silently mangled; found by the randomized
+    differential (tools/random_differential.py, seed 0)."""
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _page_html(text: str) -> str:
+    """THE one page-synthesis policy every roundtrip source (parquet, WARC,
+    JSONL, CSV) shares — escaping included, so a policy change cannot drift
+    per source."""
+    return _PAGE_TEMPLATE.format(text=_escape_text(text))
+
+
 def _extract_main_text(page: bytes) -> str:
     """parse -> boilerplate-strip -> joined main text: THE one extraction
     decode policy every roundtrip source (parquet, WARC, JSONL) shares, so
@@ -195,8 +214,7 @@ class HtmlRoundtripExtract:
         texts = batch.column("text").to_pylist()
         out = []
         for t in texts:
-            page = _PAGE_TEMPLATE.format(text=t)
-            out.append(_extract_main_text(page.encode("utf-8")))
+            out.append(_extract_main_text(_page_html(t).encode("utf-8")))
         return pa.table(
             {"doc_id": batch.column("doc_id"), "main_text": pa.array(out)}
         )
@@ -295,7 +313,7 @@ class HtmlLinkExtract:
         internal = []
         external = []
         for d, t in zip(doc_ids, texts):
-            page = _LINK_TEMPLATE.format(text=t, doc_id=d)
+            page = _LINK_TEMPLATE.format(text=_escape_text(t), doc_id=d)
             doc = _parse(page)
             ints = [
                 (doc.get_attr(i, b"href") or b"").decode()
@@ -563,7 +581,7 @@ def html_roundtrip_extract_warc(sf_dir: str) -> "ray.data.Dataset":
         # cache miss: only now pull the rows to synthesize the shard
         tbl = _pq.read_table(src, columns=["doc_id", "text"])
         recs = (
-            (f"https://corpus.test/{d}", _PAGE_TEMPLATE.format(text=t).encode())
+            (f"https://corpus.test/{d}", _page_html(t).encode())
             for d, t in zip(
                 tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
             )
@@ -737,7 +755,7 @@ def html_roundtrip_extract_jsonl(sf_dir: str) -> "ray.data.Dataset":
                 for d, t in zip(ids[s0 : s0 + per_shard], texts[s0 : s0 + per_shard]):
                     f.write(
                         _json.dumps(
-                            {"doc_id": int(d), "html": _PAGE_TEMPLATE.format(text=t)},
+                            {"doc_id": int(d), "html": _page_html(t)},
                             ensure_ascii=False,
                         )
                     )
@@ -967,7 +985,7 @@ def html_roundtrip_extract_csv(sf_dir: str) -> "ray.data.Dataset":
                 w = _csv.writer(f, quoting=_csv.QUOTE_ALL, lineterminator="\n")
                 w.writerow(["doc_id", "html"])
                 for d, t in zip(ids[s0 : s0 + per_shard], texts[s0 : s0 + per_shard]):
-                    w.writerow([int(d), _PAGE_TEMPLATE.format(text=t)])
+                    w.writerow([int(d), _page_html(t)])
             os.replace(tmp, tmp[: -len(f".{os.getpid()}.part")])
         with open(marker, "w") as f:
             f.write("ok")

@@ -26,6 +26,10 @@ def test_shingles_and_jaccard():
     assert 0 < textfns.jaccard(a, b) < 1
     assert textfns.word_shingles("a b", 3) == {"a b"}
     assert textfns.word_shingles("", 3) == set()
+    # 0/0 Jaccard pinned to 0.0: empty docs never pair (oracle parity — the
+    # SQL shingle CTE gives empty docs a [NULL] set and NULL <> NULL)
+    assert textfns.jaccard(set(), set()) == 0.0
+    assert textfns.jaccard(a, set()) == 0.0
 
 
 def test_minhash_estimates_jaccard():

@@ -1,0 +1,157 @@
+"""Regression pins for the randomized-input differential campaign
+(tools/gen_random_sfdir.py + tools/random_differential.py).
+
+The fixed /root/testdata tables are benign — integral quantities, no
+markup in text, pre-normalized whitespace — so the committed oracles never
+exercise the semantics pinned here. Each test below pins a REAL divergence
+the randomized differential found (seeds 0 and 1) plus a cheap in-suite
+smoke so future semantics drift is caught by pytest, not only by the
+out-of-band seed sweeps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)
+
+
+def test_sql_cast_int_matches_duckdb_cast():
+    """DuckDB CAST(double AS BIGINT) is round-half-to-EVEN (rint) — not
+    truncation (numpy astype: seed-0 divergence) and not half-away-from-zero
+    (SQL round(): seed-1 divergence)."""
+    import duckdb
+
+    from html_parser_ray.pipelines.relational import _sql_cast_int
+
+    grid = np.array(
+        [0.0, 0.25, 0.5, 0.75, 1.5, 2.5, 3.5, 2.25, 2.75, 49.5,
+         -0.5, -1.5, -2.5, -2.75, -0.25]
+    )
+    con = duckdb.connect()
+    oracle = np.array(
+        [
+            con.execute(f"SELECT CAST({v!r}::DOUBLE AS BIGINT)").fetchone()[0]
+            for v in grid
+        ],
+        dtype=np.int64,
+    )
+    con.close()
+    np.testing.assert_array_equal(_sql_cast_int(grid), oracle)
+
+
+def test_page_html_escapes_markup_bait():
+    """Roundtrip totality over arbitrary text: markup metacharacters must be
+    escaped on synthesis or text like 'a<b' / '&amp;' is parsed as markup
+    and mangled (seed-0 divergence)."""
+    from html_parser_ray.pipelines.text_analysis import (
+        _extract_main_text,
+        _page_html,
+    )
+
+    for t in [
+        "a<b",
+        "<b>bold</b>",
+        "&amp;",
+        "&#65;",
+        "x&y",
+        "&nbsp;",
+        "</div>",
+        "5 < 6 && 7 > 2",
+        "café 漢字 \U0001f600",
+    ]:
+        assert _extract_main_text(_page_html(t).encode("utf-8")) == t
+
+
+def test_roundtrip_oracle_is_ws_normalization():
+    """The roundtrip oracle's SQL normalization formula must equal the
+    engine's HTML whitespace normalization (collapse [ \\n\\r\\t\\f]+ runs,
+    drop boundary runs) — verified end-to-end through synthesis+extraction
+    AND against the exact SQL string the driver runs."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from html_parser_ray.pipelines.text_analysis import (
+        _extract_main_text,
+        _page_html,
+    )
+
+    sql = entrymod.oracle_sql()["html_roundtrip_extract"]
+    texts = ["", "   ", " a  b ", "a\t\nb", "\fx\f", "a b", "a \t b", " "]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    want = [r[1] for r in con.execute(sql).fetchall()]
+    con.close()
+    got = [_extract_main_text(_page_html(t).encode("utf-8")) for t in texts]
+    assert got == want
+    # NBSP is NOT HTML whitespace — it must survive verbatim on both sides
+    assert got[-1] == " "
+
+
+def test_jaccard_empty_sets_never_pair():
+    """0/0 Jaccard pinned to 0.0 — the SQL shingle CTE gives empty docs a
+    [NULL] set and NULL never equals NULL (seed-0 divergence)."""
+    from html_parser_ray.functions import textfns
+
+    assert textfns.jaccard(set(), set()) == 0.0
+    assert textfns.jaccard({"a"}, set()) == 0.0
+
+
+def test_generator_is_deterministic_and_schema_parity(tmp_path):
+    """Same seed -> byte-identical tables; schemas match the committed
+    testdata exactly (the oracle contract is schema-sensitive)."""
+    import pyarrow.parquet as pq
+
+    from gen_random_sfdir import generate
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    generate(3, str(a), 0.1)
+    generate(3, str(b), 0.1)
+    for name in sorted(os.listdir(a)):
+        ta = pq.read_table(a / name)
+        tb = pq.read_table(b / name)
+        assert ta.equals(tb), name
+        real = f"/root/testdata/sf0.001/{name}"
+        if os.path.exists(real):
+            assert ta.schema.equals(pq.read_schema(real)), (
+                f"{name}: {ta.schema} != {pq.read_schema(real)}"
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_differential_smoke_one_seed(tmp_path):
+    """In-suite differential smoke: three semantics-sensitive queries
+    (aggregate CAST, roundtrip escaping+whitespace, tied top-k) over one
+    adversarial seed. The full 80-query × N-seed sweep stays out-of-band
+    (tools/random_differential.py); this keeps the harness itself — and the
+    three divergence classes it found — under pytest."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from gen_random_sfdir import generate
+    from random_differential import TABLES, compare_one
+
+    sf_dir = str(tmp_path / "seed1")
+    generate(1, sf_dir, 0.15)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in ["q1_pricing_summary", "html_roundtrip_extract",
+                 "top_parts_by_price"]:
+        msg = compare_one(con, qs, oracles, name, sf_dir)
+        assert msg is None, f"{name}: {msg}"
+    con.close()

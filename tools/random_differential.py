@@ -1,0 +1,192 @@
+"""Randomized-input differential: sweep the oracle contract over seeded
+adversarial testdata (tools/gen_random_sfdir.py) and compare the Ray side
+against the DuckDB oracle side on EVERY pure-SQL query.
+
+The fixed /root/testdata tables are benign (no ties, no boundary
+timestamps, no empty groups, no markup in text). This harness is the
+adversarial twin: any divergence it finds on data the committed oracles
+never exercise is a real semantics bug or an under-pinned tiebreak.
+
+Excluded: the golden-backed oracles (they encode sf0.01 by construction —
+see __ray_entry__.oracle_sql golden section) and media_* (fixed corpora,
+not sf-dependent).
+
+Usage:
+    python tools/random_differential.py --seeds 0 1 2 3 --scale 0.4
+    python tools/random_differential.py --nseeds 10 [--queries a b c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gen_random_sfdir import generate  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+# golden-backed: the oracle is a committed sf0.01 parquet, meaningless on
+# random input
+GOLDEN = {
+    "extract_corpus",
+    "extract_corpus_split",
+    "langid_counts",
+    "ngram_topk_cms",
+    "events_user_hll",
+    "doc_fingerprints",
+    "minhash_lsh_dupes",
+    "simhash_dupes",
+    "lsh_knn_topk",
+    "ivf_knn_topk",
+    "media_image_features",
+    "media_audio_features",
+    "media_frame_samples",
+    "media_layout_features",
+}
+
+# Approximate-by-design on adversarial data: their equality oracles hold
+# only when LSH recall is total (true on the committed sf0.01 corpus, where
+# clusters are threshold-separated; documented at the oracle definitions).
+# dedup_clusters_lsh inherits the recall dependence through its pair set and
+# has no one-sided check, so it is skipped outright.
+APPROX_SKIP = {"dedup_clusters_lsh"}
+
+# One-sided oracles: false positives are ALWAYS bugs (each op ends in an
+# exact verify), so on random data assert mine ⊆ exact-pairs-SQL even though
+# equality may legitimately fail on recall. Maps query -> the exact twin
+# whose oracle_sql defines the superset.
+SUBSET = {
+    "embedding_neardup_lsh": "embedding_neardup_pairs",
+    "minhash_lsh_dupes": "ngram_jaccard_dupes",
+}
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, (ray.data.Dataset, pa.Table)):
+        return result.to_pandas()
+    return result
+
+
+def compare_subset(con, qs, oracles, name: str, sf_dir: str) -> str | None:
+    """One-sided check: every pair the approximate op emits must be in the
+    exact twin's oracle result (sorted two-column pair sets)."""
+    mine = _to_pandas(qs[name](sf_dir)).reset_index(drop=True)
+    oracle = con.execute(oracles[SUBSET[name]]).df().reset_index(drop=True)
+    ms = set(map(tuple, mine[sorted(mine.columns)].values))
+    os_ = set(map(tuple, oracle[sorted(oracle.columns)].values))
+    extra = ms - os_
+    if extra:
+        return f"{len(extra)} false-positive pairs: {sorted(extra)[:5]}"
+    return None
+
+
+def compare_one(con, qs, oracles, name: str, sf_dir: str) -> str | None:
+    """Return None if green, else a one-line failure description."""
+    mine = _to_pandas(qs[name](sf_dir)).reset_index(drop=True)
+    oracle = con.execute(oracles[name]).df().reset_index(drop=True)
+    mine = mine[sorted(mine.columns)]
+    oracle = oracle[sorted(oracle.columns)]
+    if list(mine.columns) != list(oracle.columns):
+        return f"schema {list(mine.columns)} != {list(oracle.columns)}"
+    if len(mine) != len(oracle):
+        return f"rows {len(mine)} != {len(oracle)}"
+    for c in mine.columns:
+        a, b = mine[c], oracle[c]
+        try:
+            eq = (a.to_numpy() == b.to_numpy()).all()
+        except Exception:
+            eq = a.astype(str).equals(b.astype(str))
+        if not eq:
+            neq = a.astype(str) != b.astype(str)
+            head = pd.DataFrame({"mine": a[neq], "oracle": b[neq]}).head(3)
+            return f"column {c} differs:\n{head}"
+    return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="*", default=None)
+    ap.add_argument("--nseeds", type=int, default=4)
+    ap.add_argument("--scale", type=float, default=0.4)
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--keep", action="store_true", help="keep generated dirs")
+    args = ap.parse_args()
+    seeds = args.seeds if args.seeds is not None else list(range(args.nseeds))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.queries or [
+        n
+        for n in qs
+        if (n in oracles and n not in GOLDEN and n not in APPROX_SKIP)
+        or n in SUBSET
+    ]
+
+    failures: list[tuple[int, str, str]] = []
+    for seed in seeds:
+        sf_dir = f"/tmp/rdiff/seed{seed}"
+        if os.path.isdir(sf_dir):
+            shutil.rmtree(sf_dir)
+        generate(seed, sf_dir, args.scale)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        t0 = time.time()
+        bad = 0
+        for name in names:
+            try:
+                if name in SUBSET:
+                    msg = compare_subset(con, qs, oracles, name, sf_dir)
+                else:
+                    msg = compare_one(con, qs, oracles, name, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                msg = f"EXCEPTION {type(e).__name__}: {e}"
+            if msg is not None:
+                bad += 1
+                failures.append((seed, name, msg))
+                print(f"FAIL seed={seed} {name}: {msg}")
+        con.close()
+        print(
+            f"seed={seed}: {len(names) - bad}/{len(names)} green "
+            f"in {time.time() - t0:.1f}s"
+        )
+        if not args.keep and not bad:
+            shutil.rmtree(sf_dir, ignore_errors=True)
+
+    ray.shutdown()
+    if failures:
+        print(f"\n{len(failures)} failures across {len(seeds)} seeds:")
+        for seed, name, msg in failures:
+            print(f"  seed={seed} {name}: {msg.splitlines()[0]}")
+        sys.exit(1)
+    print(f"\nALL GREEN: {len(names)} queries x {len(seeds)} seeds")
+
+
+if __name__ == "__main__":
+    main()
