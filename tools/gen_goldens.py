@@ -70,19 +70,19 @@ def gen_extract_corpus(n: int) -> pa.Table:
     return out_tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
 
 
-def gen_langid_counts() -> pd.DataFrame:
+def gen_langid_counts(sf_dir: str = SF001) -> pd.DataFrame:
     from html_parser_ray.functions import textfns
 
-    docs = pd.read_parquet(f"{SF001}/documents.parquet", columns=["text"])
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     pred = pd.Series([textfns.detect_language(t) for t in docs["text"]])
     out = pred.value_counts().rename_axis("predicted_lang").reset_index(name="n")
     return out.sort_values("predicted_lang").reset_index(drop=True)
 
 
-def gen_doc_fingerprints() -> pd.DataFrame:
+def gen_doc_fingerprints(sf_dir: str = SF001) -> pd.DataFrame:
     from html_parser_ray.functions import textfns
 
-    docs = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = pd.DataFrame(
         {
             "doc_id": docs["doc_id"],
@@ -95,7 +95,7 @@ def gen_doc_fingerprints() -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32) -> pd.DataFrame:
+def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32, sf_dir: str = SF001) -> pd.DataFrame:
     """Serial twin of the banded-LSH pipeline (same hashes, same banding).
 
     NOTE: golden authority for minhash/simhash moved to the NON-IMPORTING
@@ -105,7 +105,7 @@ def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32) -> pd.DataFram
     cross-check."""
     from html_parser_ray.functions import textfns
 
-    docs = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows_per_band = num_hashes // bands
     weights = (
         np.arange(1, rows_per_band + 1, dtype=np.uint64) * np.uint64(1099511628211)
@@ -143,11 +143,11 @@ def gen_minhash_lsh(threshold=0.5, k=3, num_hashes=128, bands=32) -> pd.DataFram
     return pd.DataFrame(keep, columns=["doc_a", "doc_b"]).astype("int64")
 
 
-def gen_simhash(max_hamming: int = 3) -> pd.DataFrame:
+def gen_simhash(max_hamming: int = 3, sf_dir: str = SF001) -> pd.DataFrame:
     """Serial twin of the banded simhash pipeline."""
     from html_parser_ray.functions import textfns
 
-    docs = pd.read_parquet(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = {int(d): textfns.simhash64(t) for d, t in zip(docs["doc_id"], docs["text"])}
     buckets: dict[tuple[int, int], list[int]] = {}
     for d, h in sigs.items():

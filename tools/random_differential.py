@@ -7,9 +7,13 @@ timestamps, no empty groups, no markup in text). This harness is the
 adversarial twin: any divergence it finds on data the committed oracles
 never exercise is a real semantics bug or an under-pinned tiebreak.
 
-Excluded: the golden-backed oracles (they encode sf0.01 by construction —
-see __ray_entry__.oracle_sql golden section) and media_* (fixed corpora,
-not sf-dependent).
+Golden-backed queries whose committed parquet encodes sf0.01 are covered
+via their SERIAL TWINS instead (gen_goldens.py recomputes the expected
+frame on the random dir): langid_counts, doc_fingerprints,
+minhash_lsh_dupes, simhash_dupes. Still excluded: extract_corpus* and
+media_* (fixed seeded corpora, not sf-dependent) and the lsh/ivf kNN
+regression pins (the pin IS the pipeline's own output; the exact-kNN
+ordering semantics they share is covered by knn_topk).
 
 Usage:
     python tools/random_differential.py --seeds 0 1 2 3 --scale 0.4
@@ -69,8 +73,27 @@ APPROX_SKIP = {"dedup_clusters_lsh"}
 # whose oracle_sql defines the superset.
 SUBSET = {
     "embedding_neardup_lsh": "embedding_neardup_pairs",
-    "minhash_lsh_dupes": "ngram_jaccard_dupes",
 }
+
+# Golden-backed queries whose committed oracle is meaningless on random
+# input, but whose SERIAL TWIN (tools/gen_goldens.py — the same function
+# that produced the committed golden) can recompute the expected frame on
+# any documents.parquet. Equality against the twin on adversarial data is
+# the same evidence class as the committed golden, just input-parametric.
+def _twin_oracles():
+    from gen_goldens import (
+        gen_doc_fingerprints,
+        gen_langid_counts,
+        gen_minhash_lsh,
+        gen_simhash,
+    )
+
+    return {
+        "langid_counts": lambda d: gen_langid_counts(sf_dir=d),
+        "doc_fingerprints": lambda d: gen_doc_fingerprints(sf_dir=d),
+        "minhash_lsh_dupes": lambda d: gen_minhash_lsh(sf_dir=d),
+        "simhash_dupes": lambda d: gen_simhash(sf_dir=d),
+    }
 
 
 def _to_pandas(result) -> pd.DataFrame:
@@ -100,6 +123,17 @@ def compare_one(con, qs, oracles, name: str, sf_dir: str) -> str | None:
     """Return None if green, else a one-line failure description."""
     mine = _to_pandas(qs[name](sf_dir)).reset_index(drop=True)
     oracle = con.execute(oracles[name]).df().reset_index(drop=True)
+    return _compare_frames(mine, oracle)
+
+
+def compare_twin(qs, twin_fn, name: str, sf_dir: str) -> str | None:
+    """Ray pipeline vs the serial golden-generator twin on the same dir."""
+    mine = _to_pandas(qs[name](sf_dir)).reset_index(drop=True)
+    oracle = twin_fn(sf_dir).reset_index(drop=True)
+    return _compare_frames(mine, oracle)
+
+
+def _compare_frames(mine: pd.DataFrame, oracle: pd.DataFrame) -> str | None:
     mine = mine[sorted(mine.columns)]
     oracle = oracle[sorted(oracle.columns)]
     if list(mine.columns) != list(oracle.columns):
@@ -138,11 +172,13 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    twins = _twin_oracles()
     names = args.queries or [
         n
         for n in qs
         if (n in oracles and n not in GOLDEN and n not in APPROX_SKIP)
         or n in SUBSET
+        or n in twins
     ]
 
     failures: list[tuple[int, str, str]] = []
@@ -163,6 +199,8 @@ def main() -> None:
             try:
                 if name in SUBSET:
                     msg = compare_subset(con, qs, oracles, name, sf_dir)
+                elif name in twins:
+                    msg = compare_twin(qs, twins[name], name, sf_dir)
                 else:
                     msg = compare_one(con, qs, oracles, name, sf_dir)
             except Exception as e:  # noqa: BLE001
