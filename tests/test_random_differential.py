@@ -97,6 +97,42 @@ def test_roundtrip_oracle_is_ws_normalization():
     assert got[-1] == " "
 
 
+def test_roundtrip_total_over_arbitrary_text():
+    """Property: extract(synthesize(t)) == ws_normalize(t) for ARBITRARY
+    unicode text — control chars, unicode spaces (which are NOT HTML
+    whitespace and must survive verbatim), entities-in-text, astral planes.
+    Wider than the seeded generator's word pool."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from html_parser_ray.pipelines.text_analysis import (
+        _extract_main_text,
+        _page_html,
+    )
+
+    ws_run = re.compile(r"[ \n\r\t\f]+")
+
+    def ws_normalize(t: str) -> str:
+        return " ".join(x for x in ws_run.split(t) if x)
+
+    # \x00 is excluded: parquet/utf-8 text columns never carry NUL and the
+    # tokenizer treats it as a scanner sentinel (documented reference quirk)
+    chars = st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    )
+
+    @settings(max_examples=400, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.text(alphabet=chars, max_size=200))
+    def prop(t: str) -> None:
+        got = _extract_main_text(_page_html(t).encode("utf-8"))
+        assert got == ws_normalize(t)
+
+    prop()
+
+
 def test_jaccard_empty_sets_never_pair():
     """0/0 Jaccard pinned to 0.0 — the SQL shingle CTE gives empty docs a
     [NULL] set and NULL never equals NULL (seed-0 divergence)."""
