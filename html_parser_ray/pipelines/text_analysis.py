@@ -189,16 +189,26 @@ def _extract_main_text(page: bytes) -> str:
 def _corpus_cache_key(src_path: str) -> str:
     """Content fingerprint for /tmp shard caches: abs path + parquet footer
     row count + size + mtime — metadata only on the warm path. A regenerated
-    corpus at the same path must not silently reuse a stale shard."""
+    corpus at the same path must not silently reuse a stale shard. Accepts a
+    single file OR a directory of shard files (the 100 TB input shape): the
+    fingerprint then covers every child's size+mtime, name-sorted."""
+    import glob as _glob
     import hashlib as _hashlib
     import os
 
     import pyarrow.parquet as _pq
 
-    st = os.stat(src_path)
-    n_rows = _pq.ParquetFile(src_path).metadata.num_rows
+    paths = (
+        sorted(_glob.glob(os.path.join(src_path, "*.parquet")))
+        if os.path.isdir(src_path)
+        else [src_path]
+    )
+    n_rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+    sig = ";".join(
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}" for p in paths
+    )
     return _hashlib.md5(
-        f"{os.path.abspath(src_path)}:{n_rows}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src_path)}:{n_rows}:{sig}".encode()
     ).hexdigest()[:12]
 
 

@@ -167,9 +167,12 @@ def test_generator_is_deterministic_and_schema_parity(tmp_path):
 def test_differential_smoke_one_seed(tmp_path):
     """In-suite differential smoke: three semantics-sensitive queries
     (aggregate CAST, roundtrip escaping+whitespace, tied top-k) over one
-    adversarial seed. The full 80-query × N-seed sweep stays out-of-band
+    adversarial seed, written in the SHARDED directory-per-table layout a
+    multi-node writer produces (each ``{t}.parquet`` is a dir of part
+    files — exercises the file-or-directory reader contract). The full
+    83-query × N-seed sweep stays out-of-band
     (tools/random_differential.py); this keeps the harness itself — and the
-    three divergence classes it found — under pytest."""
+    divergence classes it found — under pytest."""
     import duckdb
 
     import __ray_entry__ as entrymod
@@ -177,14 +180,15 @@ def test_differential_smoke_one_seed(tmp_path):
     from random_differential import TABLES, compare_one
 
     sf_dir = str(tmp_path / "seed1")
-    generate(1, sf_dir, 0.15)
+    generate(1, sf_dir, 0.15, shards=3)
+    assert os.path.isdir(f"{sf_dir}/documents.parquet")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
         )
     for name in ["q1_pricing_summary", "html_roundtrip_extract",
                  "top_parts_by_price"]:

@@ -86,12 +86,28 @@ def make_words(rng: np.random.Generator, n_words: int, spice: bool) -> str:
     return " ".join(words)
 
 
-def generate(seed: int, out_dir: str, scale: float = 0.5) -> None:
+def generate(seed: int, out_dir: str, scale: float = 0.5, shards: int = 0) -> None:
+    """``shards > 0`` writes each table as a DIRECTORY named
+    ``{name}.parquet/`` holding ``part-{i}.parquet`` shard files (contiguous
+    row slices of the shuffled order) — the layout a multi-node writer
+    produces at 100 TB. The contract path ``{sf_dir}/{t}.parquet`` is
+    unchanged; readers must treat it as file-or-directory."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
     def write(name: str, t: pa.Table) -> None:
-        pq.write_table(shuffle_table(rng, t), f"{out_dir}/{name}.parquet")
+        t = shuffle_table(rng, t)
+        path = f"{out_dir}/{name}.parquet"
+        if shards <= 1:
+            pq.write_table(t, path)
+            return
+        os.makedirs(path, exist_ok=True)
+        per = -(-t.num_rows // shards)
+        for i in range(shards):
+            piece = t.slice(i * per, per)
+            # every shard file exists even when empty: empty-shard handling
+            # is part of what this layout stresses
+            pq.write_table(piece, f"{path}/part-{i:03d}.parquet")
 
     # region / nation ---------------------------------------------------
     write(
@@ -352,9 +368,13 @@ def main() -> None:
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--scale", type=float, default=0.5)
+    ap.add_argument("--shards", type=int, default=0)
     args = ap.parse_args()
-    generate(args.seed, args.out, args.scale)
-    print(f"wrote seed={args.seed} scale={args.scale} -> {args.out}")
+    generate(args.seed, args.out, args.scale, shards=args.shards)
+    print(
+        f"wrote seed={args.seed} scale={args.scale} shards={args.shards} "
+        f"-> {args.out}"
+    )
 
 
 if __name__ == "__main__":

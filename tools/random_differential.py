@@ -160,6 +160,13 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=0.4)
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--keep", action="store_true", help="keep generated dirs")
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="write each table as a directory of N shard files "
+        "(the multi-node 100 TB input layout) instead of one file",
+    )
     args = ap.parse_args()
     seeds = args.seeds if args.seeds is not None else list(range(args.nseeds))
 
@@ -186,12 +193,13 @@ def main() -> None:
         sf_dir = f"/tmp/rdiff/seed{seed}"
         if os.path.isdir(sf_dir):
             shutil.rmtree(sf_dir)
-        generate(seed, sf_dir, args.scale)
+        generate(seed, sf_dir, args.scale, shards=args.shards)
         con = duckdb.connect()
         for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         t0 = time.time()
         bad = 0
