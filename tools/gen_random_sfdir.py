@@ -324,11 +324,21 @@ def generate(seed: int, out_dir: str, scale: float = 0.5, shards: int = 0) -> No
     for _ in range(n_doc // 10):
         a, b = rng.integers(0, n_doc, 2)
         texts[int(a)] = texts[int(b)]
+    # sparse, gappy, CLUSTERED ids — web-scale doc ids are never contiguous:
+    # ~half sit in a dense low cluster (random gaps), the rest far away near
+    # 2^40 (stresses value-range partitioning skew in the prefix-sum /
+    # drill-down paths, and min/max-from-statistics reads). Strictly
+    # increasing keeps them unique; nonnegative keeps % semantics identical
+    # between numpy and SQL (C-style vs floored mod differ on negatives —
+    # negative keys are out of contract, committed testdata is nonnegative).
+    gaps = rng.integers(1, 7, n_doc).astype(np.int64).cumsum()
+    doc_ids = gaps.copy()
+    doc_ids[n_doc // 2 :] += np.int64(1) << 40
     write(
         "documents",
         pa.table(
             {
-                "doc_id": pa.array(range(n_doc), type=pa.int64()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "text": texts,
                 "lang": list(rng.choice(LANGS, n_doc)),
                 "source": [f"src{int(s)}" for s in rng.integers(0, 20, n_doc)],
