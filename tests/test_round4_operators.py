@@ -124,12 +124,18 @@ def test_jsonl_shards_deterministic_and_multi_file():
     import glob
     import hashlib
 
-    from html_parser_ray.pipelines.text_analysis import html_roundtrip_extract_jsonl
+    from html_parser_ray.pipelines.text_analysis import (
+        _corpus_cache_key,
+        html_roundtrip_extract_jsonl,
+    )
 
     _df(html_roundtrip_extract_jsonl(SF))
-    dirs = sorted(glob.glob("/tmp/graft_jsonl_*"))
-    assert dirs
-    shards = sorted(glob.glob(os.path.join(dirs[-1], "*.jsonl")))
+    # derive THIS corpus's cache dir — other harnesses (e.g. the randomized
+    # differential) create sibling /tmp/graft_jsonl_* dirs for their own
+    # corpora, so a glob[-1] grab can inspect the wrong one
+    d = f"/tmp/graft_jsonl_{_corpus_cache_key(f'{SF}/documents.parquet')}"
+    assert os.path.isdir(d)
+    shards = sorted(glob.glob(os.path.join(d, "*.jsonl")))
     assert len(shards) >= 2
     before = [hashlib.md5(open(s, "rb").read()).hexdigest() for s in shards]
     _df(html_roundtrip_extract_jsonl(SF))  # cached: must not rewrite
