@@ -8,10 +8,10 @@ the end-to-end read) cannot run here — the test skips with that reason and
 runs for real wherever ``import lance`` succeeds.
 
 Install was ATTEMPTED in-sandbox (round 3, per VERDICT directive 5;
-RE-ATTEMPTED round 4, 2026-08-18 — byte-identical failure, as was a
-``git clone html5lib-tests`` retry: "Could not resolve host: github.com")
-and is genuinely impossible — the container has no network route to any
-package index. Recorded output of ``pip install pylance`` (2026-08-17):
+RE-ATTEMPTED round 4, 2026-08-18, and round 5, 2026-08-19 — byte-identical
+failure each time, as was a ``git clone html5lib-tests`` retry: "Could not
+resolve host: github.com") and is genuinely impossible — the container has
+no network route to any package index. Recorded output of ``pip install pylance`` (2026-08-17):
 
     WARNING: Retrying (Retry(total=0, ...)) after connection broken by
     'NewConnectionError(... Failed to establish a new connection:
