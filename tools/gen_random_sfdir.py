@@ -52,6 +52,11 @@ VOCAB = (
 )
 UNICODE_WORDS = ["café", "漢字", "naïve", "\U0001f600", "Über", "ещё"]
 MARKUP_BAIT = ["<b>", "&amp;", "a<b", "&#65;", "</div>", "&nbsp;", "x&y"]
+# embedded newlines/CRLF/tabs/form-feeds INSIDE a document's text: stresses
+# CSV quoting, JSONL string escaping, WARC content-length framing, and the
+# whitespace-normalization side of the roundtrip oracle, through every
+# source format
+WS_BAIT = ["a\nb", "line1\r\nline2", "tab\tsep", "x\fy", "多\n行"]
 
 
 def dyadic(rng: np.random.Generator, n: int, lo: float, hi: float, pool: int = 40):
@@ -79,7 +84,14 @@ def make_words(rng: np.random.Generator, n_words: int, spice: bool) -> str:
     if spice and n_words:
         k = int(rng.integers(0, 3))
         for _ in range(k):
-            pool = UNICODE_WORDS if rng.random() < 0.5 else MARKUP_BAIT
+            r = rng.random()
+            pool = (
+                UNICODE_WORDS
+                if r < 0.4
+                else MARKUP_BAIT
+                if r < 0.8
+                else WS_BAIT
+            )
             words[int(rng.integers(0, len(words)))] = pool[
                 int(rng.integers(0, len(pool)))
             ]

@@ -167,13 +167,24 @@ def main() -> None:
         help="write each table as a directory of N shard files "
         "(the multi-node 100 TB input layout) instead of one file",
     )
+    ap.add_argument(
+        "--num-cpus",
+        type=int,
+        default=8,
+        help="Ray session size — results must be IDENTICAL at any "
+        "parallelism (block counts are byte-derived, tiebreaks total), "
+        "so sweeping the same seed at 2 and 32 pins executor-shape "
+        "invariance",
+    )
     args = ap.parse_args()
     seeds = args.seeds if args.seeds is not None else list(range(args.nseeds))
 
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        ray.init(
+            address="local", num_cpus=args.num_cpus, include_dashboard=False
+        )
 
     import __ray_entry__ as entrymod
 
