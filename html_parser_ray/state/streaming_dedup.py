@@ -162,6 +162,13 @@ def streaming_dedup_keep_first(
     the shared-index actor tier: register pass at full map parallelism
     (commutative min-claims — block order free), then a filter pass keeping
     the winners. Same DuckDB oracle as the groupby form."""
+    from html_parser_ray.state.fleet import fit_counts
+
+    # fit the 0.25-CPU shard fleet to the cluster, reserving a full CPU for
+    # the Dataset map tasks that feed it (8 shards = 2.0 CPUs starves the
+    # register pass on a 2-CPU session); winner-per-hash is shard-count
+    # invariant (hash-modulo sharding, min-claim merge)
+    (num_shards,) = fit_counts([num_shards], frac=0.25, reserve=1.0)
     dd = StreamingDeduper(num_shards)
     try:
         ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -449,6 +449,13 @@ def streaming_hopping_counts(
     by MIN across feeders, windows finalize progressively, and the run
     asserts zero late drops (per-feeder in-order delivery + the MIN-combine
     guarantee — so the shared batch oracle stays value-exact)."""
+    from html_parser_ray.state.fleet import fit_counts
+
+    # fit the 0.25-CPU fleet to the cluster (8 shards + 4 feeders = 3.0
+    # CPUs deadlocks a 2-CPU session); results are count-invariant
+    num_shards, num_feeders = fit_counts(
+        [num_shards, num_feeders], frac=0.25, reserve=0.25
+    )
     win = StreamingHoppingWindows(size_s, hop_s, lateness_s, num_shards)
     coord = WatermarkCoordinator.remote(num_feeders)
     feeders = [

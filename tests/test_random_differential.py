@@ -133,6 +133,28 @@ def test_roundtrip_total_over_arbitrary_text():
     prop()
 
 
+def test_fleet_fit_counts_prevents_small_cluster_deadlock():
+    """The 0.25-CPU actor fleets must fit the cluster with producer slack —
+    8 window shards + 4 feeders (3.0 CPUs) deadlocked a 2-CPU session
+    (found by the differential's --num-cpus 2 sweep)."""
+    from html_parser_ray.state.fleet import fit_counts
+
+    # window fleet on a 2-CPU node: fits under 2.0 with feeder slack
+    s, f = fit_counts([8, 4], frac=0.25, reserve=0.25, cpus=2.0)
+    assert s >= 1 and f >= 1
+    assert (s + f) * 0.25 <= 2.0 - 0.25 + 1e-9
+    # dedup shards on a 2-CPU node: a full CPU stays free for map tasks
+    (d,) = fit_counts([8], frac=0.25, reserve=1.0, cpus=2.0)
+    assert 1 <= d <= 4
+    # big cluster: defaults untouched
+    assert fit_counts([8, 4], frac=0.25, reserve=0.25, cpus=32.0) == [8, 4]
+    # unknown cluster: passthrough
+    assert fit_counts([8, 4], cpus=0.0) == [8, 4]
+    # 1-CPU degenerate: never below one actor per group
+    s1, f1 = fit_counts([8, 4], frac=0.25, reserve=0.25, cpus=1.0)
+    assert s1 >= 1 and f1 >= 1
+
+
 def test_jaccard_empty_sets_never_pair():
     """0/0 Jaccard pinned to 0.0 — the SQL shingle CTE gives empty docs a
     [NULL] set and NULL never equals NULL (seed-0 divergence)."""
