@@ -63,9 +63,10 @@ GOLDEN = {
 # Approximate-by-design on adversarial data: their equality oracles hold
 # only when LSH recall is total (true on the committed sf0.01 corpus, where
 # clusters are threshold-separated; documented at the oracle definitions).
-# dedup_clusters_lsh inherits the recall dependence through its pair set and
-# has no one-sided check, so it is skipped outright.
-APPROX_SKIP = {"dedup_clusters_lsh"}
+# dedup_clusters_lsh gets the one-sided FALSE-MERGE check below instead of
+# equality: imperfect recall can only SPLIT exact components, never merge
+# docs that the exact pair graph leaves disconnected.
+APPROX_SKIP: set = set()
 
 # One-sided oracles: false positives are ALWAYS bugs (each op ends in an
 # exact verify), so on random data assert mine ⊆ exact-pairs-SQL even though
@@ -116,6 +117,38 @@ def compare_subset(con, qs, oracles, name: str, sf_dir: str) -> str | None:
     extra = ms - os_
     if extra:
         return f"{len(extra)} false-positive pairs: {sorted(extra)[:5]}"
+    return None
+
+
+def compare_lsh_clusters(con, qs, oracles, sf_dir: str) -> str | None:
+    """One-sided clustering check: every multi-member LSH cluster must lie
+    inside ONE connected component of the EXACT jaccard pair graph
+    (union-find over the ngram_jaccard_dupes oracle result). Recall misses
+    split components — legitimate on adversarial data; merges across
+    components are always bugs (each candidate pair ends in an exact
+    verify, so a false pair can only come from a broken verify or a broken
+    label propagation)."""
+    mine = _to_pandas(qs["dedup_clusters_lsh"](sf_dir)).reset_index(drop=True)
+    pairs = con.execute(oracles["ngram_jaccard_dupes"]).df()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        parent[find(int(a))] = find(int(b))
+    bad = []
+    for cid, grp in mine.groupby("cluster_id"):
+        ids = grp["doc_id"].tolist()
+        if len(ids) > 1 and len({find(int(d)) for d in ids}) > 1:
+            bad.append(int(cid))
+    if bad:
+        return f"{len(bad)} false-merged clusters: {bad[:5]}"
     return None
 
 
@@ -216,7 +249,9 @@ def main() -> None:
         bad = 0
         for name in names:
             try:
-                if name in SUBSET:
+                if name == "dedup_clusters_lsh":
+                    msg = compare_lsh_clusters(con, qs, oracles, sf_dir)
+                elif name in SUBSET:
                     msg = compare_subset(con, qs, oracles, name, sf_dir)
                 elif name in twins:
                     msg = compare_twin(qs, twins[name], name, sf_dir)
