@@ -775,10 +775,17 @@ def label_propagation_clusters(
             feats["label"].to_numpy(), index=feats["__key"].to_numpy()
         )
         lhs = g[~fm]
-        cand = lhs["__key"].map(mapping)
-        out = pd.DataFrame({"node": lhs["node"].to_numpy(), "cand": cand.to_numpy()})
-        out = out.dropna()
-        return out.astype({"node": "int64", "cand": "int64"})
+        # filter-then-map: mapping with ANY missing key returns float64
+        # (NaN), corrupting int64 labels above 2^53 — map only present keys
+        # so the dtype stays int64 end-to-end
+        sub = lhs[lhs["__key"].isin(mapping.index)]
+        cand = sub["__key"].map(mapping)
+        return pd.DataFrame(
+            {
+                "node": sub["node"].to_numpy(),
+                "cand": cand.to_numpy(),
+            }
+        ).astype({"node": "int64", "cand": "int64"})
 
     def min_combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", as_index=False)["cand"].min()

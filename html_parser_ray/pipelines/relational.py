@@ -579,7 +579,8 @@ def shipping_priority(
         )
         agg = raw.groupby("key", as_index=False).sum()
         agg["custkey"] = np.int64(-1)
-        agg["odate"] = np.datetime64("1970-01-01")
+        # unit pinned to [us] so union blocks from both branches agree
+        agg["odate"] = np.zeros(len(agg), dtype="datetime64[us]")
         agg["prio"] = ""
         agg["side"] = np.uint8(0)
         return agg
@@ -591,7 +592,7 @@ def shipping_priority(
                 "key": df["o_orderkey"].astype("int64"),
                 "rev_bp": np.int64(0),
                 "custkey": df["o_custkey"].astype("int64"),
-                "odate": df["o_orderdate"].to_numpy(),
+                "odate": df["o_orderdate"].to_numpy().astype("datetime64[us]"),
                 "prio": df["o_orderpriority"].astype(str),
                 "side": np.uint8(1),
             }
@@ -621,8 +622,8 @@ def shipping_priority(
 
     # out_schema: map_groups output feeds a union (exchange 2) — normalize
     # the 0-row 0-column blocks it emits for group-less input blocks, and pin
-    # the timestamp unit (the lineitem side's scalar odate is [s], the orders
-    # side [ns] — without the cast the union carries drifting block schemas)
+    # the timestamp unit (both tag branches emit [us]; this keeps the
+    # exchange output pinned the same way)
     joined_schema = pa.schema(
         [
             ("o_orderkey", pa.int64()),
@@ -649,7 +650,7 @@ def shipping_priority(
                 "o_orderkey": np.int64(-1),
                 "revenue_bp": np.int64(0),
                 "custkey": keys.astype("int64"),
-                "o_orderdate": np.datetime64("1970-01-01"),
+                "o_orderdate": np.zeros(len(keys), dtype="datetime64[us]"),
                 "o_orderpriority": "",
                 "side": np.uint8(1),
             }
@@ -1483,7 +1484,11 @@ def events_value_outliers(sf_dir: str, z: int = 3) -> pd.DataFrame:
         stats[str(t)] = (n, s, thresh)
     stats_ref = ray.put(stats)
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()), ("cents", pa.int64())]
+    )
+
+    def filt(df: pd.DataFrame) -> "pa.Table":
         st = ray.get(stats_ref)
         cents = _cents(df["value"].to_numpy())
         ids = df["event_id"].to_numpy()
@@ -1506,19 +1511,16 @@ def events_value_outliers(sf_dir: str, z: int = 3) -> pd.DataFrame:
                 out_id.append(int(ids[idx[j]]))
                 out_t.append(t)
                 out_c.append(int(c[j]))
-        return pd.DataFrame(
-            {
-                "event_id": pd.Series(out_id, dtype="int64"),
-                "event_type": pd.Series(out_t, dtype="object"),
-                "cents": pd.Series(out_c, dtype="int64"),
-            }
+        # Arrow output: exact nbytes sizing (an empty pandas block with an
+        # object column trips Ray's np.vectorize size estimator) and a
+        # schema-stable empty block for free.
+        return pa.table(
+            {"event_id": out_id, "event_type": out_t, "cents": out_c},
+            schema=out_schema,
         )
 
     from html_parser_ray.pipelines.shuffle import sort_output
 
-    out_schema = pa.schema(
-        [("event_id", pa.int64()), ("event_type", pa.string()), ("cents", pa.int64())]
-    )
     return sort_output(ds.map_batches(filt, batch_format="pandas"), ["event_id"], out_schema)
 
 

@@ -258,22 +258,57 @@ def partitioned_lookup(
     cheaper than ``Dataset.join`` at small-result scale, where the join's
     per-partition aggregator ACTOR pool startup dominates (5-7s per join for
     256-row joins at 32 CPUs).
+
+    Both union branches emit IDENTICAL column sets (typed sentinel fills for
+    the other side's columns): a mixed-column union NaN-fills at the
+    exchange's concat and silently upcasts int64 to float64, corrupting ids
+    and exact-cents columns above 2^53 — the normal id domain for 64-bit
+    hash keys at web scale.
     """
+    import pyarrow as pa
+
+    def _typed_empty(ds: "ray.data.Dataset") -> pd.DataFrame:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            return base.empty_table().to_pandas()
+        return pd.DataFrame(
+            {n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)}
+        )
+
+    l_tmpl = _typed_empty(left)
+    for reserved in ("__key", "__feat"):
+        if reserved in l_tmpl.columns:
+            raise ValueError(
+                f"partitioned_lookup: left input has a {reserved!r} column "
+                "(reserved for the exchange bookkeeping); rename it first"
+            )
+    v_dtype = _typed_empty(right)[value_col].dtype
+    left_cols = [c for c in l_tmpl.columns if c != new_col]
+    l_dtypes = l_tmpl.dtypes
+
+    def _fill(n: int, dtype) -> np.ndarray:
+        if dtype == object:
+            return np.full(n, "", dtype=object)
+        return np.zeros(n, dtype)
 
     # __key MUST be one dtype on both sides: hash_pandas_object hashes the
     # raw representation, so int64(101) and float64(101.0) land in different
-    # partitions (and a prior lookup's concat-alignment upcasts ints to float)
+    # partitions
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(__key=df[key_col].astype("int64"))
+        out = {c: df[c] for c in left_cols}
+        out[new_col] = _fill(len(df), v_dtype)
+        out["__key"] = df[key_col].astype("int64")
+        out["__feat"] = np.uint8(0)
+        return pd.DataFrame(out)
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "__key": df[right_key].astype("int64"),
-                new_col: df[value_col],
-                "__feat": np.uint8(1),
-            }
-        )
+        n = len(df)
+        out = {c: _fill(n, l_dtypes[c]) for c in left_cols}
+        out[new_col] = df[value_col].to_numpy()
+        out["__key"] = df[right_key].astype("int64").to_numpy()
+        out["__feat"] = np.full(n, 1, dtype=np.uint8)
+        return pd.DataFrame(out)
 
     u = left.map_batches(tag_left, batch_format="pandas").union(
         right.map_batches(tag_right, batch_format="pandas")
@@ -281,7 +316,7 @@ def partitioned_lookup(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         if "__feat" in g.columns:
-            fm = g["__feat"].notna()
+            fm = g["__feat"] == 1
         else:
             fm = pd.Series(False, index=g.index)
         feats = g[fm]

@@ -129,3 +129,60 @@ def test_partitioned_lookup_primitive():
         left_prep=lambda df: df.drop_duplicates(subset=["k"]),
     ).to_pandas()
     assert sorted(out2["k"].astype(int).tolist()) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_lookup_exact_above_2_53():
+    """64-bit id-domain safety: a mixed-column union NaN-fills at the
+    exchange concat and upcasts int64 to float64, silently corrupting ids
+    and exact-cents payloads above 2^53 (the normal domain for 64-bit hash
+    keys at web scale). The harmonized-columns union must keep every int64
+    column exact end-to-end."""
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import partitioned_lookup
+
+    big = (1 << 62) + 1  # not representable in float64
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [big, 5, 9], "payload": [big, 7, 8]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"rk": [big, 5], "v": [big - 1, 20]})
+    )
+    out = (
+        partitioned_lookup(left, "k", right, "rk", "v", "v", 4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.dtypes.astype(str).tolist() == ["int64"] * 3
+    assert out["k"].tolist() == [5, big]
+    assert out["payload"].tolist() == [7, big]
+    assert out["v"].tolist() == [20, big - 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_lookup_rejects_reserved_columns():
+    import ray.data
+
+    from html_parser_ray.pipelines.shuffle import partitioned_lookup
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1], "__feat": [1]}))
+    right = ray.data.from_pandas(pd.DataFrame({"rk": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="reserved"):
+        partitioned_lookup(left, "k", right, "rk", "v", "val", 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_exact_above_2_53():
+    """Same 64-bit cliff in the clustering attach: `.map` over a mapping
+    with ANY missing key returns float64, so labels above 2^53 round to the
+    wrong id. Filter-then-map keeps int64 end-to-end."""
+    big = 1 << 62
+    ids = [big + 1, big + 3, big + 5, 7]
+    pairs_df = pd.DataFrame(
+        {"doc_a": [big + 1, big + 3], "doc_b": [big + 3, big + 5]}
+    )
+    lp = _df(label_propagation_clusters(pairs_df, _docs_ds(ids)))
+    got = dict(zip(lp["doc_id"], lp["cluster_id"]))
+    assert got == {big + 1: big + 1, big + 3: big + 1, big + 5: big + 1, 7: 7}
