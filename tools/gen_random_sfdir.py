@@ -337,15 +337,19 @@ def generate(seed: int, out_dir: str, scale: float = 0.5, shards: int = 0) -> No
         a, b = rng.integers(0, n_doc, 2)
         texts[int(a)] = texts[int(b)]
     # sparse, gappy, CLUSTERED ids — web-scale doc ids are never contiguous:
-    # ~half sit in a dense low cluster (random gaps), the rest far away near
+    # ~half sit in a dense low cluster (random gaps), a quarter far away near
     # 2^40 (stresses value-range partitioning skew in the prefix-sum /
-    # drill-down paths, and min/max-from-statistics reads). Strictly
+    # drill-down paths, and min/max-from-statistics reads), and the top
+    # quarter near 2^62 — ABOVE the float64-exact ceiling (2^53), so any
+    # exchange that lets an id touch float64 (NaN-fill upcast, map-with-
+    # missing) corrupts it and diverges from the oracle. Strictly
     # increasing keeps them unique; nonnegative keeps % semantics identical
     # between numpy and SQL (C-style vs floored mod differ on negatives —
     # negative keys are out of contract, committed testdata is nonnegative).
     gaps = rng.integers(1, 7, n_doc).astype(np.int64).cumsum()
     doc_ids = gaps.copy()
     doc_ids[n_doc // 2 :] += np.int64(1) << 40
+    doc_ids[(3 * n_doc) // 4 :] += np.int64(1) << 62
     write(
         "documents",
         pa.table(
