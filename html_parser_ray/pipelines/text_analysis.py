@@ -844,14 +844,21 @@ def doc_pack_assignments(
             Min("doc_id"), Max("doc_id")
         )
         lo, hi = agg["min(doc_id)"], agg["max(doc_id)"]
+    # Python-int span/width: ids are 64-bit hash keys at web scale, so hi-lo
+    # can approach 2^63 — `(ids-lo) * num_ranges` would overflow int64 into
+    # negative range ids (multiply-before-divide). Divide-first by a
+    # precomputed ceil width is overflow-free ((ids-lo) <= span-1 fits
+    # int64) and stays monotone in doc_id, which is all phases 1+2 need.
+    lo, hi = int(lo), int(hi)
     span = max(1, hi - lo + 1)
+    width = min(max(1, (span + num_ranges - 1) // num_ranges), (1 << 63) - 1)
 
     ds = read_table(path, columns=["doc_id", "text"])
 
     def slim(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
         toks = [textfns.sql_token_count(t) for t in df["text"]]
-        rng = ((ids - lo) * num_ranges // span).astype("int64")
+        rng = ((ids - lo) // width).clip(upper=num_ranges - 1).astype("int64")
         return pd.DataFrame(
             {"range_id": rng, "doc_id": ids, "n_tokens": pd.Series(toks, dtype="int64")}
         )

@@ -389,3 +389,37 @@ def test_sort_output_large_path_normalizes_empty_blocks():
     rows = out.take(3)
     assert [r["v"] for r in rows] == sorted(r["v"] for r in rows)
     assert set(rows[0].keys()) == {"k", "v"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_pack_assignments_near_int64_ceiling(tmp_path):
+    """Overflow pin (r5 differential, seed 201): range bucketing was
+    ``(ids - lo) * num_ranges // span`` — multiply-before-divide, which
+    wraps int64 when the id span approaches 2^63 (64-bit hash keys at web
+    scale) and scatters the top ids into NEGATIVE range ids, breaking the
+    prefix-sum order. The divide-first form must reproduce the serial
+    layout on ids within 2^41 of the int64 ceiling."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.pipelines.text_analysis import doc_pack_assignments
+
+    top = (1 << 63) - 1
+    ids = np.array(
+        [5, 11, (1 << 40) + 3, (1 << 62) + 7, top - 9, top - 2], dtype=np.int64
+    )
+    texts = ["a b c", "d e", "f g h i", "j", "k l m", "n o"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    out = doc_pack_assignments(str(tmp_path), budget_tokens=4)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    order = np.argsort(ids)
+    ntok = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)[order]
+    before = np.concatenate([[0], ntok.cumsum()[:-1]])
+    assert df["doc_id"].tolist() == ids[order].tolist()
+    assert df["n_tokens"].tolist() == ntok.tolist()
+    assert df["pack_id"].tolist() == (before // 4).tolist()

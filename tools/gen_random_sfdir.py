@@ -342,7 +342,10 @@ def generate(seed: int, out_dir: str, scale: float = 0.5, shards: int = 0) -> No
     # drill-down paths, and min/max-from-statistics reads), and the top
     # quarter near 2^62 — ABOVE the float64-exact ceiling (2^53), so any
     # exchange that lets an id touch float64 (NaN-fill upcast, map-with-
-    # missing) corrupts it and diverges from the oracle. Strictly
+    # missing) corrupts it and diverges from the oracle — with the top
+    # EIGHTH pushed further, near the int64 ceiling 2^63-1 (64-bit hash
+    # keys occupy the full signed-positive range at web scale; overflow in
+    # range-partition width/offset arithmetic only shows there). Strictly
     # increasing keeps them unique; nonnegative keeps % semantics identical
     # between numpy and SQL (C-style vs floored mod differ on negatives —
     # negative keys are out of contract, committed testdata is nonnegative).
@@ -350,6 +353,9 @@ def generate(seed: int, out_dir: str, scale: float = 0.5, shards: int = 0) -> No
     doc_ids = gaps.copy()
     doc_ids[n_doc // 2 :] += np.int64(1) << 40
     doc_ids[(3 * n_doc) // 4 :] += np.int64(1) << 62
+    # lands in [2^63 - 2^41, 2^63 - 2^41 + 2^62-ish... ] — max id is
+    # 2^62 + (2^62 - 2^41) + 6*n_doc < 2^63 - 1: no generator-side overflow
+    doc_ids[(7 * n_doc) // 8 :] += (np.int64(1) << 62) - (np.int64(1) << 41)
     write(
         "documents",
         pa.table(
