@@ -699,10 +699,18 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(a.sh || b.sh)) >= 0.5 "
             "ORDER BY 1, 2"
         ),
+        # DOUBLE[] casts state the engine's precision contract: the Ray side
+        # upcasts float32 embeddings to float64 before scoring, and DuckDB's
+        # list_cosine_similarity accumulates in the LIST's element type —
+        # on the raw FLOAT[] column it computes in float32, whose ~6e-8 ulp
+        # can FLIP the true order of near-tied cosines (randomized
+        # differential, seed 307: exact math and the float64 engine agreed;
+        # the float32 oracle disagreed)
         "embedding_neardup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.9 "
             "ORDER BY 1, 2"
         ),
         # LSH near-dup can only MISS pairs relative to the all-pairs exact op,
@@ -712,14 +720,16 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.9 "
             "ORDER BY 1, 2"
         ),
         "knn_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
             "ORDER BY vec_id LIMIT 5), "
             "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
-            "list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS cosine "
             "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
             "r AS (SELECT query_id, neighbor_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) "

@@ -423,3 +423,99 @@ def test_doc_pack_assignments_near_int64_ceiling(tmp_path):
     assert df["doc_id"].tolist() == ids[order].tolist()
     assert df["n_tokens"].tolist() == ntok.tolist()
     assert df["pack_id"].tolist() == (before // 4).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_near_tie_order_is_float64_and_oracle_agrees(tmp_path):
+    """Oracle-precision pin (r5 differential, seed 307): DuckDB's
+    ``list_cosine_similarity`` accumulates in the list's ELEMENT type, so
+    on the raw ``FLOAT[]`` embedding column it scores in float32 — whose
+    ~6e-8 ulp can flip the true order of near-tied cosines. The engine
+    upcasts to float64 before scoring (``similarity.py``), and the oracle
+    SQL must state the same precision via ``CAST(... AS DOUBLE[])``.
+
+    This test plants two neighbors whose float64 cosines to the query are
+    DISTINCT but within one float32 ulp (deterministic search over a
+    rotation angle), with the truly-closer neighbor carrying the HIGHER
+    vec_id — so a float32 tie + id-ASC tiebreak would rank them backwards.
+    It then requires (a) the engine order equals exact-rational math and
+    (b) the committed oracle SQL reproduces the engine frame exactly."""
+    from fractions import Fraction
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from html_parser_ray.pipelines.similarity import knn_topk
+
+    dim = 64
+    q = np.full(dim, 1.0)
+    q /= np.linalg.norm(q)
+    r = np.zeros(dim)
+    r[0] = 1.0
+    r -= r.dot(q) * q
+    r /= np.linalg.norm(r)
+    q32 = q.astype(np.float32)
+
+    def cos64(v32: np.ndarray) -> float:
+        a = v32.astype(np.float64)
+        b = q32.astype(np.float64)
+        au = a / np.sqrt((a * a).sum())
+        bu = b / np.sqrt((b * b).sum())
+        return float((au * bu).sum())
+
+    base = 0.905
+    planted = None
+    for i in range(1, 400):
+        ca, cb = base, base + i * 1e-9
+        a32 = (ca * q + np.sqrt(1 - ca * ca) * r).astype(np.float32)
+        b32 = (cb * q + np.sqrt(1 - cb * cb) * r).astype(np.float32)
+        fa, fb = cos64(a32), cos64(b32)
+        if fa != fb and np.float32(fa) == np.float32(fb):
+            planted = (a32, b32) if fa > fb else (b32, a32)
+            break
+    assert planted is not None, "search failed to produce a float32 near-tie"
+    lo32, hi32 = planted  # lo32 = truly-closer vector -> gets the HIGHER id
+
+    # exact-rational confirmation that the float64 ordering is the true one
+    def exact_cos2(v32: np.ndarray):
+        av = [Fraction(float(x)) for x in v32]
+        bv = [Fraction(float(x)) for x in q32]
+        num = sum(x * y for x, y in zip(av, bv))
+        den = sum(x * x for x in av) * sum(y * y for y in bv)
+        return num * num / den, num > 0
+
+    (c2_hi_id, pos1), (c2_lo_id, pos2) = exact_cos2(lo32), exact_cos2(hi32)
+    assert pos1 and pos2 and c2_hi_id > c2_lo_id
+
+    vecs = [q32, hi32, lo32]  # vec_id 2 (lo32) is truly closer than vec_id 1
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 0, 0], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    out = knn_topk(str(tmp_path)).reset_index(drop=True)
+    q0 = out[out["query_id"] == 0]
+    assert q0["neighbor_id"].tolist() == [2, 1], (
+        "engine must rank by float64 cosine, not a float32 tie + id ASC"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    oracle = con.execute(entrymod.oracle_sql()["knn_topk"]).df()
+    pd.testing.assert_frame_equal(
+        out.astype({c: oracle[c].dtype for c in oracle.columns}), oracle
+    )
