@@ -8,12 +8,16 @@ adversarial twin: any divergence it finds on data the committed oracles
 never exercise is a real semantics bug or an under-pinned tiebreak.
 
 Golden-backed queries whose committed parquet encodes sf0.01 are covered
-via their SERIAL TWINS instead (gen_goldens.py recomputes the expected
-frame on the random dir): langid_counts, doc_fingerprints,
-minhash_lsh_dupes, simhash_dupes. Still excluded: extract_corpus* and
-media_* (fixed seeded corpora, not sf-dependent) and the lsh/ivf kNN
-regression pins (the pin IS the pipeline's own output; the exact-kNN
-ordering semantics they share is covered by knn_topk).
+via their SERIAL TWINS instead (gen_goldens.py / independent_twins.py
+recompute the expected frame on the random dir): langid_counts,
+doc_fingerprints, minhash_lsh_dupes, simhash_dupes, events_user_hll,
+ngram_topk_cms. The approximate kNN paths (lsh_knn_topk, ivf_knn_topk)
+get a ONE-SIDED rank-consistency check: recall may drop on adversarial
+data, but every returned (query, neighbor, rank) must order exactly by
+(true float64 cosine DESC, neighbor_id) with contiguous ranks and no
+self-matches — the bug class the r5 gemv divergence lived in. Still
+excluded: extract_corpus* and media_* (fixed seeded corpora, not
+sf-dependent).
 
 Usage:
     python tools/random_differential.py --seeds 0 1 2 3 --scale 0.4
@@ -52,13 +56,15 @@ GOLDEN = {
     "doc_fingerprints",
     "minhash_lsh_dupes",
     "simhash_dupes",
-    "lsh_knn_topk",
-    "ivf_knn_topk",
     "media_image_features",
     "media_audio_features",
     "media_frame_samples",
     "media_layout_features",
 }
+
+# Approximate kNN: recall on adversarial data is not contractual, but the
+# emitted ranking must be internally exact — see compare_knn_rank.
+APPROX_RANK = {"lsh_knn_topk", "ivf_knn_topk"}
 
 # Approximate-by-design on adversarial data: their equality oracles hold
 # only when LSH recall is total (true on the committed sf0.01 corpus, where
@@ -88,12 +94,35 @@ def _twin_oracles():
         gen_minhash_lsh,
         gen_simhash,
     )
+    from independent_twins import cms_topk_estimates, hll_estimate_users
+
+    def _read(d: str, table: str, columns: list) -> pd.DataFrame:
+        import pyarrow.dataset as pads
+
+        return (
+            pads.dataset(os.path.join(d, f"{table}.parquet"))
+            .to_table(columns=columns)
+            .to_pandas()
+        )
+
+    def _hll(d: str) -> pd.DataFrame:
+        ev = _read(d, "events", ["event_type", "user_id"])
+        return (
+            hll_estimate_users(ev)
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+
+    def _cms(d: str) -> pd.DataFrame:
+        return cms_topk_estimates(_read(d, "documents", ["doc_id", "text"]))
 
     return {
         "langid_counts": lambda d: gen_langid_counts(sf_dir=d),
         "doc_fingerprints": lambda d: gen_doc_fingerprints(sf_dir=d),
         "minhash_lsh_dupes": lambda d: gen_minhash_lsh(sf_dir=d),
         "simhash_dupes": lambda d: gen_simhash(sf_dir=d),
+        "events_user_hll": _hll,
+        "ngram_topk_cms": _cms,
     }
 
 
@@ -149,6 +178,49 @@ def compare_lsh_clusters(con, qs, oracles, sf_dir: str) -> str | None:
             bad.append(int(cid))
     if bad:
         return f"{len(bad)} false-merged clusters: {bad[:5]}"
+    return None
+
+
+def compare_knn_rank(con, qs, name: str, sf_dir: str) -> str | None:
+    """One-sided check for approximate kNN: whatever candidate set the
+    LSH/IVF probe surfaced, the emitted (rank) ordering must be EXACTLY the
+    (float64 cosine DESC, neighbor_id ASC) ordering of that set, with
+    contiguous 1..m ranks, distinct neighbors, and no self-matches.
+    Recall losses are legitimate on adversarial data (probe geometry), but
+    any scoring or tie-break slip is a bug — the class the round-5 gemv
+    partial-sum divergence lived in."""
+    mine = _to_pandas(qs[name](sf_dir)).reset_index(drop=True)
+    if (mine["query_id"] == mine["neighbor_id"]).any():
+        return "self-match emitted"
+    for qid, grp in mine.groupby("query_id"):
+        ranks = sorted(grp["rank"].tolist())
+        if ranks != list(range(1, len(grp) + 1)):
+            return f"query {qid}: ranks not contiguous ({ranks[:12]})"
+        if grp["neighbor_id"].nunique() != len(grp):
+            return f"query {qid}: duplicate neighbors"
+    con.register("knn_pairs", mine)
+    scored = con.execute(
+        'SELECT p.query_id, p.neighbor_id, p."rank" AS r, '
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) AS cosine "
+        "FROM knn_pairs p "
+        "JOIN embeddings a ON a.vec_id = p.query_id "
+        "JOIN embeddings b ON b.vec_id = p.neighbor_id"
+    ).df()
+    con.unregister("knn_pairs")
+    if len(scored) != len(mine):
+        return f"join lost rows: {len(scored)} != {len(mine)} (bad vec ids)"
+    scored = scored.sort_values(
+        ["query_id", "cosine", "neighbor_id"],
+        ascending=[True, False, True],
+    )
+    expect = scored.groupby("query_id").cumcount() + 1
+    bad = scored[scored["r"].to_numpy() != expect.to_numpy()]
+    if len(bad):
+        return (
+            f"{len(bad)} rank inversions vs exact cosine order:\n"
+            f"{bad.head(3)}"
+        )
     return None
 
 
@@ -230,6 +302,7 @@ def main() -> None:
         if (n in oracles and n not in GOLDEN and n not in APPROX_SKIP)
         or n in SUBSET
         or n in twins
+        or n in APPROX_RANK
     ]
 
     failures: list[tuple[int, str, str]] = []
@@ -251,6 +324,8 @@ def main() -> None:
             try:
                 if name == "dedup_clusters_lsh":
                     msg = compare_lsh_clusters(con, qs, oracles, sf_dir)
+                elif name in APPROX_RANK:
+                    msg = compare_knn_rank(con, qs, name, sf_dir)
                 elif name in SUBSET:
                     msg = compare_subset(con, qs, oracles, name, sf_dir)
                 elif name in twins:
