@@ -199,7 +199,13 @@ def test_differential_smoke_one_seed(tmp_path):
 
     import __ray_entry__ as entrymod
     from gen_random_sfdir import generate
-    from random_differential import TABLES, compare_one
+    from random_differential import (
+        TABLES,
+        _twin_oracles,
+        compare_knn_rank,
+        compare_one,
+        compare_twin,
+    )
 
     sf_dir = str(tmp_path / "seed1")
     generate(1, sf_dir, 0.15, shards=3)
@@ -216,4 +222,11 @@ def test_differential_smoke_one_seed(tmp_path):
                  "top_parts_by_price"]:
         msg = compare_one(con, qs, oracles, name, sf_dir)
         assert msg is None, f"{name}: {msg}"
+    # the two non-equality check types: approximate-kNN rank consistency
+    # (one-sided vs exact float64 cosines) and a serial sketch twin
+    msg = compare_knn_rank(con, qs, "lsh_knn_topk", sf_dir)
+    assert msg is None, f"lsh_knn_topk: {msg}"
+    twins = _twin_oracles()
+    msg = compare_twin(qs, twins["events_user_hll"], "events_user_hll", sf_dir)
+    assert msg is None, f"events_user_hll: {msg}"
     con.close()
