@@ -142,6 +142,92 @@ def test_multi_feeder_concurrent_matches_batch_oracle():
     )
 
 
+def test_out_of_contract_input_raises_deterministically(tmp_path):
+    """Input whose per-feeder streams regress in event time beyond the
+    allowed lateness violates the bounded-disorder ingest contract and must
+    raise a ValueError naming the contract — DETERMINISTICALLY. (Before the
+    fix, whether such input tripped the zero-drop assert depended on a
+    watermark-report scheduling race: the randomized differential's
+    shuffled generator passed on seed 9001 and failed on 9002/9003.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.state.streaming_window import streaming_hopping_counts
+
+    # descending time blocks: EVERY feeder's slice regresses by ~10_000s
+    # between consecutive batches, far over lateness_s=50
+    n = 160
+    ts_s = np.repeat(np.arange(8)[::-1] * 10_000, 20) + np.tile(
+        np.arange(20), 8
+    )
+    f = tmp_path / "events.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us")),
+                "event_type": pa.array(["t"] * n),
+                "value": pa.array(np.ones(n)),
+            }
+        ),
+        f,
+    )
+    with pytest.raises(ValueError, match="bounded-disorder ingest contract"):
+        streaming_hopping_counts(
+            str(tmp_path), size_s=100, hop_s=50, lateness_s=50,
+            num_shards=2, batch_rows=20, num_feeders=2,
+        )
+
+
+def test_multi_feeder_bounded_disorder_within_lateness_is_exact(tmp_path):
+    """The zero-late-drop guarantee's actual precondition is per-feeder
+    disorder <= lateness_s, not strict sortedness: a jittered stream whose
+    regressions stay under the allowed lateness must reproduce the
+    order-free truth exactly through the CONCURRENT multi-feeder path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_ray.state.streaming_window import streaming_hopping_counts
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    base = np.sort(rng.randint(0, 400_000, size=n))
+    ts_s = np.maximum(0, base - rng.randint(0, 180, size=n))  # disorder < 180
+    types = np.array(["a", "b"])[rng.randint(0, 2, size=n)]
+    value = rng.randint(0, 5000, size=n) / 100.0
+    f = tmp_path / "events.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts_s * 1_000_000, type=pa.timestamp("us")),
+                "event_type": pa.array(types.tolist()),
+                "value": pa.array(value),
+            }
+        ),
+        f,
+        row_group_size=250,  # 12 row groups -> real row-group assignment
+    )
+    got = streaming_hopping_counts(
+        str(tmp_path), size_s=100, hop_s=50, lateness_s=200,
+        num_shards=4, batch_rows=125, num_feeders=4,
+    )
+    rows = []
+    for t, typ, v in zip(ts_s, types, value):
+        b = (t // 50) * 50
+        cents = int(round(v * 100))
+        for o in (0, 50):
+            rows.append({"win_start_s": b - o, "event_type": typ, "c": cents})
+    truth = (
+        pd.DataFrame(rows)
+        .groupby(["win_start_s", "event_type"], as_index=False)
+        .agg(n_events=("c", "size"), sum_value_cents=("c", "sum"))
+        .sort_values(["win_start_s", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: truth[c].dtype for c in truth.columns}), truth
+    )
+
+
 def test_multi_feeder_disordered_shards_match_batch_truth(tmp_path):
     """Disordered shards: each feeder's sub-stream is time-ordered but the
     PARTITIONS cover wildly different time ranges (contiguous time slices

@@ -82,6 +82,49 @@ SUBSET = {
     "embedding_neardup_lsh": "embedding_neardup_pairs",
 }
 
+# Streaming ingest queries contractually require per-feeder BOUNDED
+# DISORDER (event time regresses at most lateness_s within a partition —
+# the ordering guarantee a log source provides). The generator deliberately
+# shuffles row order, which violates that contract and now raises a
+# deterministic ValueError (it used to be a scheduling race on the drop
+# count — found by seeds 9002/9003). Run these on a TIME-SORTED events twin
+# instead: identical relation (the SQL oracle result is unchanged), only
+# the physical order is normalized to what any streaming ingest layer
+# guarantees — the adversarial VALUES (hot keys, hour-boundary bait,
+# duplicate (user, ts) pairs, exact-gap pairs) still flow through.
+STREAM_SORTED = {"streaming_hopping_counts"}
+
+
+def _sorted_events_twin(sf_dir: str) -> str:
+    """Materialize ``{sf_dir}-stream/events.parquet`` with events sorted by
+    ts, preserving the source's sharded-directory layout (range-contiguous
+    shards, name-ordered by time — exercising the one-file-per-feeder
+    assignment path in-contract)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    twin = f"{sf_dir}-stream"
+    ev_out = os.path.join(twin, "events.parquet")
+    if os.path.exists(ev_out):
+        return twin
+    src = os.path.join(sf_dir, "events.parquet")
+    t = pads.dataset(src, format="parquet").to_table()
+    t = t.sort_by("ts")
+    if os.path.isdir(src):
+        nshards = len(
+            [f for f in os.listdir(src) if f.endswith(".parquet")]
+        )
+        os.makedirs(ev_out, exist_ok=True)
+        per = -(-t.num_rows // nshards)
+        for i in range(nshards):
+            pq.write_table(
+                t.slice(i * per, per), f"{ev_out}/part-{i:03d}.parquet"
+            )
+    else:
+        os.makedirs(twin, exist_ok=True)
+        pq.write_table(t, ev_out)
+    return twin
+
 # Golden-backed queries whose committed oracle is meaningless on random
 # input, but whose SERIAL TWIN (tools/gen_goldens.py — the same function
 # that produced the committed golden) can recompute the expected frame on
@@ -330,6 +373,16 @@ def main() -> None:
                     msg = compare_subset(con, qs, oracles, name, sf_dir)
                 elif name in twins:
                     msg = compare_twin(qs, twins[name], name, sf_dir)
+                elif name in STREAM_SORTED:
+                    # oracle over the original dir (same relation), Ray
+                    # side over the in-contract time-sorted ingest twin
+                    mine = _to_pandas(
+                        qs[name](_sorted_events_twin(sf_dir))
+                    ).reset_index(drop=True)
+                    oracle = con.execute(oracles[name]).df().reset_index(
+                        drop=True
+                    )
+                    msg = _compare_frames(mine, oracle)
                 else:
                     msg = compare_one(con, qs, oracles, name, sf_dir)
             except Exception as e:  # noqa: BLE001
@@ -345,6 +398,7 @@ def main() -> None:
         )
         if not args.keep and not bad:
             shutil.rmtree(sf_dir, ignore_errors=True)
+            shutil.rmtree(f"{sf_dir}-stream", ignore_errors=True)
 
     ray.shutdown()
     if failures:
