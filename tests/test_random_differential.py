@@ -230,3 +230,15 @@ def test_differential_smoke_one_seed(tmp_path):
     msg = compare_twin(qs, twins["events_user_hll"], "events_user_hll", sf_dir)
     assert msg is None, f"events_user_hll: {msg}"
     con.close()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_differential_split_parity_one_seed():
+    """The seed-randomized corpus invariant (split/reassembly output ==
+    non-split output, tools/random_differential.py check_split_parity) runs
+    in-suite on one seed so the check itself stays green under pytest; the
+    fixed-shape parity pin lives in tests/test_pipeline_ray.py."""
+    from random_differential import check_split_parity
+
+    msg = check_split_parity(1)
+    assert msg is None, msg

@@ -125,6 +125,52 @@ def _sorted_events_twin(sf_dir: str) -> str:
         pq.write_table(t, ev_out)
     return twin
 
+
+def check_split_parity(seed: int) -> str | None:
+    """The giant-doc split/reassembly path's contract is an ENGINE
+    INVARIANT: split output equals non-split output span-for-span. The
+    committed test pins it at ONE corpus shape (seed 42, 12 docs,
+    tests/test_pipeline_ray.py); here the same invariant runs per
+    differential seed over a RANDOMIZED corpus — doc count, giant-doc
+    cadence/size/span-count, split thresholds and batch size all drawn
+    from the seed — so the fragment-boundary bookkeeping and the
+    reassembly shuffle face shapes the fixed test never exercises."""
+    import numpy as np
+    import ray.data
+
+    from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+    from html_parser_ray.sources.corpus import generate_documents
+
+    rng = np.random.RandomState(seed % (2**31))
+    n = int(rng.randint(30, 80))
+    t = generate_documents(
+        n,
+        seed=seed,
+        giant_doc_every=int(rng.randint(3, 9)),
+        giant_doc_html_bytes=int(rng.choice([20_000, 60_000, 150_000])),
+        giant_doc_spans=int(rng.choice([24, 60, 150])),
+    )
+    bs = int(rng.choice([2, 5, 16, 64]))
+    direct = build_extraction_pipeline(
+        ray.data.from_arrow(t), batch_size=bs
+    ).take_all()
+    split = build_extraction_pipeline(
+        ray.data.from_arrow(t),
+        split_giant_docs=True,
+        split_max_bytes=int(rng.choice([4_000, 8_000, 25_000])),
+        split_max_spans=int(rng.choice([4, 16, 48])),
+        batch_size=bs,
+    ).take_all()
+    d1 = {r["doc_id"]: r["spans_out"] for r in direct}
+    d2 = {r["doc_id"]: r["spans_out"] for r in split}
+    if set(d1) != set(d2):
+        return f"doc set mismatch: {len(d1)} direct vs {len(d2)} split"
+    for k in sorted(d1):
+        if d1[k] != d2[k]:
+            return f"spans_out diverge for {k} (n={n}, batch_size={bs})"
+    return None
+
+
 # Golden-backed queries whose committed oracle is meaningless on random
 # input, but whose SERIAL TWIN (tools/gen_goldens.py — the same function
 # that produced the committed golden) can recompute the expected frame on
@@ -392,8 +438,21 @@ def main() -> None:
                 failures.append((seed, name, msg))
                 print(f"FAIL seed={seed} {name}: {msg}")
         con.close()
+        total = len(names)
+        if args.queries is None:
+            # full sweep: also run the seed-randomized corpus invariant
+            # (engine-vs-engine, independent of the sf_dir tables)
+            total += 1
+            try:
+                msg = check_split_parity(seed)
+            except Exception as e:  # noqa: BLE001
+                msg = f"EXCEPTION {type(e).__name__}: {e}"
+            if msg is not None:
+                bad += 1
+                failures.append((seed, "corpus_split_parity", msg))
+                print(f"FAIL seed={seed} corpus_split_parity: {msg}")
         print(
-            f"seed={seed}: {len(names) - bad}/{len(names)} green "
+            f"seed={seed}: {total - bad}/{total} green "
             f"in {time.time() - t0:.1f}s"
         )
         if not args.keep and not bad:
@@ -406,7 +465,8 @@ def main() -> None:
         for seed, name, msg in failures:
             print(f"  seed={seed} {name}: {msg.splitlines()[0]}")
         sys.exit(1)
-    print(f"\nALL GREEN: {len(names)} queries x {len(seeds)} seeds")
+    extra = 1 if args.queries is None else 0
+    print(f"\nALL GREEN: {len(names) + extra} checks x {len(seeds)} seeds")
 
 
 if __name__ == "__main__":
