@@ -242,3 +242,15 @@ def test_differential_split_parity_one_seed():
 
     msg = check_split_parity(1)
     assert msg is None, msg
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_differential_resume_parity_one_seed():
+    """The seed-randomized crash-resume invariant (checkpointed extraction
+    with a random lost-manifest subset == direct pipeline, value-exact;
+    tools/random_differential.py check_resume_parity) runs in-suite on one
+    seed; the fixed-shape pins live in tests/test_checkpoint.py."""
+    from random_differential import check_resume_parity
+
+    msg = check_resume_parity(1)
+    assert msg is None, msg

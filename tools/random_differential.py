@@ -171,6 +171,71 @@ def check_split_parity(seed: int) -> str | None:
     return None
 
 
+def check_resume_parity(seed: int) -> str | None:
+    """Crash-resume ENGINE INVARIANT: a checkpointed extraction that loses
+    a random subset of its partition manifests and resumes must produce the
+    same output, span-for-span, as the direct (non-checkpointed) pipeline
+    over the same corpus. The committed tests pin this at one shape and
+    compare doc_ids only after a crash (tests/test_checkpoint.py); here the
+    corpus, file layout, partition/wave geometry, and the crash set are all
+    seed-drawn, and the comparison is value-exact."""
+    import tempfile
+
+    import numpy as np
+    import ray.data
+
+    from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+    from html_parser_ray.sources.corpus import generate_documents, write_corpus_parquet
+    from html_parser_ray.state.checkpoint import (
+        completed_partitions,
+        read_extraction_output,
+        run_resumable_extraction,
+    )
+
+    rng = np.random.RandomState((seed ^ 0x5E5) % (2**31))
+    n = int(rng.randint(30, 80))
+    num_parts = int(rng.choice([3, 4, 6]))
+    with tempfile.TemporaryDirectory(prefix="rdiff_resume_") as td:
+        inp, out = os.path.join(td, "corpus"), os.path.join(td, "out")
+        write_corpus_parquet(
+            inp, n, seed=seed, rows_per_file=int(rng.choice([7, 20, 64]))
+        )
+        run_resumable_extraction(
+            inp, out, num_partitions=num_parts,
+            wave_size=int(rng.choice([2, num_parts])), batch_size=16,
+        )
+        # crash: lose a random nonempty proper subset of the manifests
+        lost = rng.choice(
+            num_parts, size=int(rng.randint(1, num_parts)), replace=False
+        )
+        for p in lost:
+            os.remove(os.path.join(out, "_manifest", f"part-{p}.json"))
+        res = run_resumable_extraction(
+            inp, out, num_partitions=num_parts,
+            wave_size=int(rng.choice([2, num_parts])), batch_size=16,
+        )
+        if res["partitions_done"] != len(lost):
+            return (
+                f"resume redid {res['partitions_done']} partitions, "
+                f"expected {len(lost)}"
+            )
+        if completed_partitions(out) != set(range(num_parts)):
+            return "incomplete manifest set after resume"
+        resumed = read_extraction_output(out).take_all()
+        direct = build_extraction_pipeline(
+            ray.data.from_arrow(generate_documents(n, seed=seed)),
+            batch_size=16,
+        ).take_all()
+    d1 = {r["doc_id"]: r["spans_out"] for r in direct}
+    d2 = {r["doc_id"]: r["spans_out"] for r in resumed}
+    if set(d1) != set(d2):
+        return f"doc set mismatch: {len(d1)} direct vs {len(d2)} resumed"
+    for k in sorted(d1):
+        if d1[k] != d2[k]:
+            return f"spans_out diverge for {k} (n={n}, parts={num_parts})"
+    return None
+
+
 # Golden-backed queries whose committed oracle is meaningless on random
 # input, but whose SERIAL TWIN (tools/gen_goldens.py — the same function
 # that produced the committed golden) can recompute the expected frame on
@@ -440,17 +505,21 @@ def main() -> None:
         con.close()
         total = len(names)
         if args.queries is None:
-            # full sweep: also run the seed-randomized corpus invariant
+            # full sweep: also run the seed-randomized corpus invariants
             # (engine-vs-engine, independent of the sf_dir tables)
-            total += 1
-            try:
-                msg = check_split_parity(seed)
-            except Exception as e:  # noqa: BLE001
-                msg = f"EXCEPTION {type(e).__name__}: {e}"
-            if msg is not None:
-                bad += 1
-                failures.append((seed, "corpus_split_parity", msg))
-                print(f"FAIL seed={seed} corpus_split_parity: {msg}")
+            for label, check in (
+                ("corpus_split_parity", check_split_parity),
+                ("checkpoint_resume_parity", check_resume_parity),
+            ):
+                total += 1
+                try:
+                    msg = check(seed)
+                except Exception as e:  # noqa: BLE001
+                    msg = f"EXCEPTION {type(e).__name__}: {e}"
+                if msg is not None:
+                    bad += 1
+                    failures.append((seed, label, msg))
+                    print(f"FAIL seed={seed} {label}: {msg}")
         print(
             f"seed={seed}: {total - bad}/{total} green "
             f"in {time.time() - t0:.1f}s"
@@ -465,7 +534,7 @@ def main() -> None:
         for seed, name, msg in failures:
             print(f"  seed={seed} {name}: {msg.splitlines()[0]}")
         sys.exit(1)
-    extra = 1 if args.queries is None else 0
+    extra = 2 if args.queries is None else 0
     print(f"\nALL GREEN: {len(names) + extra} checks x {len(seeds)} seeds")
 
 
