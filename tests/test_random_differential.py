@@ -254,3 +254,16 @@ def test_differential_resume_parity_one_seed():
 
     msg = check_resume_parity(1)
     assert msg is None, msg
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_differential_metrics_parity_one_seed():
+    """The seed-randomized metrics-mode invariant (emit_metrics=True — the
+    per-doc path — must match the batched-native path span-for-span AND
+    report input-derived ground-truth metrics;
+    tools/random_differential.py check_metrics_parity) runs in-suite on one
+    seed."""
+    from random_differential import check_metrics_parity
+
+    msg = check_metrics_parity(1)
+    assert msg is None, msg

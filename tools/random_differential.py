@@ -236,6 +236,63 @@ def check_resume_parity(seed: int) -> str | None:
     return None
 
 
+def check_metrics_parity(seed: int) -> str | None:
+    """``emit_metrics=True`` ENGINE INVARIANT. The metrics mode disables the
+    batched-native kernel (stages/extract_stage.py) and runs the per-doc
+    path, so this check is simultaneously (a) a batch-native vs per-doc
+    span-output differential THROUGH the Ray stage on a random corpus shape,
+    and (b) an audit of the per-row metrics against ground truth computed
+    from the input table: spans_in == input span count, html_bytes == total
+    UTF-8 bytes of the doc's html spans, spans_out == emitted span count."""
+    import numpy as np
+    import ray.data
+
+    from html_parser_ray.pipelines.extraction import build_extraction_pipeline
+    from html_parser_ray.sources.corpus import generate_documents
+
+    rng = np.random.RandomState((seed ^ 0x3A7) % (2**31))
+    n = int(rng.randint(25, 60))
+    t = generate_documents(n, seed=seed)
+    bs = int(rng.choice([3, 8, 32]))
+    base = build_extraction_pipeline(
+        ray.data.from_arrow(t), batch_size=bs
+    ).take_all()
+    withm = build_extraction_pipeline(
+        ray.data.from_arrow(t), batch_size=bs, emit_metrics=True
+    ).take_all()
+    d1 = {r["doc_id"]: r["spans_out"] for r in base}
+    d2 = {r["doc_id"]: r["spans_out"] for r in withm}
+    if set(d1) != set(d2) or len(withm) != n:
+        return f"doc set mismatch: {len(d1)} base vs {len(d2)} metrics-mode"
+    for k in sorted(d1):
+        if d1[k] != d2[k]:
+            return f"spans_out diverge for {k} (n={n}, batch_size={bs})"
+    truth = {}
+    for row in t.to_pylist():
+        spans = row["spans"]
+        truth[row["doc_id"]] = (
+            len(spans),
+            sum(
+                len(s["text"].encode("utf-8"))
+                for s in spans
+                if s["kind"] == "html" and s["text"] is not None
+            ),
+        )
+    for r in withm:
+        m = r["metrics"]
+        exp_in, exp_html = truth[r["doc_id"]]
+        if m["spans_in"] != exp_in:
+            return f"{r['doc_id']}: spans_in {m['spans_in']} != {exp_in}"
+        if m["html_bytes"] != exp_html:
+            return f"{r['doc_id']}: html_bytes {m['html_bytes']} != {exp_html}"
+        if m["spans_out"] != len(r["spans_out"]):
+            return (
+                f"{r['doc_id']}: spans_out metric {m['spans_out']} != "
+                f"{len(r['spans_out'])} emitted"
+            )
+    return None
+
+
 # Golden-backed queries whose committed oracle is meaningless on random
 # input, but whose SERIAL TWIN (tools/gen_goldens.py — the same function
 # that produced the committed golden) can recompute the expected frame on
@@ -510,6 +567,7 @@ def main() -> None:
             for label, check in (
                 ("corpus_split_parity", check_split_parity),
                 ("checkpoint_resume_parity", check_resume_parity),
+                ("metrics_mode_parity", check_metrics_parity),
             ):
                 total += 1
                 try:
@@ -534,7 +592,7 @@ def main() -> None:
         for seed, name, msg in failures:
             print(f"  seed={seed} {name}: {msg.splitlines()[0]}")
         sys.exit(1)
-    extra = 2 if args.queries is None else 0
+    extra = 3 if args.queries is None else 0
     print(f"\nALL GREEN: {len(names) + extra} checks x {len(seeds)} seeds")
 
 
