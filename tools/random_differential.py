@@ -19,6 +19,14 @@ self-matches — the bug class the r5 gemv divergence lived in. Still
 excluded: extract_corpus* and media_* (fixed seeded corpora, not
 sf-dependent).
 
+Full sweeps additionally run three seed-randomized ENGINE INVARIANTS over
+a per-seed random corpus (independent of the sf_dir tables):
+``corpus_split_parity`` (giant-doc split/reassembly == direct pipeline),
+``checkpoint_resume_parity`` (crash-resume with a random lost-manifest
+subset == direct pipeline, value-exact), and ``metrics_mode_parity``
+(per-doc path under ``emit_metrics=True`` == batched-native path, plus
+metrics audited against input-derived ground truth).
+
 Usage:
     python tools/random_differential.py --seeds 0 1 2 3 --scale 0.4
     python tools/random_differential.py --nseeds 10 [--queries a b c]
