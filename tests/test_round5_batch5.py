@@ -216,3 +216,170 @@ def test_fk_orphan_audit_counts_orphans_and_null_children(tmp_path):
         )
     finally:
         hyg.FK_EDGES = orig
+
+
+# ---------------------------------------------------------------------------
+# Property differentials (brute-force serial twins) and hot-key skew stress
+# for the fifth-batch operators — the adversarial shapes (ties, degenerate
+# groups, one hot key owning ~96% of rows) the fixed tables can't generate.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_H_US = 3_600_000_000
+
+_CORR_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),  # event_type (few groups -> ties)
+        st.integers(0, 23),  # hour
+        st.integers(-10_000, 10_000),  # cents (negative values too)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _write_corr_events(d, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows]),
+                "ts": pa.array([r[1] * _H_US for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] / 100.0 for r in rows]),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_CORR_ROWS)
+def test_hour_value_corr_matches_serial_twin(tmp_path_factory, rows):
+    """The distributed moment partials + combine must equal a serial
+    one-pass computation BIT-exactly, for any block split — including
+    degenerate (single-row / constant) groups and negative cents."""
+    import math
+
+    from html_parser_ray.pipelines.relational import (
+        _two_limb_double,
+        events_hour_value_corr,
+    )
+
+    d = tmp_path_factory.mktemp("corrprop")
+    _write_corr_events(d, rows)
+    out = _as_df(events_hour_value_corr(str(d)))
+
+    want = []
+    for t in sorted({r[0] for r in rows}):
+        xs = [h for g, h, _ in rows if g == t]
+        ys = [c for g, _, c in rows if g == t]
+        n, sx, sy = len(xs), sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        corr = (
+            _two_limb_double(num)
+            / math.sqrt(_two_limb_double(vx) * _two_limb_double(vy))
+            if vx > 0 and vy > 0
+            else None
+        )
+        slope = _two_limb_double(num) / _two_limb_double(vx) if vx > 0 else None
+        inter = (
+            (_two_limb_double(sy) - slope * _two_limb_double(sx))
+            / _two_limb_double(n)
+            if slope is not None
+            else None
+        )
+        want.append((t, n, corr, slope, inter))
+    got = [
+        (r.event_type, r.n_events, _nan_none(r.corr_hour_value),
+         _nan_none(r.slope_cents_per_hour), _nan_none(r.intercept_cents))
+        for r in out.itertuples()
+    ]
+    assert got == want  # tuple == is bit-exact for floats (no tolerance)
+
+
+def _nan_none(x):
+    return None if pd.isna(x) else x
+
+
+_BAND_ROWS = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(-2200, 2200)),  # (nation, balance)
+    max_size=16,
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_BAND_ROWS, _BAND_ROWS)
+def test_balance_band_intersect_matches_set_twin(tmp_path_factory, sup, cus):
+    """Distributed INTERSECT == plain Python set intersection, including
+    empty sides (typed empty frame) and negative-balance banding."""
+    import math
+
+    from html_parser_ray.pipelines.relational import balance_band_intersect
+
+    d = tmp_path_factory.mktemp("bandprop")
+    pq.write_table(
+        pa.table(
+            {
+                "s_nationkey": pa.array([r[0] for r in sup], pa.int32()),
+                "s_acctbal": pa.array([r[1] / 1.0 for r in sup], pa.float64()),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_nationkey": pa.array([r[0] for r in cus], pa.int32()),
+                "c_acctbal": pa.array([r[1] / 1.0 for r in cus], pa.float64()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    out = _as_df(balance_band_intersect(str(d)))
+    want = sorted(
+        {(n, math.floor(b / 1000.0)) for n, b in sup}
+        & {(n, math.floor(b / 1000.0)) for n, b in cus}
+    )
+    assert list(map(tuple, out.to_numpy())) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_orphan_audit_hot_key_skew(tmp_path):
+    """One child key owning ~96% of 50k rows: the value_counts partials must
+    collapse the hot key map-side (the exchange carries distincts x blocks,
+    never rows) and the audit must stay exact vs a serial count."""
+    import html_parser_ray.pipelines.hygiene as hyg
+
+    d = tmp_path / "sfskew"
+    d.mkdir()
+    n_hot, n_cold = 48_000, 2_000
+    n = n_hot + n_cold
+    idx = np.arange(n, dtype=np.int64)
+    user = np.where(idx < n_hot, 1, 2 + (idx % 40))  # users 2..41
+    pq.write_table(
+        pa.table({"user_id": pa.array(user, pa.int64())}), d / "events.parquet"
+    )
+    # parents: hot key 1 resolves; odd cold users are orphans
+    parents = np.array([1] + [u for u in range(2, 42) if u % 2 == 0], np.int64)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(parents, pa.int64())}),
+        d / "customer.parquet",
+    )
+    edge = ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey")
+    orig = hyg.FK_EDGES
+    hyg.FK_EDGES = [edge]
+    try:
+        out = _as_df(hyg.fk_orphan_audit(str(d)))
+    finally:
+        hyg.FK_EDGES = orig
+    orphan_users = [u for u in range(2, 42) if u % 2 == 1]
+    orphan_rows = int(np.isin(user, orphan_users).sum())
+    assert list(map(tuple, out.to_numpy())) == [
+        (edge[0], n, 41, 1 + 20, orphan_rows)
+    ]
