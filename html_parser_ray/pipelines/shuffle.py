@@ -18,6 +18,7 @@ per-batch pre-aggregation).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -360,7 +361,18 @@ def sort_output(
     pull the output-sized frame and sort it driver-side (ONE dataset
     execution; the former repartition(1)+map_batches form paid a second
     full execution, ~1s of fixed cost per query); genuinely large -> the
-    real distributed sort."""
+    real distributed sort.
+
+    ``GRAFT_SORT_SMALL_LIMIT`` (env) overrides ``small_limit`` at call
+    time. This is the corpus-scaled-result tripwire's lever
+    (tests/test_entry_contract.py): setting it to 0 forces EVERY result
+    through the distributed-sort large path, proving each per-row-output
+    query (a) returns a Dataset at the harness boundary — nothing
+    downstream assumes a DataFrame — and (b) produces the identical
+    ordered table on the scale path as on the driver-pull path."""
+    env = os.environ.get("GRAFT_SORT_SMALL_LIMIT")
+    if env is not None:
+        small_limit = int(env)
     m = ds.materialize()
     n = m.count()
     if n == 0:

@@ -130,3 +130,75 @@ def test_no_query_misses_two_consecutive_driver_rounds():
         "they would go 2+ rounds without driver evidence; rotate them into "
         "the first 50"
     )
+
+
+# ----- corpus-scaled-result tripwire (VERDICT r4 item 7) -----------------
+# Queries whose RESULT cardinality is proportional to an input table
+# (per-doc, per-order, per-event, per-session, per-link rows). At 100 TB
+# these results are themselves 100 TB-scale, so they must stay
+# ray.data.Datasets all the way to the harness boundary: the only reason
+# they return DataFrames at test scale is sort_output's documented
+# output-sized driver pull (shuffle.py). Forcing GRAFT_SORT_SMALL_LIMIT=0
+# disables that pull, so any query that (a) sorts corpus-scaled data
+# driver-side outside sort_output, or (b) post-processes sort_output's
+# return as a DataFrame, trips here.
+CORPUS_SCALED_QUERIES = [
+    # per-document (documents table)
+    "doc_quality", "doc_fingerprints", "doc_pack_assignments",
+    "doc_repetition_stats", "quality_filter", "pii_scrub",
+    "curated_corpus", "decontaminate", "dedup_keep_first", "exact_dedup",
+    "streaming_dedup_keep_first", "dedup_clusters_lsh",
+    # extraction family (per-doc / per-span / per-link rows)
+    "extract_corpus", "extract_corpus_split", "html_roundtrip_extract",
+    "html_link_extract", "html_li_count",
+    # per-order (orders_bloom_semi_join is NOT here: its semi-join is
+    # corpus-scaled mid-pipeline but the result is a 5-row per-priority
+    # aggregate — the bounded-combine family, not this one)
+    "orders_running_total", "orders_rank_in_customer",
+    "orders_above_customer_avg", "orders_trailing_spend",
+    # per-event / per-user / per-session
+    "events_user_lag", "events_value_ntile", "events_sessionize",
+    "events_asof_join", "events_user_active_islands",
+    "events_click_attribution", "events_user_day_activity",
+    "events_type_pivot", "events_value_outliers",
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_scaled_queries_return_datasets_on_the_scale_path(monkeypatch):
+    import ray.data
+
+    monkeypatch.setenv("GRAFT_SORT_SMALL_LIMIT", "0")
+    qs = entrymod.queries()
+    missing = [n for n in CORPUS_SCALED_QUERIES if n not in qs]
+    assert not missing, missing
+    offenders = []
+    for name in CORPUS_SCALED_QUERIES:
+        out = qs[name]("/root/testdata/sf0.001")
+        if not isinstance(out, ray.data.Dataset):
+            offenders.append((name, type(out).__name__))
+    assert not offenders, (
+        "corpus-scaled queries returning driver-side frames on the scale "
+        f"path: {offenders}"
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scale_path_sort_matches_driver_path(monkeypatch):
+    """Content parity between sort_output's two paths on one representative
+    per family: the distributed sort must yield the exact ordered table the
+    driver-pull path yields (column order, dtypes, row order, values)."""
+    import pandas as pd
+
+    qs = entrymod.queries()
+    for name in ["doc_quality", "exact_dedup", "orders_running_total",
+                 "events_sessionize", "extract_corpus", "events_type_pivot"]:
+        monkeypatch.delenv("GRAFT_SORT_SMALL_LIMIT", raising=False)
+        small = qs[name]("/root/testdata/sf0.001")
+        if not isinstance(small, pd.DataFrame):
+            small = small.to_pandas()
+        monkeypatch.setenv("GRAFT_SORT_SMALL_LIMIT", "0")
+        large = qs[name]("/root/testdata/sf0.001").to_pandas()
+        pd.testing.assert_frame_equal(
+            small.reset_index(drop=True), large.reset_index(drop=True)
+        ), name
