@@ -301,10 +301,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "orders_running_total": temporal.orders_running_total,
         "events_type_pivot": relational.events_type_pivot,
-        # ---- tier A: flagships (a driver row every round) -----------------
-        "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
-        "html_li_count": lambda sf: text_analysis.html_li_count(sf),
-        "extract_corpus": extract_corpus,
+        # ---- tier A: new in round 5, sixth batch (never driver-checked;
+        # the three flagships rotated to tier B to make room — each carries
+        # an r4 driver row and fresh check_oracles evidence) -----------------
+        # sequence pattern matching (MATCH_RECOGNIZE-lite): one exchange by
+        # user, compiled regex over per-user type strings
+        "events_sequence_match": temporal.events_sequence_match,
+        # inter-arrival gap stats per event type: one exchange by user,
+        # masked shift-diff, |types| x partitions combine, exact-int sums
+        "events_interarrival_stats": temporal.events_interarrival_stats,
+        # FIRST_VALUE/LAST_VALUE endpoint window: one exchange by customer,
+        # searchsorted boundary picks — completes the window-function family
+        "orders_first_last": temporal.orders_first_last,
         # ---- tier A: new in round 5 (never driver-checked -> window) ------
         # Bloom-filter semi-join: OR-mergeable 16 KiB bitmap partials,
         # broadcast pre-filter, exact co-partitioned verify on survivors
@@ -386,6 +394,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tier B (driver-green in round 4 — CORRECTNESS_r04.json — and
         # unchanged since; still oracle-checked every round via
         # tools/check_oracles.py) -------------------------------------------
+        # flagships (r4 driver rows; rotated out for the sixth batch — the
+        # shared extraction stack keeps fresh coverage via the CSV/WARC/JSONL
+        # roundtrips and the conformance + differential pytest walls)
+        "html_roundtrip_extract": lambda sf: text_analysis.html_roundtrip_extract(sf),
+        "html_li_count": lambda sf: text_analysis.html_li_count(sf),
+        "extract_corpus": extract_corpus,
         # streaming tier (r4 driver rows; the r5 multi-feeder ingest change
         # is pinned by dedicated pytest — disordered-shard parity vs the
         # batch oracle — and by the committed 94-query self-run artifact)
@@ -1262,6 +1276,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer) t ORDER BY nationkey, band"
         ),
         "fk_orphan_audit": _fk_audit_sql,
+        # sequence pattern matching: per-user ordered type-initial string,
+        # RE2 regexp_extract_all count == Python re.findall count for this
+        # pattern class (greedy [^p]* bounded by the unique next p)
+        "events_sequence_match": (
+            "WITH s AS (SELECT user_id, "
+            "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) "
+            "AS seq FROM events GROUP BY user_id) "
+            "SELECT user_id, "
+            "CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) "
+            "AS n_matches FROM s "
+            "WHERE len(regexp_extract_all(seq, 'v[^p]*p')) >= 1 "
+            "ORDER BY user_id"
+        ),
+        "events_interarrival_stats": (
+            "WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) "
+            "AS gap_us FROM events) "
+            "SELECT event_type, COUNT(*) AS n_gaps, "
+            "CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us, "
+            "MAX(gap_us) AS max_gap_us "
+            "FROM g WHERE gap_us IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "orders_first_last": (
+            "SELECT o_custkey, COUNT(*) AS n_orders, "
+            "first(o_totalprice ORDER BY o_orderdate, o_orderkey) "
+            "AS first_price, "
+            "last(o_totalprice ORDER BY o_orderdate, o_orderkey) "
+            "AS last_price "
+            "FROM orders GROUP BY o_custkey ORDER BY o_custkey"
+        ),
         "term_doc_frequency": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
             "FROM documents), "

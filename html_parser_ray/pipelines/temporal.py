@@ -849,3 +849,169 @@ def events_type_cooccurrence(
         .sort_values(["type_a", "type_b"])
         .reset_index(drop=True)
     )
+
+
+def events_sequence_match(
+    sf_dir: str, pattern: str = "v[^p]*p", num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**Sequence pattern matching** (MATCH_RECOGNIZE-lite, round 5 sixth
+    batch): per user, the number of non-overlapping matches of a regex over
+    the user's event-TYPE sequence in (ts, event_id) order — here
+    ``v[^p]*p``: a view eventually followed by a purchase with no purchase
+    in between (the conversion-path primitive). Users with zero matches are
+    excluded.
+
+    Each event type maps to its (distinct) first letter, so a user's
+    history becomes one short string and the pattern engine is a COMPILED
+    regex, not a per-event state machine in Python. Scale shape: one
+    exchange by the PARTITION BY key (``user_id`` — every user's events
+    co-locate), per partition one sort + per-user join/findall (strings are
+    per-user sized, never corpus-sized). Non-overlapping leftmost match
+    counts agree between Python ``re`` and DuckDB's RE2
+    (``regexp_extract_all``) for this pattern class — the greedy
+    ``[^p]*`` is bounded by the unique next ``p`` either way.
+    """
+    import re
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    rx = re.compile(pattern)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        letters = g["event_type"].str[:1]
+        seq = letters.groupby(g["user_id"]).agg("".join)
+        n = seq.map(lambda s: len(rx.findall(s)))
+        n = n[n >= 1]
+        return pd.DataFrame(
+            {
+                "user_id": n.index.to_numpy().astype("int64"),
+                "n_matches": n.to_numpy().astype("int64"),
+            }
+        )
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("n_matches", pa.int64())])
+    return sort_output(
+        hash_partitioned(ds, ["user_id"], per_partition, num_partitions),
+        ["user_id"],
+        out_schema,
+    )
+
+
+def events_interarrival_stats(
+    sf_dir: str, num_partitions: int = 16
+) -> pd.DataFrame:
+    """**Inter-arrival-time statistics** (round 5 sixth batch): for each
+    event type, the count / exact-integer sum / max of the microsecond gaps
+    between consecutive events of that type BY THE SAME USER — the arrival
+    process summary under rate limiting and anomaly baselines.
+
+    Scale shape: one exchange by ``user_id`` (a (user, type) gap chain
+    lives wholly in one partition), one vectorized pass per partition —
+    sort by (user, type, ts, event_id), shift-by-one diff with a
+    same-(user, type) mask, then a per-type partial (n, sum, max). The
+    driver combine is |types| x partitions rows; sums are exact int64
+    (gap microseconds x corpus rows stays far under 2^63 — and the driver
+    combine re-sums in arbitrary-precision Python ints regardless).
+    """
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts_us = _ts_us(g["ts"])
+        users = g["user_id"].to_numpy().astype("int64")
+        types = g["event_type"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = (users[1:] == users[:-1]) & (types[1:] == types[:-1])
+        idx = np.nonzero(same)[0]
+        gaps = pd.DataFrame(
+            {"event_type": types[idx], "gap_us": ts_us[idx] - ts_us[idx - 1]}
+        )
+        return gaps.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap_us=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"),
+        )
+
+    parts = hash_partitioned(ds, ["user_id"], per_partition, num_partitions)
+    df = parts.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "sum_gap_us": pd.Series(dtype="int64"),
+                "max_gap_us": pd.Series(dtype="int64"),
+            }
+        )
+    out = df.groupby("event_type", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"),
+        sum_gap_us=("sum_gap_us", "sum"),
+        max_gap_us=("max_gap_us", "max"),
+    )
+    return (
+        out.astype(
+            {"n_gaps": "int64", "sum_gap_us": "int64", "max_gap_us": "int64"}
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def orders_first_last(
+    sf_dir: str, num_partitions: int = 16
+) -> "ray.data.Dataset | pd.DataFrame":
+    """**FIRST_VALUE / LAST_VALUE order-sensitive aggregates** (round 5
+    sixth batch): per customer, the price of the chronologically first and
+    last order (ties on date break by o_orderkey) plus the order count —
+    the endpoint-extraction window form next to the ordinal
+    (``orders_rank_in_customer``) and offset (``events_user_lag``) members.
+
+    Scale shape: one exchange by the PARTITION BY key (``o_custkey``), one
+    vectorized pass per partition — a single sort by (custkey, date, key)
+    makes first/last a grouped head/tail index pick (``searchsorted`` on
+    the sorted key gives group boundaries; no per-group Python). Price
+    doubles pass through untouched (value picks, not arithmetic), so the
+    oracle compare is bit-exact.
+    """
+    ds = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cust = g["o_custkey"].to_numpy().astype("int64")
+        price = g["o_totalprice"].to_numpy()
+        # group boundaries on the sorted key: starts/ends without groupby
+        uniq, starts = np.unique(cust, return_index=True)
+        ends = np.append(starts[1:], len(cust)) - 1
+        return pd.DataFrame(
+            {
+                "o_custkey": uniq,
+                "n_orders": (np.append(starts[1:], len(cust)) - starts).astype(
+                    "int64"
+                ),
+                "first_price": price[starts],
+                "last_price": price[ends],
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("first_price", pa.float64()),
+            ("last_price", pa.float64()),
+        ]
+    )
+    return sort_output(
+        hash_partitioned(ds, ["o_custkey"], per_partition, num_partitions),
+        ["o_custkey"],
+        out_schema,
+    )

@@ -161,6 +161,7 @@ CORPUS_SCALED_QUERIES = [
     "events_asof_join", "events_user_active_islands",
     "events_click_attribution", "events_user_day_activity",
     "events_type_pivot", "events_value_outliers",
+    "events_sequence_match", "orders_first_last",
 ]
 
 
