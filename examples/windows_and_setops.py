@@ -1,6 +1,8 @@
 """Tour of the round-5 SQL-parity operator families: ordinal windows
 (RANK / DENSE_RANK / ROW_NUMBER), the LAG offset window, EXCEPT-DISTINCT
-set operations, mode-per-group, and the order-sensitive string_agg.
+set operations, mode-per-group, the order-sensitive string_agg, sequence
+pattern matching (MATCH_RECOGNIZE-lite), inter-arrival-time statistics,
+and FIRST_VALUE/LAST_VALUE endpoint windows.
 
 Each runs over a tiny synthetic table written to a temp dir (the operators
 read ``{sf_dir}/<table>.parquet``, same contract as the driver queries) and
@@ -39,7 +41,10 @@ def run(smoke: bool = False) -> None:
         nation_supplier_names,
     )
     from html_parser_ray.pipelines.temporal import (
+        events_interarrival_stats,
+        events_sequence_match,
         events_user_lag,
+        orders_first_last,
         orders_rank_in_customer,
     )
 
@@ -54,6 +59,9 @@ def run(smoke: bool = False) -> None:
                     "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
                     "o_orderkey": pa.array([10, 11, 12, 20], pa.int64()),
                     "o_totalprice": pa.array([50.0, 50.0, 10.0, 7.0]),
+                    # same date for 10/11 — the endpoint window breaks the
+                    # tie by o_orderkey (10 first)
+                    "o_orderdate": pa.array([0, 0, 5, 9], pa.timestamp("us")),
                 }
             ),
             f"{d}/orders.parquet",
@@ -101,6 +109,23 @@ def run(smoke: bool = False) -> None:
         mode = _df(events_type_mode_user(d))
         print("mode per type:\n", mode.to_string(index=False))
         assert set(mode["event_type"]) == {"purchase", "click", "view"}
+
+        # sixth batch: sequence matching, inter-arrival stats, endpoints
+        seq = _df(events_sequence_match(d))
+        print("view->purchase converters:", len(seq))
+        assert (seq["n_matches"] >= 1).all()
+
+        gaps = _df(events_interarrival_stats(d))
+        print("inter-arrival stats:\n", gaps.to_string(index=False))
+        # every same-(user,type) chain is ts-ordered: max <= sum, counts > 0
+        assert (gaps["max_gap_us"] <= gaps["sum_gap_us"]).all()
+
+        fl = _df(orders_first_last(d)).set_index("o_custkey")
+        print("order endpoints:\n", fl.to_string())
+        # cust 1: date tie at 0 -> key 10 (50.0) first; key 12 (10.0) last
+        assert fl.loc[1, "first_price"] == 50.0
+        assert fl.loc[1, "last_price"] == 10.0
+        assert fl.loc[2, "first_price"] == fl.loc[2, "last_price"] == 7.0
 
         # suppliers: two nations, rosters must concatenate name-ordered
         pq.write_table(
