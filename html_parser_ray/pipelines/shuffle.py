@@ -372,7 +372,10 @@ def sort_output(
     ordered table on the scale path as on the driver-pull path."""
     env = os.environ.get("GRAFT_SORT_SMALL_LIMIT")
     if env is not None:
-        small_limit = int(env)
+        try:
+            small_limit = int(env)
+        except ValueError:
+            pass  # a garbage override must not take down the query
     m = ds.materialize()
     n = m.count()
     if n == 0:
