@@ -15,6 +15,7 @@ the representative relational / dedup / similarity pipelines.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -246,13 +247,15 @@ def run_extraction_bench(
     from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
-        # r4 sweep on the 360k corpus (probe-calibrated, both modes): the
-        # host's ~13 effective cores make slots BEYOND saturation pure
-        # contention — html-only calibrated 135-160k at 10-16 slots vs 127k
-        # at 20 / 101k at 24 / 94k at 28; full mode 87-97k at 12-16 vs 88k
-        # at 20. (r3's "20 best" was measured on the 180k corpus where ramp
-        # dominated.) 16 covers effective capacity plus read overlap.
-        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "16"))
+        # Steady-state re-sweep (r5 final, quiet host, GRAFT_BENCH_REPEAT=3):
+        # with the pool ramp amortized the optimum moved UP from the r4
+        # loaded-host value of 16 — html-only 291k docs/s at 16 slots/3500-row
+        # blocks vs 350k median at 24 slots/12000-row blocks (20: 338k,
+        # 28: 217k — past 24 the read stage starves); full mode 201k at 24
+        # vs 167k at 16/20. batch_size 256 re-confirmed at steady state
+        # (512: 337k, 128: 294k). The r4 ramp-regime sweep numbers stay
+        # valid for short jobs; the bench measures the sustained regime.
+        max_slots = int(os.environ.get("GRAFT_MAX_SLOTS", "24"))
         extract_slots = max(2, min(num_cpus - 2, max_slots))
 
     import pyarrow.compute as pc
@@ -291,9 +294,31 @@ def run_extraction_bench(
     # overhead bites below ~200 rows)
     import pyarrow.dataset as pads
 
-    total_rows = pads.dataset(path, format="parquet").count_rows()
-    num_blocks = max(4 * extract_slots, total_rows // 3500)
-    ds = ray.data.read_parquet(path, override_num_blocks=num_blocks)
+    # Steady-state measurement (r5 final): on a 360k-doc corpus the 16-actor
+    # pool's FIXED ramp (~1.8s: actor launch + per-actor native handle +
+    # first-wave fill) was 60-80% of the measured wall, understating the
+    # throughput the pipeline sustains once flowing — the quantity that
+    # matters at 100 TB, where ramp amortizes to zero. Listing the corpus
+    # files GRAFT_BENCH_REPEAT (default 3) times lengthens the job on
+    # byte-identical input exactly like the scaling bench's
+    # GRAFT_SCALING_REPEAT, so the recorded docs/s approaches the sustained
+    # rate (measured on the quiet r5 host: 1x = 162k, 3x = 350k, solving
+    # the two-point system gives ~826k docs/s steady-state and 1.78s ramp
+    # for the html-only mode).
+    repeat = max(1, int(os.environ.get("GRAFT_BENCH_REPEAT", "3")))
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet"))) * repeat
+    html_bytes *= repeat
+    total_rows = pads.dataset(path, format="parquet").count_rows() * repeat
+    # 12000-row read blocks (was 3500): each Ray read task carries a fixed
+    # object-store serialization + scheduling cost ~30x the raw pyarrow
+    # decode of this corpus (0.89s single-process for all 90 files vs 0.86s
+    # for the 32-CPU distributed materialize), so fewer, larger read tasks
+    # win once the ramp no longer dominates: steady-state html-only 291k
+    # docs/s at 3500 -> 350k at 12000 (24000 regresses: 226-320k, the
+    # extract stage's first wave waits on multi-file read tasks).
+    block_rows = int(os.environ.get("GRAFT_BENCH_BLOCK_ROWS", "12000"))
+    num_blocks = max(4 * extract_slots, total_rows // block_rows)
+    ds = ray.data.read_parquet(files, override_num_blocks=num_blocks)
     t0 = time.perf_counter()
     reduced = ds.map_batches(
         ExtractAndCount,
@@ -645,11 +670,15 @@ def main_scaling() -> dict:
     }
 
 
-GATE_FLOOR_DOCS_PER_S = 60_000.0  # r4, calibrated + 360k corpus: measured
-# 105.8k raw best-of-3 at ratio 0.73 (144k calibrated) — the floor sits at
-# ~40% of the calibrated band so host-drift residue can't flake it while an
-# orchestration regression (>2x) still fails the build. The reference's
-# analog is the stable-profile bench hard-fail (tools/scripts.zig:1433-1448)
+GATE_FLOOR_DOCS_PER_S = 150_000.0  # r5 steady-state regime (repeat=3 +
+# 24-slot/12000-row retune): gate reads 393.8k raw / 417.5k calibrated on
+# the quiet r5 host — the floor sits at ~36% of that so host-drift residue
+# can't flake it (worst observed calibration ratio 0.45 would still read
+# ~180k calibrated) while an orchestration regression (>2.5x) fails the
+# build. r4 history (60k floor, ramp-dominated 360k-corpus regime:
+# 105.8k raw best-of-3 at ratio 0.73 = 144k calibrated) kept for context.
+# The reference's analog is the stable-profile bench hard-fail
+# (tools/scripts.zig:1433-1448)
 
 # ADVICE r4 (medium): the calibrated floor alone is blind to NATIVE-KERNEL
 # regressions — the probe runs the same kernel, so kernel slowdown cancels in
@@ -663,7 +692,11 @@ GATE_FLOOR_DOCS_PER_S = 60_000.0  # r4, calibrated + 360k corpus: measured
 #    37.1k) that still fails the build if the calibration machinery itself
 #    breaks (e.g. probe returns garbage making "calibrated" meaningless).
 GATE_PROBE_FLOOR_FRACTION = 0.25
-GATE_FLOOR_RAW_DOCS_PER_S = 15_000.0
+# r5 steady-state: worst plausible loaded-host raw is ~2.5x the r3 worst
+# (37.1k, ramp regime) because ramp no longer eats 60-80% of the wall —
+# 40k keeps >2x headroom under even that while still catching a broken
+# calibration path.
+GATE_FLOOR_RAW_DOCS_PER_S = 40_000.0
 
 
 def main_gate() -> int:
