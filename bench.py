@@ -228,13 +228,16 @@ def run_extraction_bench(
     num_cpus: int,
     extract_slots: int | None = None,
     layout_pdf_decode: bool = True,
+    repeat: int | None = None,
 ) -> dict:
     """Time the extraction job. ``extract_slots`` fixes the actor-pool size
     (the scaling bench holds the +2 CPU read/driver reserve constant so the
     N-vs-4N comparison varies ONLY the extraction parallelism).
     ``layout_pdf_decode=False`` measures the r2-comparable html-only mode
     (media spans get the legacy keyed-hash metadata instead of the round-3
-    REAL PDF layout parse)."""
+    REAL PDF layout parse). ``repeat`` pins the corpus repeat factor
+    (defaults to GRAFT_BENCH_REPEAT; main_gate pins 3 so the gate always
+    measures the steady-state regime its floors encode)."""
     import ray
     import ray.data
 
@@ -243,8 +246,6 @@ def run_extraction_bench(
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
-
-    from html_parser_ray.pipelines.extraction import build_extraction_pipeline
 
     if extract_slots is None:
         # Steady-state re-sweep (r5 final, quiet host, GRAFT_BENCH_REPEAT=3):
@@ -285,13 +286,13 @@ def run_extraction_bench(
                 }
             )
 
-    # block sizing: ~3500 rows per task measured fastest on this corpus
-    # (bigger blocks degrade in-actor throughput, smaller ones drown in
-    # dispatch overhead), floored at 4 waves per extraction slot.
-    # batch_size 256 is the r4 probe-calibrated peak (calibrated docs/s:
-    # 64: 96k, 128: 108k, 192: 118k, 256: 150-155k, 512: 116k, 1024: 98k,
-    # 2048: 94k — smaller batches pipeline/overlap better until dispatch
-    # overhead bites below ~200 rows)
+    # batch_size 256 is the probe-calibrated peak in BOTH regimes (r4 ramp
+    # regime: 64: 96k, 128: 108k, 192: 118k, 256: 150-155k, 512: 116k,
+    # 1024: 98k, 2048: 94k; r5 steady-state re-check: 128: 294k, 256: 350k,
+    # 512: 337k — smaller batches pipeline/overlap better until dispatch
+    # overhead bites below ~200 rows). Read-block sizing moved with the
+    # steady-state regime — see the GRAFT_BENCH_BLOCK_ROWS comment below
+    # (the r4 3500-row figure was a ramp-regime artifact).
     import pyarrow.dataset as pads
 
     # Steady-state measurement (r5 final): on a 360k-doc corpus the 16-actor
@@ -305,7 +306,8 @@ def run_extraction_bench(
     # rate (measured on the quiet r5 host: 1x = 162k, 3x = 350k, solving
     # the two-point system gives ~826k docs/s steady-state and 1.78s ramp
     # for the html-only mode).
-    repeat = max(1, int(os.environ.get("GRAFT_BENCH_REPEAT", "3")))
+    if repeat is None:
+        repeat = max(1, int(os.environ.get("GRAFT_BENCH_REPEAT", "3")))
     files = sorted(glob.glob(os.path.join(path, "part-*.parquet"))) * repeat
     html_bytes *= repeat
     total_rows = pads.dataset(path, format="parquet").count_rows() * repeat
@@ -672,12 +674,15 @@ def main_scaling() -> dict:
 
 GATE_FLOOR_DOCS_PER_S = 150_000.0  # r5 steady-state regime (repeat=3 +
 # 24-slot/12000-row retune): gate reads 393.8k raw / 417.5k calibrated on
-# the quiet r5 host — the floor sits at ~36% of that so host-drift residue
-# can't flake it (worst observed calibration ratio 0.45 would still read
-# ~180k calibrated) while an orchestration regression (>2.5x) fails the
-# build. r4 history (60k floor, ramp-dominated 360k-corpus regime:
-# 105.8k raw best-of-3 at ratio 0.73 = 144k calibrated) kept for context.
-# The reference's analog is the stable-profile bench hard-fail
+# the quiet r5 host — the floor sits at ~36% of that. Margin model: the
+# calibration divides load back out, so a loaded host should still read
+# ~394k calibrated; the floor's 2.8x headroom absorbs the part the probe
+# does NOT capture (calibration under-correction — historically the
+# calibrated band moved ~1.6x across rounds, e.g. 98k-160k in the r4
+# ramp regime vs its 144k pin) while an orchestration regression (>2.5x)
+# fails the build. r4 history (60k floor, ramp-dominated 360k-corpus
+# regime: 105.8k raw best-of-3 at ratio 0.73 = 144k calibrated) kept for
+# context. The reference's analog is the stable-profile bench hard-fail
 # (tools/scripts.zig:1433-1448)
 
 # ADVICE r4 (medium): the calibrated floor alone is blind to NATIVE-KERNEL
@@ -712,7 +717,11 @@ def main_gate() -> int:
     best = None
     probes = [_probe_pair()]
     for _ in range(3):
-        t = run_extraction_bench(NUM_CPUS, layout_pdf_decode=False)
+        # repeat pinned to 3: the floors below encode the steady-state
+        # (ramp-amortized) regime, so the gate must measure that regime
+        # regardless of any GRAFT_BENCH_REPEAT override (repeat=1 reads
+        # ~2.5x lower and would false-fail against these floors).
+        t = run_extraction_bench(NUM_CPUS, layout_pdf_decode=False, repeat=3)
         probes.append(_probe_pair())
         if best is None or t["docs_per_s"] > best["docs_per_s"]:
             best = t

@@ -39,9 +39,14 @@ def _default_concurrency() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
     except Exception:
         cpus = 0
-    # GRAFT_MAX_SLOTS caps the pool on hosts whose advertised CPUs exceed the
-    # effective parallel units (this sandbox: 32 advertised, ~13 effective)
-    cap = int(os.environ.get("GRAFT_MAX_SLOTS", "12"))
+    # GRAFT_MAX_SLOTS caps the pool on hosts whose advertised CPUs exceed
+    # the effective parallel units. Default 24 = the r5 steady-state sweep
+    # optimum for THIS stage at 32 CPUs (bench.py run_extraction_bench:
+    # html-only 350k docs/s at 24 slots vs 291k at the old ramp-regime 16;
+    # past 24 the read stage starves) — the bench and the shipped pipeline
+    # deliberately share one knob and one default so the recorded headline
+    # is measured at the concurrency users actually get.
+    cap = int(os.environ.get("GRAFT_MAX_SLOTS", "24"))
     return max(2, min(cpus - 2, cap))
 
 
