@@ -871,7 +871,14 @@ def _flatten_words(df: pd.DataFrame, with_lens: bool = False):
     empty word) so the SQL oracle's ``string_split(text, ' ')`` is bit-equal.
     With ``with_lens`` also returns the per-document word counts (for callers
     that need within-doc positions, e.g. ``doc_chunk_dupes``).
+
+    NULL texts are dropped (not crashed on): the SQL-oracle rule for every
+    word-based operator is ``unnest(string_split(NULL, ' '))`` = no rows, so
+    a NULL document contributes no words — distinct from the empty string,
+    which contributes one empty word.
     """
+    if df["text"].isna().any():
+        df = df[df["text"].notna()]
     words_lists = [t.split(" ") for t in df["text"].to_numpy()]
     lens = np.fromiter(
         (len(ws) for ws in words_lists), dtype=np.int64, count=len(words_lists)

@@ -434,98 +434,158 @@ def fk_orphan_audit(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     drop before joining it into anything: silent orphans become silently
     dropped rows in every downstream inner join.
 
-    Scale shape, per edge: the child side melts in ``map_batches`` to
-    per-batch ``value_counts`` partials (one slim (key, count) row per
-    distinct key per batch — the exchange carries distincts x blocks, never
-    child rows); the parent side melts to per-batch distinct keys. ONE hash
-    exchange co-locates both sides per key; each partition emits a single
-    4-int partial and the driver combine is bounded by edges x partitions.
-    No broadcast of either side, so a billion-row parent costs the same
-    exchange as a 25-row one — at 100 TB pick ``num_partitions`` ~ cluster
-    cores. NULL child keys count as orphan rows but never as keys (SQL
-    semantics: ``COUNT(DISTINCT k)`` skips NULL, ``EXISTS`` on NULL is
-    false); NULL parent keys match nothing.
+    Scale shape — ALL edges in one exchange (r5 review fix: the first form
+    ran 7 independent read+exchange+combine pipelines serially, paying 7x
+    the fixed exchange latency and scanning lineitem 3 times): each TABLE
+    is scanned once, and a single ``map_batches`` melts every FK role it
+    plays (child roles -> per-batch ``value_counts`` partials, one slim
+    (edge, key, count) row per distinct key per batch; parent roles ->
+    per-batch distinct (edge, key) rows — a parent column serving two
+    edges, like c_custkey, emits both). ONE hash exchange by (edge, k)
+    co-locates each edge-key's child counts with its parent marker; each
+    partition emits per-edge 4-int partials and the driver combine is
+    bounded by edges x partitions. No broadcast of either side, so a
+    billion-row parent costs the same exchange as a 25-row one — at 100 TB
+    pick ``num_partitions`` ~ cluster cores. NULL child keys count as
+    orphan rows but never as keys (SQL semantics: ``COUNT(DISTINCT k)``
+    skips NULL, ``EXISTS`` on NULL is false); NULL parent keys match
+    nothing.
     """
-    rows = []
+    # per-table role lists derived from FK_EDGES: table -> (edge, col, side)
+    roles: dict[str, list[tuple[str, str, int]]] = {}
     for edge, child_t, child_c, parent_t, parent_c in FK_EDGES:
+        roles.setdefault(child_t, []).append((edge, child_c, 0))
+        roles.setdefault(parent_t, []).append((edge, parent_c, 1))
 
-        def melt_child(df: pd.DataFrame, c=child_c) -> pd.DataFrame:
-            s = df[c]
-            null_rows = int(s.isna().sum())
-            vc = s.dropna().value_counts()
-            out = pd.DataFrame(
-                {
-                    "k": vc.index.to_numpy().astype(np.int64),
-                    "cnt": vc.to_numpy().astype(np.int64),
-                    "side": np.int64(0),
-                }
-            )
-            if null_rows:
-                # sentinel partial: NULL children are orphan rows, never keys
-                out = pd.concat(
-                    [
-                        out,
-                        pd.DataFrame(
-                            {"k": [np.int64(-1)], "cnt": [null_rows], "side": [np.int64(2)]}
-                        ),
-                    ],
-                    ignore_index=True,
+    def melt_table(df: pd.DataFrame, table_roles) -> pd.DataFrame:
+        outs = []
+        for edge, col, side in table_roles:
+            s = df[col]
+            if side == 0:
+                null_rows = int(s.isna().sum())
+                vc = s.dropna().value_counts()
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "edge": edge,
+                            "k": vc.index.to_numpy().astype(np.int64),
+                            "cnt": vc.to_numpy().astype(np.int64),
+                            "side": np.int64(0),
+                        }
+                    )
                 )
-            return out
-
-        def melt_parent(df: pd.DataFrame, c=parent_c) -> pd.DataFrame:
-            u = df[c].dropna().unique()
+                if null_rows:
+                    # sentinel partial: NULL children are orphan rows,
+                    # never keys
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "edge": [edge],
+                                "k": [np.int64(-1)],
+                                "cnt": [null_rows],
+                                "side": [np.int64(2)],
+                            }
+                        )
+                    )
+            else:
+                u = df[col].dropna().unique()
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "edge": edge,
+                            "k": np.asarray(u).astype(np.int64),
+                            "cnt": np.int64(0),
+                            "side": np.int64(1),
+                        }
+                    )
+                )
+        if not outs:
             return pd.DataFrame(
                 {
-                    "k": np.asarray(u).astype(np.int64),
-                    "cnt": np.int64(0),
-                    "side": np.int64(1),
+                    "edge": pd.Series(dtype="object"),
+                    "k": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "side": pd.Series(dtype="int64"),
                 }
             )
+        return pd.concat(outs, ignore_index=True)
 
-        child = read_table(
-            f"{sf_dir}/{child_t}.parquet", columns=[child_c]
-        ).map_batches(melt_child, batch_format="pandas")
-        parent = read_table(
-            f"{sf_dir}/{parent_t}.parquet", columns=[parent_c]
-        ).map_batches(melt_parent, batch_format="pandas")
+    import functools
 
-        def partial(g: pd.DataFrame) -> pd.DataFrame:
-            nulls = g[g["side"] == 2]
+    melted = None
+    for table, table_roles in sorted(roles.items()):
+        cols = sorted({c for _, c, _ in table_roles})
+        part = read_table(f"{sf_dir}/{table}.parquet", columns=cols).map_batches(
+            functools.partial(melt_table, table_roles=table_roles),
+            batch_format="pandas",
+        )
+        melted = part if melted is None else melted.union(part)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for edge, ge in g.groupby("edge", sort=False):
+            nulls = ge[ge["side"] == 2]
             null_rows = int(nulls["cnt"].sum())
-            g = g[g["side"] != 2]
-            agg = g.groupby("k")["side"].agg(["min", "max"])
-            cnt = g[g["side"] == 0].groupby("k")["cnt"].sum()
+            ge = ge[ge["side"] != 2]
+            agg = ge.groupby("k")["side"].agg(["min", "max"])
+            cnt = ge[ge["side"] == 0].groupby("k")["cnt"].sum()
             child_keys = agg[agg["min"] == 0]
             matched = child_keys[child_keys["max"] == 1]
             orphan_keys = child_keys.index.difference(matched.index)
-            return pd.DataFrame(
-                {
-                    "child_rows": [int(cnt.sum()) + null_rows],
-                    "child_keys": [len(child_keys)],
-                    "matched_keys": [len(matched)],
-                    "orphan_rows": [int(cnt.reindex(orphan_keys).sum()) + null_rows],
-                }
-            ).astype("int64")
-
-        parts = hash_partitioned(
-            child.union(parent), ["k"], partial, num_partitions
-        ).to_pandas()
-        rows.append(
-            (
-                edge,
-                int(parts["child_rows"].sum()),
-                int(parts["child_keys"].sum()),
-                int(parts["matched_keys"].sum()),
-                int(parts["orphan_rows"].sum()),
+            rows.append(
+                (
+                    edge,
+                    int(cnt.sum()) + null_rows,
+                    len(child_keys),
+                    len(matched),
+                    int(cnt.reindex(orphan_keys).sum()) + null_rows,
+                )
             )
-        )
-    return (
-        pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=["edge", "child_rows", "child_keys", "matched_keys", "orphan_rows"],
         )
-        .astype(
+        return out.astype(
+            {
+                "child_rows": "int64",
+                "child_keys": "int64",
+                "matched_keys": "int64",
+                "orphan_rows": "int64",
+            }
+        )
+
+    parts = hash_partitioned(melted, ["edge", "k"], partial, num_partitions).to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame(
+            {
+                "edge": pd.Series(dtype="object"),
+                "child_rows": pd.Series(dtype="int64"),
+                "child_keys": pd.Series(dtype="int64"),
+                "matched_keys": pd.Series(dtype="int64"),
+                "orphan_rows": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby("edge", as_index=False).sum()
+    # edges whose child table is all-NULL-free and empty still need a row
+    missing = [e for e, *_ in FK_EDGES if e not in set(out["edge"])]
+    if missing:
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "edge": missing,
+                        "child_rows": 0,
+                        "child_keys": 0,
+                        "matched_keys": 0,
+                        "orphan_rows": 0,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    return (
+        out.astype(
             {
                 "child_rows": "int64",
                 "child_keys": "int64",

@@ -438,6 +438,8 @@ def top_suppliers_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
     df = ds.map_batches(partial, batch_format="pandas").to_pandas()
     df = df.sort_values(["acctbal_cents", "s_suppkey"], ascending=[False, True])
     top = df.groupby("s_nationkey", as_index=False, sort=False).head(k).copy()
+    # inner-join semantics (oracle: JOIN nation): orphan s_nationkey drops
+    top = top[top["s_nationkey"].isin(nmap)]
     top["n_name"] = top["s_nationkey"].map(nmap)
     top["rank"] = top.groupby("s_nationkey").cumcount() + 1
     return (
@@ -520,6 +522,8 @@ def customers_inactive_by_nation(
         partials, ["nationkey"], ["n_inactive", "acctbal_cents_sum"]
     )
     nmap = _nation_name_map(sf_dir)
+    # inner-join semantics (oracle: JOIN nation): orphan nationkey drops
+    result = result[result["nationkey"].isin(nmap)]
     result["n_name"] = result["nationkey"].map(nmap)
     return (
         result[["n_name", "n_inactive", "acctbal_cents_sum"]]
@@ -804,6 +808,9 @@ def supplier_balance_quantiles_by_nation(
         supplier, ["s_nationkey"], per_partition, num_partitions
     ).to_pandas()
     nmap = _nation_name_map(sf_dir)
+    # inner-join semantics (oracle: FROM supplier JOIN nation) — see
+    # supplier_balance_mad_by_nation: orphan s_nationkey rows drop
+    parts = parts[parts["nationkey"].isin(nmap)]
     parts["n_name"] = parts["nationkey"].map(nmap)
     return (
         parts[["n_name", "n_suppliers", "q25", "q50", "q75"]]
@@ -2093,6 +2100,9 @@ def supplier_balance_mad_by_nation(
         supplier, ["s_nationkey"], per_partition, num_partitions
     ).to_pandas()
     nmap = _nation_name_map(sf_dir)
+    # inner-join semantics (oracle: FROM supplier JOIN nation): a supplier
+    # with an orphan s_nationkey must drop, not surface as a NaN-named row
+    parts = parts[parts["nationkey"].isin(nmap)]
     parts["n_name"] = parts["nationkey"].map(nmap)
     return (
         parts[["n_name", "n_suppliers", "median_cents", "mad_cents"]]

@@ -44,6 +44,23 @@ def _ts_us(s: pd.Series) -> np.ndarray:
     return s.to_numpy().astype("datetime64[us]").view("int64")
 
 
+def _same_key_lag(
+    g: pd.DataFrame, key_cols: list[str], order_cols: list[str]
+) -> "tuple[pd.DataFrame, np.ndarray]":
+    """The shared per-partition LAG primitive: sort by ``key_cols +
+    order_cols`` and return ``(sorted_frame, idx)`` where ``idx`` indexes
+    the rows whose PREVIOUS sorted row shares every key column — i.e. each
+    returned row ``i`` forms a valid same-key (prev=i-1, cur=i) lag pair.
+    Used by events_user_lag, events_type_transitions and
+    events_interarrival_stats (one fix applies to all three)."""
+    g = g.sort_values(key_cols + order_cols)
+    same = np.zeros(len(g), dtype=bool)
+    if len(g) > 1:
+        keys = [g[c].to_numpy() for c in key_cols]
+        same[1:] = np.logical_and.reduce([a[1:] == a[:-1] for a in keys])
+    return g, np.nonzero(same)[0]
+
+
 def events_asof_join(
     sf_dir: str,
     left_type: str = "click",
@@ -421,15 +438,10 @@ def events_user_lag(
     )
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
+        # predecessor = previous row iff it belongs to the same user
+        g, idx = _same_key_lag(g, ["user_id"], ["ts", "event_id"])
         ts_us = _ts_us(g["ts"])
         ids = g["event_id"].to_numpy().astype("int64")
-        users = g["user_id"].to_numpy().astype("int64")
-        # predecessor = previous row iff it belongs to the same user
-        has_prev = np.zeros(len(ids), dtype=bool)
-        if len(ids) > 1:
-            has_prev[1:] = users[1:] == users[:-1]
-        idx = np.nonzero(has_prev)[0]
         return pd.DataFrame(
             {
                 "event_id": ids[idx],
@@ -528,13 +540,8 @@ def events_type_transitions(
     )
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        users = g["user_id"].to_numpy().astype("int64")
+        g, idx = _same_key_lag(g, ["user_id"], ["ts", "event_id"])
         types = g["event_type"].to_numpy()
-        has_prev = np.zeros(len(users), dtype=bool)
-        if len(users) > 1:
-            has_prev[1:] = users[1:] == users[:-1]
-        idx = np.nonzero(has_prev)[0]
         pairs = pd.DataFrame(
             {"prev_type": types[idx - 1], "event_type": types[idx]}
         )
@@ -911,9 +918,12 @@ def events_interarrival_stats(
     lives wholly in one partition), one vectorized pass per partition —
     sort by (user, type, ts, event_id), shift-by-one diff with a
     same-(user, type) mask, then a per-type partial (n, sum, max). The
-    driver combine is |types| x partitions rows; sums are exact int64
-    (gap microseconds x corpus rows stays far under 2^63 — and the driver
-    combine re-sums in arbitrary-precision Python ints regardless).
+    driver combine is |types| x partitions rows; sums are exact int64 —
+    the whole chain (per-partition partials, the pandas driver combine,
+    and the int64 output contract shared with the SQL oracle) is 64-bit,
+    which is sound because gap microseconds x corpus rows stays far under
+    2^63 (a million years of microseconds is ~2^54.8; times are bounded
+    by the events table's ts domain).
     """
     ds = read_table(
         f"{sf_dir}/events.parquet",
@@ -921,14 +931,9 @@ def events_interarrival_stats(
     )
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        g, idx = _same_key_lag(g, ["user_id", "event_type"], ["ts", "event_id"])
         ts_us = _ts_us(g["ts"])
-        users = g["user_id"].to_numpy().astype("int64")
         types = g["event_type"].to_numpy()
-        same = np.zeros(len(g), dtype=bool)
-        if len(g) > 1:
-            same[1:] = (users[1:] == users[:-1]) & (types[1:] == types[:-1])
-        idx = np.nonzero(same)[0]
         gaps = pd.DataFrame(
             {"event_type": types[idx], "gap_us": ts_us[idx] - ts_us[idx - 1]}
         )

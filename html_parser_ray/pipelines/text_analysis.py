@@ -845,10 +845,11 @@ def doc_pack_assignments(
         )
         lo, hi = agg["min(doc_id)"], agg["max(doc_id)"]
     # Python-int span/width: ids are 64-bit hash keys at web scale, so hi-lo
-    # can approach 2^63 — `(ids-lo) * num_ranges` would overflow int64 into
+    # can approach 2^64 — `(ids-lo) * num_ranges` would overflow int64 into
     # negative range ids (multiply-before-divide). Divide-first by a
-    # precomputed ceil width is overflow-free ((ids-lo) <= span-1 fits
-    # int64) and stays monotone in doc_id, which is all phases 1+2 need.
+    # precomputed ceil width stays monotone in doc_id, and the per-row
+    # subtraction itself runs in uint64 wraparound arithmetic (see slim():
+    # the distance fits uint64 for any signed spread but NOT int64).
     lo, hi = int(lo), int(hi)
     span = max(1, hi - lo + 1)
     width = min(max(1, (span + num_ranges - 1) // num_ranges), (1 << 63) - 1)
@@ -856,9 +857,22 @@ def doc_pack_assignments(
     ds = read_table(path, columns=["doc_id", "text"])
 
     def slim(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         ids = df["doc_id"].astype("int64")
         toks = [textfns.sql_token_count(t) for t in df["text"]]
-        rng = ((ids - lo) // width).clip(upper=num_ranges - 1).astype("int64")
+        # uint64 wraparound subtraction: the true distance ids-lo is in
+        # [0, span-1] < 2^64 but can exceed int64 when ids and lo sit at
+        # opposite ends of the signed 64-bit hash-key domain (lo ~ -2^62,
+        # ids ~ +2^62) — int64 `ids - lo` would wrap negative and break
+        # range monotonicity. Reinterpreting both sides mod 2^64 makes the
+        # subtraction exact for ANY signed spread.
+        dist = ids.to_numpy().view(np.uint64) - np.uint64(
+            lo & 0xFFFFFFFFFFFFFFFF
+        )
+        rng = np.minimum(
+            dist // np.uint64(width), np.uint64(num_ranges - 1)
+        ).astype("int64")
         return pd.DataFrame(
             {"range_id": rng, "doc_id": ids, "n_tokens": pd.Series(toks, dtype="int64")}
         )

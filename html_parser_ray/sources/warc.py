@@ -287,17 +287,21 @@ def write_warc_dataset(
             p if isinstance(p, (bytes, bytearray)) else str(p).encode("utf-8")
             for p in df[payload_col]
         ]
-        # content-address over EVERY (uri, payload length): two batches
-        # sharing a first uri and row count but differing in content must
-        # not collide (a collision means one block silently vanishes);
-        # byte-identical batches map to the same shard, which stays
-        # idempotent because the written bytes are deterministic
+        # content-address over EVERY (uri, payload BYTES): two batches
+        # sharing uris and payload lengths but differing in content must
+        # not collide (a collision means one block silently vanishes — e.g.
+        # a re-crawl holding two same-length versions of one page), so the
+        # payload bytes themselves go through the digest, length-prefixed
+        # to keep (uri, payload) framing unambiguous; byte-identical
+        # batches map to the same shard, which stays idempotent because
+        # the written bytes are deterministic
         h = hashlib.md5()
         for u, pl in zip(uris, payloads):
             h.update(u.encode())
             h.update(b"\x00")
             h.update(str(len(pl)).encode())
             h.update(b"\x00")
+            h.update(pl)
         tag = h.hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{tag}.warc.gz" if gzip_records else f"part-{tag}.warc")
         # pid-unique tmp: concurrent writers of the same shard each stream

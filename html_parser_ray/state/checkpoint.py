@@ -235,18 +235,23 @@ def verify_sample(
     def digest(doc_id) -> str:
         return hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
 
-    # pass 1 (ids only, column-pruned): global min-k by seeded digest
-    heap: list[tuple[str, object]] = []  # max-heap via negated compare
-    for batch in ray.data.read_parquet(
-        input_path, columns=["doc_id"]
-    ).iter_batches(batch_format="pyarrow", batch_size=8192):
-        for d in batch.column("doc_id").to_pylist():
-            item = (digest(d), d)
-            if len(heap) < sample_docs:
-                heapq.heappush(heap, (_neg(item[0]), d))
-            elif item[0] < _neg(heap[0][0]):
-                heapq.heapreplace(heap, (_neg(item[0]), d))
-    sample = {d for _, d in heap}
+    # pass 1 (ids only, column-pruned): global min-k by seeded digest —
+    # heapq.nsmallest streams the generator at O(n log k) with a bounded
+    # heap (the prior hand-rolled max-heap with a hex-negation involution
+    # did the same thing in 12 more lines)
+    sample = {
+        d
+        for _, d in heapq.nsmallest(
+            sample_docs,
+            (
+                (digest(d), d)
+                for batch in ray.data.read_parquet(
+                    input_path, columns=["doc_id"]
+                ).iter_batches(batch_format="pyarrow", batch_size=8192)
+                for d in batch.column("doc_id").to_pylist()
+            ),
+        )
+    }
 
     # pass 2: expected spans for the sample only (fresh serial extractor)
     ex = SpanExtractor()
@@ -278,8 +283,3 @@ def verify_sample(
             mismatches += 1
     return {"checked": checked, "mismatches": mismatches}
 
-
-def _neg(hexdigest: str) -> str:
-    """Order-reversing involution over fixed-width hex (max-heap via min-heap):
-    maps each nibble c to 15-c, so a < b  <=>  _neg(a) > _neg(b)."""
-    return "".join("0123456789abcdef"[15 - int(c, 16)] for c in hexdigest)
