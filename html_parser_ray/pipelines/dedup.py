@@ -62,18 +62,29 @@ def exact_dedup(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL text -> NULL hash forming ONE group (DuckDB: md5(NULL) is
+        # NULL and GROUP BY collects all NULLs together) — dropna=False
+        # keeps the group pandas would silently discard
         hashed = pd.DataFrame(
             {
-                "text_hash": [textfns.md5_hex(t) for t in df["text"]],
+                "text_hash": [
+                    textfns.md5_hex(t) if t is not None else None
+                    for t in df["text"]
+                ],
                 "doc_id": df["doc_id"],
             }
         )
-        out = hashed.groupby("text_hash", as_index=False).agg(
+        out = hashed.groupby("text_hash", as_index=False, dropna=False).agg(
             keeper_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
         )
-        # ordered range partition: first 3 hex chars (uniform under md5)
+        # ordered range partition: first 3 hex chars (uniform under md5);
+        # the NULL group rides in the LAST partition (oracle ORDER BY is
+        # ASC NULLS LAST), keeping global output order sort-free
         out["part"] = [
-            (int(h[:3], 16) * num_partitions) >> 12 for h in out["text_hash"]
+            (int(h[:3], 16) * num_partitions) >> 12
+            if isinstance(h, str)
+            else num_partitions - 1
+            for h in out["text_hash"]
         ]
         return out
 
@@ -82,9 +93,9 @@ def exact_dedup(sf_dir: str, num_partitions: int = 16) -> "ray.data.Dataset":
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.drop(columns=["part"])
-            .groupby("text_hash", as_index=False)
+            .groupby("text_hash", as_index=False, dropna=False)
             .agg(keeper_doc_id=("keeper_doc_id", "min"), n_docs=("n_docs", "sum"))
-            .sort_values("text_hash")
+            .sort_values("text_hash", na_position="last")
             .reset_index(drop=True)
         )
 

@@ -69,7 +69,18 @@ def _commit_manifest(output_root: str, part: int, record: dict) -> None:
     tmp = os.path.join(mdir, f".part-{part}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(record, f)
+        # durability ordering: the manifest IS the commit record, so its
+        # bytes (and the rename) must hit disk before a resume can trust
+        # it — a power loss that keeps the rename but not the contents
+        # would make completed_partitions() claim data that never landed
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mdir, f"part-{part}.json"))
+    dirfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
 
 
 def run_resumable_extraction(
@@ -140,18 +151,28 @@ def run_resumable_extraction(
         tagged_out.write_parquet(output_root, partition_cols=["_part"])
 
         wall = round(time.perf_counter() - t0, 3)
-        # commit manifests from the written files' own stats (one cheap read
-        # per freshly-written partition directory)
+        # commit manifests from the written files' own metadata: row counts
+        # come FREE from the parquet footers (no data pages decoded), and
+        # the span count reads back only the spans_out column — the r5
+        # review flagged the previous full-table re-read as doubling the
+        # write path's I/O per wave
+        import pyarrow.parquet as _pq
+
         for p in wave:
             pdir = os.path.join(output_root, f"_part={p}")
             rows = 0
             spans = 0
             if os.path.isdir(pdir):
-                out_ds = ray.data.read_parquet(pdir)
+                for fname in os.listdir(pdir):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    rows += _pq.ParquetFile(
+                        os.path.join(pdir, fname)
+                    ).metadata.num_rows
+                out_ds = ray.data.read_parquet(pdir, columns=["spans_out"])
                 for batch in out_ds.iter_batches(
                     batch_format="pyarrow", batch_size=4096
                 ):
-                    rows += batch.num_rows
                     spans += int(
                         pc.sum(pc.list_value_length(batch.column("spans_out"))).as_py()
                         or 0
@@ -209,6 +230,8 @@ def verify_sample(
     input_path: str,
     sample_docs: int = 50,
     seed: int = 7,
+    file_format: str = "parquet",
+    extractor_kwargs: "dict | None" = None,
 ) -> dict:
     """Per-row invariant self-check (the north rule's span-sequence equality):
     re-extract a deterministic sample of documents with a fresh
@@ -220,7 +243,14 @@ def verify_sample(
     document missing from the output entirely counts as a mismatch
     instead of being invisible to the check; driver memory is bounded by
     the sample size, never the corpus (the former version held every
-    output row's spans in one dict).
+    output row's spans in one dict), and non-sampled rows never become
+    Python objects (arrow-level ``is_in`` filter before ``to_pylist``).
+
+    ``file_format`` / ``extractor_kwargs`` must mirror what
+    ``run_resumable_extraction`` was called with: the check re-reads the
+    same corpus format and re-extracts under the same semantics (the r5
+    review found a defaults-only check could report false mismatches
+    against a run that used non-default extractor options).
 
     Returns {checked, mismatches} — mismatches must be 0; ``checked`` <
     the sample size means docs vanished from the output.
@@ -228,9 +258,8 @@ def verify_sample(
     import hashlib
     import heapq
 
-    import ray.data
-
     from html_parser_ray.extract.extractor import SpanExtractor
+    from html_parser_ray.pipelines.extraction import read_corpus
 
     def digest(doc_id) -> str:
         return hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
@@ -245,32 +274,37 @@ def verify_sample(
             sample_docs,
             (
                 (digest(d), d)
-                for batch in ray.data.read_parquet(
-                    input_path, columns=["doc_id"]
+                for batch in read_corpus(
+                    input_path, file_format=file_format, columns=["doc_id"]
                 ).iter_batches(batch_format="pyarrow", batch_size=8192)
                 for d in batch.column("doc_id").to_pylist()
             ),
         )
     }
+    sample_arr = pa.array(sorted(sample))
 
-    # pass 2: expected spans for the sample only (fresh serial extractor)
-    ex = SpanExtractor()
+    # pass 2: expected spans for the sample only (fresh serial extractor,
+    # same kwargs as the checkpointed run); only sampled rows cross into
+    # Python — every batch is filtered at the arrow level first
+    ex = SpanExtractor(**(extractor_kwargs or {}))
     expected: dict = {}
-    for batch in ray.data.read_parquet(input_path).iter_batches(
-        batch_format="pyarrow", batch_size=1024
-    ):
-        for row in batch.to_pylist():
-            if row["doc_id"] in sample:
-                expected[row["doc_id"]] = ex.extract_document(row["spans"])
+    for batch in read_corpus(
+        input_path, file_format=file_format, columns=["doc_id", "spans"]
+    ).iter_batches(batch_format="pyarrow", batch_size=1024):
+        hits = batch.filter(pc.is_in(batch.column("doc_id"), sample_arr))
+        for row in hits.to_pylist():
+            expected[row["doc_id"]] = ex.extract_document(row["spans"])
 
-    # pass 3: committed output spans for the sample only (bounded dict)
+    # pass 3: committed output spans for the sample only (bounded dict,
+    # arrow-level filter — non-sampled rows never become Python objects)
     got: dict = {}
     for batch in read_extraction_output(output_root).iter_batches(
         batch_format="pyarrow", batch_size=4096
     ):
-        for row in batch.select(["doc_id", "spans_out"]).to_pylist():
-            if row["doc_id"] in sample:
-                got[row["doc_id"]] = [dict(s) for s in row["spans_out"] or []]
+        sel = batch.select(["doc_id", "spans_out"])
+        hits = sel.filter(pc.is_in(sel.column("doc_id"), sample_arr))
+        for row in hits.to_pylist():
+            got[row["doc_id"]] = [dict(s) for s in row["spans_out"] or []]
 
     checked = 0
     mismatches = 0

@@ -32,16 +32,23 @@ def fit_counts(
     changes scheduling, not results (pinned by the multi-feeder vs batch
     oracle tests).
     """
+    import os
+
     counts = list(counts)
     if cpus is None:
         try:
             import ray
 
-            cpus = (
-                float(ray.cluster_resources().get("CPU", 0.0))
-                if ray.is_initialized()
-                else 0.0
-            )
+            if ray.is_initialized():
+                cpus = float(ray.cluster_resources().get("CPU", 0.0))
+            else:
+                # Ray not up yet: the caller's first actor creation will
+                # AUTO-init a local cluster advertising the host's CPUs, so
+                # size against that (the library must not call ray.init —
+                # the driver owns the session). Returning the counts
+                # unchanged here (the pre-r5 behavior) re-created the
+                # documented 2-CPU deadlock on exactly the auto-init path.
+                cpus = float(os.cpu_count() or 0)
         except Exception:
             cpus = 0.0
     if cpus <= 0:

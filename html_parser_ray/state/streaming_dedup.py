@@ -151,8 +151,20 @@ class StreamingDeduper:
         self.shards = []
 
 
-def _hashes(texts: list[str]) -> list[bytes]:
-    return [hashlib.md5(t.encode()).digest() for t in texts]
+# NULL texts form ONE dedup group (DuckDB: GROUP BY md5(text) collects all
+# NULLs together). Keys are length-framed so the sentinel can never equal a
+# real text's key: real = b"\x01" + 16-byte digest (17 bytes), NULL = one
+# byte — the min-claim index and the 4-byte shard prefix both key on the
+# full bytes object, and the sentinel deterministically lands on shard 0.
+_NULL_TEXT_KEY = b"\x00"
+
+
+def _hashes(texts: "list[str | None]") -> list[bytes]:
+    return [
+        b"\x01" + hashlib.md5(t.encode()).digest() if t is not None
+        else _NULL_TEXT_KEY
+        for t in texts
+    ]
 
 
 def streaming_dedup_keep_first(

@@ -141,7 +141,8 @@ class HoppingWindowShard:
         }
 
     def restore(self, snap: dict) -> None:
-        assert snap["size_s"] == self.size_s, "window size mismatch"
+        if snap["size_s"] != self.size_s:  # not assert: must survive -O
+            raise ValueError("window size mismatch")
         self.open = {(w, t): [n, c] for w, t, n, c in snap["open"]}
         self.final = [tuple(row) for row in snap["final"]]
         self.late_events = snap["late_events"]
@@ -215,7 +216,8 @@ class StreamingHoppingWindows:
     (partition-parallel form), then read results."""
 
     def __init__(self, size_s: int, hop_s: int, lateness_s: int, num_shards: int = 8):
-        assert size_s % hop_s == 0, "window size must be a multiple of the hop"
+        if size_s % hop_s != 0:  # not assert: must survive python -O
+            raise ValueError("window size must be a multiple of the hop")
         self.size_s = size_s
         self.hop_s = hop_s
         self.k = size_s // hop_s
@@ -264,7 +266,20 @@ class StreamingHoppingWindows:
         facade's watermark), taken at a micro-batch boundary. Pair it with
         the SOURCE position (batch seq / Kafka offset) the ingest has acked
         so a restore replays from exactly the next micro-batch — the
-        standard state-backend + source-offset checkpoint shape."""
+        standard state-backend + source-offset checkpoint shape.
+
+        CONSISTENCY CONTRACT (multi-feeder): window adds are counts, not
+        idempotent claims, so the snapshot is a consistent cut ONLY when
+        no add is in flight — every feeder must be between micro-batches
+        (a ``Feeder`` ray.get()s all of a batch's shard adds before acking
+        its source position, so "between batches" == "all acked adds
+        applied"). Snapshotting while a feeder's batch is mid-ship can
+        capture that batch on some shards but not others, and the replay
+        from the un-acked offset would then double-count it on the shards
+        that had it. The single-feeder micro-batch API satisfies this by
+        construction; a multi-feeder deployment must quiesce (join or
+        pause) its feeders first — the standard Chandy-Lamport-free
+        stop-the-world checkpoint, matching the feeders' wave shape."""
         return {
             "shards": ray.get([s.snapshot.remote() for s in self.shards]),
             "max_ts": self._max_ts,
@@ -278,10 +293,16 @@ class StreamingHoppingWindows:
         """Load a checkpoint into this (fresh) shard set. The full window
         geometry must match — restoring onto a different hop/lateness would
         silently mix two window grids in the output."""
-        assert len(snap["shards"]) == self.num_shards, "shard count mismatch"
-        assert snap["size_s"] == self.size_s, "window size mismatch"
-        assert snap["hop_s"] == self.hop_s, "hop mismatch"
-        assert snap["lateness_s"] == self.lateness_s, "lateness mismatch"
+        # raise, not assert: silently mixing two window grids under
+        # python -O is exactly the failure these guards exist to stop
+        if len(snap["shards"]) != self.num_shards:
+            raise ValueError("shard count mismatch")
+        if snap["size_s"] != self.size_s:
+            raise ValueError("window size mismatch")
+        if snap["hop_s"] != self.hop_s:
+            raise ValueError("hop mismatch")
+        if snap["lateness_s"] != self.lateness_s:
+            raise ValueError("lateness mismatch")
         ray.get(
             [
                 s.restore.remote(sh)
@@ -419,8 +440,16 @@ class Feeder:
         for batch in self._my_batches():
             if batch.num_rows == 0:
                 continue
+            import pyarrow as pa
+
+            # normalize to us BEFORE the int cast: a ns- or ms-resolution
+            # ts column would otherwise shift every window start by x1000
+            # (the batch oracle normalizes via astype('datetime64[us]'))
             ts_s = (
-                batch.column("ts").cast("int64").to_numpy(zero_copy_only=False)
+                batch.column("ts")
+                .cast(pa.timestamp("us"))
+                .cast("int64")
+                .to_numpy(zero_copy_only=False)
                 // 1_000_000
             )
             if local_max_ts != float("-inf"):
@@ -518,11 +547,13 @@ def streaming_hopping_counts(
                 "StreamingHoppingWindows API directly for drop-and-count "
                 "semantics on unordered streams."
             )
-        assert late == 0, (
-            f"engine bug: {late} late window-contributions dropped on an "
-            f"in-contract input (max feeder disorder {max_disorder:.0f}s "
-            f"<= lateness {lateness_s}s guarantees zero drops)"
-        )
+        if late != 0:  # raise, not assert: the invariant must hold under -O
+            raise RuntimeError(
+                f"engine bug: {late} late window-contributions dropped on "
+                f"an in-contract input (max feeder disorder "
+                f"{max_disorder:.0f}s <= lateness {lateness_s}s guarantees "
+                "zero drops)"
+            )
         return out
     finally:
         for f in feeders:

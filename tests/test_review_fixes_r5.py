@@ -151,3 +151,98 @@ def test_doc_pack_range_math_survives_full_int64_domain(tmp_path):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert list(out["doc_id"]) == [lo, 0, hi]
     assert list(out["pack_id"]) == [0, 0, 1]
+
+
+# ---- state-tier review fixes (second review pass) ------------------------
+
+
+def test_fit_counts_sizes_against_host_cpus_when_ray_is_down(monkeypatch):
+    """The auto-init path: with Ray not yet initialized, fit_counts must
+    size against the host CPUs the auto-init will advertise — the pre-fix
+    no-op re-created the documented 2-CPU fleet deadlock."""
+    import os as _os
+
+    import ray as _ray
+
+    from html_parser_ray.state import fleet
+
+    monkeypatch.setattr(_ray, "is_initialized", lambda: False)
+    monkeypatch.setattr(_os, "cpu_count", lambda: 2)
+    # 8 shards x 0.25 CPU on a 2-CPU host with 1.0 reserved -> 4 slots
+    assert fleet.fit_counts([8], frac=0.25, reserve=1.0) == [4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_null_text_forms_one_group(tmp_path):
+    """DuckDB groups all NULL texts together (md5(NULL) = NULL, one GROUP BY
+    group, MIN(doc_id) keeps the smallest) — both the batch and the
+    streaming dedup must match instead of crashing/dropping."""
+    import duckdb
+
+    from html_parser_ray.pipelines.dedup import dedup_keep_first, exact_dedup
+    from html_parser_ray.state.streaming_dedup import streaming_dedup_keep_first
+
+    d = tmp_path / "sfnulldedup"
+    _write_docs(d, [1, 2, 3, 4], ["a", None, None, "a"])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want_exact = con.execute(
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"
+    ).df()
+    want_keep = [1, 2]  # MIN of the 'a' group and MIN of the NULL group
+
+    got_exact = exact_dedup(str(d)).to_pandas()
+    assert list(got_exact["keeper_doc_id"]) == list(want_exact["keeper_doc_id"])
+    assert list(got_exact["n_docs"]) == list(want_exact["n_docs"])
+    assert got_exact["text_hash"].isna().sum() == 1  # the NULL group row
+
+    for fn in (dedup_keep_first, streaming_dedup_keep_first):
+        out = fn(str(d))
+        out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert list(out["doc_id"]) == want_keep, fn.__name__
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_window_normalizes_ts_resolution(tmp_path):
+    """A timestamp[ns] events file must produce the same windows as the
+    batch oracle (the pre-fix Feeder cast ns to int64 and floor-divided as
+    if they were us — every window start off by x1000)."""
+    from html_parser_ray.pipelines.temporal import events_hopping_counts
+    from html_parser_ray.state.streaming_window import streaming_hopping_counts
+
+    d = tmp_path / "sfnsts"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(40, dtype=np.int64),
+            "user_id": np.arange(40, dtype=np.int64) % 4,
+            "event_type": ["click", "view"] * 20,
+            "value": np.linspace(1.0, 4.0, 40),
+            "ts": [base + pd.Timedelta(seconds=30 * i) for i in range(40)],
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[ns]")  # ns resolution on disk
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    assert tbl.schema.field("ts").type == pa.timestamp("ns")
+    pq.write_table(tbl, d / "events.parquet")
+
+    batch = events_hopping_counts(str(d))
+    batch = batch if isinstance(batch, pd.DataFrame) else batch.to_pandas()
+    stream = streaming_hopping_counts(str(d))
+    stream = stream if isinstance(stream, pd.DataFrame) else stream.to_pandas()
+    pd.testing.assert_frame_equal(
+        batch.reset_index(drop=True), stream.reset_index(drop=True)
+    )
+
+
+def test_streaming_window_geometry_raises_not_asserts():
+    """Geometry guards must survive python -O: plain raises, not asserts."""
+    from html_parser_ray.state.streaming_window import StreamingHoppingWindows
+
+    with pytest.raises(ValueError, match="multiple of the hop"):
+        StreamingHoppingWindows(size_s=100, hop_s=30, lateness_s=10)
